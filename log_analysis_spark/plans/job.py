@@ -1,0 +1,176 @@
+"""spark-submit entrypoint: the full parse->enrich->route->aggregate job.
+
+CLI args mirror ZeekSearchParams' fields (path_prefix, selected_date,
+start/end dates, src filter; /root/reference/src/zeek/zeek_search_params.rs:
+15-33) — the TUI (main.rs event loop) is replaced by this batch job.
+
+Resume: units are day partitions; completed (stage, day) units found in the
+lineage manifest with a matching input fingerprint are skipped (north_rule:
+"resumable from checkpoint with per-partition lineage + metrics"). Sink
+writes use dynamic partition overwrite so re-running a unit is idempotent.
+
+Ship to a cluster as:
+  spark-submit --py-files log_analysis_spark.zip -m log_analysis_spark.plans.job ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregate import events_per_host_hour, topk_domains
+from ..operators.enrich import enrich
+from ..operators.route import route_to_sinks
+from ..functions.parse import parse_conn_like, parse_http_like
+from ..sources.pages import read_pages_table
+from .checkpoint import Manifest, UnitResult, dir_bytes, dir_fingerprint
+
+
+def list_days(input_path: str, start: str | None, end: str | None) -> list[str]:
+    if not os.path.isdir(input_path):
+        raise SystemExit(
+            f"error: input path {input_path!r} does not exist or is not a "
+            "pages table directory (expected day=YYYY-MM-DD partitions)"
+        )
+    days = sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(input_path)
+        if d.startswith("day=")
+    )
+    if not days:
+        raise SystemExit(
+            f"error: no day=YYYY-MM-DD partitions under {input_path!r}"
+        )
+    if start:
+        days = [d for d in days if d >= start]
+    if end:
+        days = [d for d in days if d <= end]
+    return days
+
+
+def run_day(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    day: str,
+    host_filter: str | None = None,
+    byte_exact: bool = True,
+) -> UnitResult:
+    """Process one day partition end-to-end (one declarative plan per sink
+    family; the scan is pruned to the day's directory)."""
+    pages = read_pages_table(spark, input_path, day, day)
+    rows_in = pages.count()
+
+    http = parse_http_like(pages, byte_exact=byte_exact)
+    if host_filter:
+        http = http.filter(F.col("host") == host_filter)
+    http_e = enrich(http, spark, host_col="host")
+
+    conn = parse_conn_like(pages, vectorized=True)
+    if host_filter:
+        conn = conn.filter(
+            (F.col("id_orig_h") == host_filter) | (F.col("id_resp_h") == host_filter)
+        )
+
+    sink_dir = os.path.join(out_dir, "sinks", "conn_like")
+    route_to_sinks(conn, sink_dir, mode="overwrite")
+
+    http_dir = os.path.join(out_dir, "sinks", "http_like")
+    (
+        http_e.withColumn("day", F.date_format("ts_bucket", "yyyy-MM-dd"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(http_dir)
+    )
+
+    agg_dir = os.path.join(out_dir, "agg", "events_per_host_hour")
+    (
+        events_per_host_hour(http_e, host_col="host", ts_col="ts_bucket")
+        .withColumn("day", F.date_format("hour", "yyyy-MM-dd"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(agg_dir)
+    )
+
+    rows_out = spark.read.parquet(http_dir).filter(F.col("day") == day).count()
+    return UnitResult(rows_in=rows_in, rows_out=rows_out, bytes_out=dir_bytes(http_dir))
+
+
+def finalize(spark: SparkSession, out_dir: str, k: int = 10) -> DataFrame:
+    """Cross-day final aggregates (single small stage over per-day partials)."""
+    http = spark.read.parquet(os.path.join(out_dir, "sinks", "http_like"))
+    top = topk_domains(http, k=k, host_col="host")
+    top.write.mode("overwrite").parquet(os.path.join(out_dir, "agg", "topk_domains"))
+    return top
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    start: str | None = None,
+    end: str | None = None,
+    host_filter: str | None = None,
+    resume: bool = True,
+    byte_exact: bool = True,
+) -> dict:
+    """Full job with per-day lineage + resume. Returns run metrics."""
+    manifest = Manifest(os.path.join(out_dir, "_manifest"))
+    days = list_days(input_path, start, end)
+    t0 = time.monotonic()
+    processed, skipped, rows_in_total = [], [], 0
+    # dynamic partition overwrite => re-running a unit replaces only its day
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    for day in days:
+        fp = dir_fingerprint(os.path.join(input_path, f"day={day}"))
+        if resume and manifest.is_done("pipeline", day, fp):
+            skipped.append(day)
+            continue
+        res = run_day(spark, input_path, out_dir, day, host_filter, byte_exact)
+        manifest.mark_done("pipeline", day, fp, res)
+        processed.append(day)
+        rows_in_total += res.rows_in
+    finalize(spark, out_dir)
+    wall = time.monotonic() - t0
+    return {
+        "days_processed": processed,
+        "days_skipped": skipped,
+        "rows_in": rows_in_total,
+        "wall_sec": wall,
+        "pages_per_sec": (rows_in_total / wall) if wall > 0 else None,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="pages table path")
+    ap.add_argument("--out", required=True, help="output root")
+    ap.add_argument("--start-date")
+    ap.add_argument("--end-date")
+    ap.add_argument("--host", help="host filter (src_ip analog)")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from ..session import get_spark
+
+    spark = get_spark("log-analysis-job", master=args.master)
+    metrics = run_pipeline(
+        spark,
+        args.input,
+        args.out,
+        args.start_date,
+        args.end_date,
+        args.host,
+        resume=not args.no_resume,
+    )
+    print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""End-to-end pipeline: routed counts, aggregates vs golden, resume."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from log_analysis_spark.functions.parse import parse_conn_like, parse_http_like
+from log_analysis_spark.operators.aggregate import (
+    distinct_per_host,
+    events_per_host_hour,
+    salted_group_count,
+    topk_domains,
+    union_dedup_first_seen,
+)
+from log_analysis_spark.operators.enrich import enrich
+from log_analysis_spark.operators.route import read_sink, route_to_sinks, routed_counts
+from log_analysis_spark.plans.job import run_pipeline
+from log_analysis_spark.schemas import RECORD_TYPES
+from log_analysis_spark.synth import gen_pages, gen_pages_local, write_pages
+
+from .golden import (
+    golden_events_per_host_hour,
+    golden_pages,
+    golden_routed_counts,
+    golden_topk,
+)
+
+N = 1500
+
+
+def test_routed_counts_match_golden(spark):
+    conn = parse_conn_like(gen_pages(spark, N))
+    got = {r["record_type"]: r["n_rows"] for r in routed_counts(conn).collect()}
+    assert got == golden_routed_counts(golden_pages(N))
+
+
+def test_router_drops_unknown(spark):
+    conn = parse_conn_like(gen_pages(spark, N))
+    assert conn.filter(F.col("record_type") == "bogus").count() > 0
+    routed = routed_counts(conn).toPandas()
+    assert "bogus" not in set(routed.record_type)
+
+
+def test_route_write_and_readback(spark, tmpdir_path):
+    conn = parse_conn_like(gen_pages(spark, N))
+    sinks = route_to_sinks(conn, tmpdir_path)
+    want = golden_routed_counts(golden_pages(N))
+    for rt in RECORD_TYPES:
+        assert os.path.isdir(sinks[rt])
+        assert read_sink(spark, tmpdir_path, rt).count() == want[rt]
+    # routed-row equality on one sink: exact url multiset
+    got_urls = sorted(
+        r["url"] for r in read_sink(spark, tmpdir_path, "dns").select("url").collect()
+    )
+    from .golden import golden_conn_events
+
+    ev = golden_conn_events(golden_pages(N))
+    want_urls = sorted(ev[ev.record_type == "dns"].url)
+    assert got_urls == want_urls
+
+
+def test_events_per_host_hour_matches_golden(spark):
+    http = parse_http_like(gen_pages(spark, N), byte_exact=False)
+    got = (
+        events_per_host_hour(http, host_col="host", ts_col="ts_bucket")
+        .toPandas()
+        .sort_values(["host", "hour"])
+        .reset_index(drop=True)
+    )
+    want = (
+        golden_events_per_host_hour(golden_pages(N))
+        .sort_values(["host", "hour"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got.n_events.to_numpy() == want.n_events.to_numpy()).all()
+    assert (got.host.to_numpy() == want.host.to_numpy()).all()
+
+
+def test_topk_matches_golden(spark):
+    http = parse_http_like(gen_pages(spark, N), byte_exact=False)
+    got = [(r["host"], r["n_pages"]) for r in topk_domains(http, k=10).collect()]
+    assert got == golden_topk(golden_pages(N), k=10)
+
+
+def test_salted_count_equals_plain(spark):
+    http = parse_http_like(gen_pages(spark, N), byte_exact=False)
+    plain = {
+        r["host"]: r["n"]
+        for r in http.groupBy("host").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {r["host"]: r["n"] for r in salted_group_count(http, "host").collect()}
+    assert plain == salted
+
+
+def test_distinct_per_host(spark):
+    conn = parse_conn_like(gen_pages(spark, N))
+    conn = conn.withColumn("host", F.parse_url("url", F.lit("HOST")))
+    got = {r["host"]: r["n_distinct"] for r in distinct_per_host(conn, "host", "id_orig_h").collect()}
+    want = (
+        conn.groupBy("host")
+        .agg(F.countDistinct("id_orig_h").alias("n"))
+        .collect()
+    )
+    assert got == {r["host"]: r["n"] for r in want}
+
+
+def test_union_dedup_first_seen(spark):
+    a = spark.createDataFrame(
+        [("h1", "2024-07-02"), ("h2", "2024-07-02")], ["host", "first_day"]
+    )
+    b = spark.createDataFrame(
+        [("h1", "2024-07-03"), ("h3", "2024-07-03")], ["host", "first_day"]
+    )
+    got = {r["host"]: r["first_day"] for r in union_dedup_first_seen(a, b).collect()}
+    assert got == {"h1": "2024-07-02", "h2": "2024-07-02", "h3": "2024-07-03"}
+
+
+def test_enrich_left_join_nulls(spark):
+    http = parse_http_like(gen_pages(spark, 400), byte_exact=False)
+    e = enrich(http, spark)
+    unk = e.filter(F.col("lang") == "unknown")
+    assert unk.count() > 0
+    assert unk.filter(F.col("region_name").isNotNull()).count() == 0
+    known = e.filter(F.col("lang") == "de")
+    assert known.filter(F.col("region_name") != "Europe").count() == 0
+
+
+def test_pipeline_resume(spark, tmpdir_path):
+    """Kill/rerun semantics: second run skips all completed day units;
+    final counts unchanged (north_rule resumability)."""
+    inp = os.path.join(tmpdir_path, "pages")
+    out = os.path.join(tmpdir_path, "out")
+    write_pages(spark, 800, inp, partitions=4)
+
+    m1 = run_pipeline(spark, inp, out)
+    assert len(m1["days_processed"]) == 3 and m1["days_skipped"] == []
+    total1 = spark.read.parquet(os.path.join(out, "sinks", "http_like")).count()
+    assert total1 == 800
+
+    m2 = run_pipeline(spark, inp, out)
+    assert m2["days_processed"] == [] and len(m2["days_skipped"]) == 3
+    total2 = spark.read.parquet(os.path.join(out, "sinks", "http_like")).count()
+    assert total2 == total1
+
+    # invalidate one unit -> only that unit reruns, counts still exact
+    os.remove(os.path.join(out, "_manifest", "pipeline__2024-07-03.json"))
+    m3 = run_pipeline(spark, inp, out)
+    assert m3["days_processed"] == ["2024-07-03"]
+    assert spark.read.parquet(os.path.join(out, "sinks", "http_like")).count() == total1
+
+
+def test_pipeline_host_filter_membership(spark, tmpdir_path):
+    """Membership across days on the pages pipeline (FIXTURES.md §5)."""
+    from log_analysis_spark.sources.pages import read_pages_table
+    from log_analysis_spark.synth import MEMBERSHIP_HOST
+
+    inp = os.path.join(tmpdir_path, "pages")
+    write_pages(spark, 3000, inp, partitions=4)
+    pages = read_pages_table(spark, inp)
+    http = parse_http_like(pages, byte_exact=False).filter(
+        F.col("host") == MEMBERSHIP_HOST
+    )
+    day1 = http.filter(F.to_date("ts_bucket") == "2024-07-02").count()
+    day2 = http.filter(F.to_date("ts_bucket") == "2024-07-03").count()
+    assert day1 > 0 and day2 == 0
