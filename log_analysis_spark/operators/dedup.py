@@ -1,0 +1,308 @@
+"""Deduplication operators for web-scale corpora.
+
+The reference's only dedup is first-seen-wins on distinct IPs
+(/root/reference/src/main.rs:321-330). A 100 TB training-data pipeline needs
+document dedup as a first-class stage; this module provides the standard
+ladder, each expressed with native DataFrame ops (no Python UDFs — the
+hashing/banding/verification all run in whole-stage codegen):
+
+- exact dedup          — md5 groupBy, keep min-id
+- n-gram Jaccard       — blocked self-join + exact set similarity
+- MinHash + LSH        — signature -> bands -> bucket join -> exact verify
+- SimHash              — 64-bit sign fingerprint, banded hamming candidates
+- embedding near-dup   — cosine over ``array<float>``, LSH-bucketed
+
+Scale design: every candidate-generation step is a hash-partitioned
+bucket join (shuffle on bucket key, never a cross join); verification only
+touches candidate pairs. ANSI-safe arithmetic throughout (inputs reduced
+mod 2^31-1 before multiply so products stay < 2^62).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import shingles, tokens
+
+MERSENNE = 2147483647  # 2^31-1
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row per exact text (min id wins). Returns survivor ids +
+    group size. Partial aggregation collapses duplicates map-side, so the
+    shuffle carries one row per distinct hash regardless of dup skew."""
+    return (
+        df.select(F.col(id_col), F.md5(F.encode(F.col(text_col), "UTF-8")).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Only groups with >1 member (the duplicates report)."""
+    return exact_dedup(df, id_col, text_col).filter(F.col("group_size") > 1)
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two string arrays (as sets). int/int IEEE division."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over pairs sharing a blocking key.
+
+    The block key bounds the join (hash-partitioned equi-join, never a
+    cross product); at 10^12 docs the block would be an LSH band (see
+    ``minhash_lsh_pairs``) — this exact variant is the verification oracle.
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("_sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(b, on=[F.col("a._blk") == F.col("b._blk"), F.col("a._id") < F.col("b._id")])
+    return (
+        pairs.select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            _jaccard(F.col("a._sh"), F.col("b._sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+def _perm_coeffs(num_perm: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a,b) pairs for the universal-hash permutation family
+    h_i(x) = (a_i*x + b_i) mod 2^31-1. splitmix-style constants, no RNG."""
+    out = []
+    s = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(num_perm):
+        s = (s * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        a = (s >> 33) % (MERSENNE - 1) + 1
+        s = (s * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        b = (s >> 33) % MERSENNE
+        out.append((a, b))
+    return out
+
+
+def minhash_signature(text: Column, num_perm: int = 64, n: int = 3) -> Column:
+    """array<long> MinHash signature of the word-n-gram shingle set.
+
+    Base hash = xxhash64 reduced mod 2^31-1 (keeps a*h+b < 2^62, ANSI-safe);
+    each permutation is an affine map; min over shingles. All native
+    ``transform``/``array_min`` — JVM-side, one pass over the shingles.
+    Empty shingle set -> signature of MERSENNE sentinels (joins with nothing).
+    """
+    sh = F.array_distinct(shingles(text, n))
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE)))
+    coeffs = _perm_coeffs(num_perm)
+
+    def _perm(a: int, b: int):
+        # closure factory (a plain `lambda h, a=a: ...` would read to Spark
+        # as a 3-arg lambda and fail higher-order-function binding)
+        return lambda h: F.pmod(a * h + b, F.lit(MERSENNE))
+
+    mins = [
+        F.coalesce(
+            F.array_min(F.transform(base, _perm(a, b))),
+            F.lit(MERSENNE).cast("long"),
+        )
+        for a, b in coeffs
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-verified.
+
+    shingle -> signature -> band keys -> explode -> bucket self-join ->
+    distinct candidate pairs -> exact Jaccard filter. The only shuffles are
+    the bucket equi-join and the candidate distinct; both are keyed hash
+    shuffles that scale linearly. Banding math: P(candidate) =
+    1-(1-s^r)^b with r = num_perm/bands.
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        minhash_signature(F.col(text_col), num_perm, n).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws("_", F.slice("_sig", b * r + 1, r))).alias("bkey"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bkey") == F.col("b.bkey"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("_sh"),
+    )
+    verified = (
+        cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        .select("id_a", "id_b", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+# --- SimHash ----------------------------------------------------------------
+def simhash(text: Column) -> Column:
+    """64-bit SimHash of the token multiset, fully native.
+
+    Token hashes via xxhash64; per bit position sum +1/-1 by bit value; the
+    fingerprint sets bits with positive sums. Nested transform/aggregate
+    runs inside codegen; cost is O(tokens*64) per row, no shuffle.
+    """
+    hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
+
+    def _vote(i: int):
+        # i must be a Python literal: shiftrightunsigned takes int numBits
+        return lambda acc, h: acc + F.when(
+            F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1).cast("long")) == 1, 1
+        ).otherwise(-1)
+
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote(i))
+        fp = fp + F.when(vote > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return fp
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Candidate generation: split the 64-bit fingerprint into 4 16-bit chunks;
+    by pigeonhole any pair within hamming<=3 shares at least one chunk ->
+    equi-join per chunk (keyed shuffle, no cross join), then exact
+    ``bit_count(xor)`` verify.
+    """
+    sh = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sh"))
+    chunks = sh.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftrightunsigned(F.col("_sh"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                        .alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("_id", "_sh", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.ci") == F.col("b.ci"),
+                F.col("a.cv") == F.col("b.cv"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+# --- embedding near-dup -----------------------------------------------------
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays, accumulated in double with a
+    deterministic left-to-right fold (bit-stable across engines/partitions).
+    """
+    def _dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold within a blocking key.
+
+    At scale the block key is an LSH bucket (similarity.hyperplane_bucket);
+    any coarse partitioner (cluster id, label) works — the join stays an
+    equi-join on the block.
+    """
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col).alias("_v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, on=[F.col("a._blk") == F.col("b._blk"), F.col("a._id") < F.col("b._id")])
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine_sim(F.col("a._v"), F.col("b._v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,201 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the exact baseline; random-hyperplane LSH and an
+IVF-style coarse quantizer are the scale paths (bucket-pruned search: the
+query probes a handful of buckets instead of scanning 10^12 vectors).
+
+All scoring is native Column math (deterministic double folds, bit-stable —
+see dedup.cosine_sim); the only Python is driver-side constant generation
+for hyperplanes/centroids (seeded numpy, shipped as literals/broadcast).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import cosine_sim
+
+
+def _vec_lit(v) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def brute_force_topk(
+    df: DataFrame, query_vec, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact cosine top-k vs one query vector.
+
+    Map-side score + global ``ORDER BY ... LIMIT k``: Spark's TakeOrdered
+    keeps a per-partition k-heap and merges k*partitions rows on the driver
+    — no full sort, no full shuffle; scales linearly in rows scanned.
+    """
+    q = _vec_lit(query_vec)
+    return (
+        df.select(
+            F.col(id_col),
+            cosine_sim(F.col(vec_col), q).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes for sign-LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def hyperplane_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id: bit i = 1 iff dot(plane_i, v) > 0. Native fold
+    per plane; n_planes * dim multiplies per row, zero Python."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(vec, _vec_lit(p), lambda x, y: x.cast("double") * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    ``probe_hamming`` bits of the query's bucket.
+
+    At 10^12 vectors the bucketed table is written partitioned by bucket id
+    (partition pruning turns the probe into reading ~(1+n_planes) buckets);
+    here the same pruning is a filter that Catalyst pushes to the scan.
+    """
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(p, qv)) > 0:
+            qbucket |= 1 << i
+    probe = [qbucket] + [qbucket ^ (1 << i) for i in range(n_planes)] if probe_hamming >= 1 else [qbucket]
+    bucketed = df.withColumn("_bucket", hyperplane_bucket(F.col(vec_col), planes))
+    return (
+        bucketed.filter(F.col("_bucket").isin(probe))
+        .select(F.col(id_col), cosine_sim(F.col(vec_col), _vec_lit(query_vec)).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_centroids(
+    df: DataFrame, n_centroids: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> np.ndarray:
+    """IVF coarse quantizer: deterministic seed vectors (every id ≡ 0 mod
+    stride) refined by one Lloyd iteration computed distributively
+    (groupBy(assignment).avg per dimension). Driver holds only
+    n_centroids * dim floats."""
+    n = df.count()
+    stride = max(n // n_centroids, 1)
+    seeds = (
+        df.filter((F.col(id_col) % stride == 0) & (F.col(id_col) / stride < n_centroids))
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    cents = np.array([r[0] for r in seeds], dtype=np.float64)
+    assigned = df.withColumn("_c", nearest_centroid(F.col(vec_col), cents))
+    dim = cents.shape[1]
+    sums = assigned.groupBy("_c").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"s{i}") for i in range(dim)],
+    ).collect()
+    out = cents.copy()
+    for row in sums:
+        c = row["_c"]
+        out[c] = np.array([row[f"s{i}"] for i in range(dim)]) / row["_n"]
+    return out
+
+
+def nearest_centroid(vec: Column, centroids: np.ndarray) -> Column:
+    """argmin_c ||v - c||^2 as native expressions (expanded: c.c - 2 v.c;
+    v.v is constant per row and drops out)."""
+    best_idx = F.lit(0)
+    best_score = None
+    for ci, c in enumerate(centroids):
+        dot = F.aggregate(
+            F.zip_with(vec, _vec_lit(c), lambda x, y: x.cast("double") * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        score = F.lit(float(np.dot(c, c))) - F.lit(2.0) * dot
+        if best_score is None:
+            best_score, best_idx = score, F.lit(ci)
+        else:
+            cond = score < best_score
+            best_idx = F.when(cond, F.lit(ci)).otherwise(best_idx)
+            best_score = F.when(cond, score).otherwise(best_score)
+    return best_idx
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: score only vectors assigned to the n_probe centroids
+    nearest the query. At scale the assignment is a partition column."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - qv) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2)[:n_probe]]
+    assigned = df.withColumn("_c", nearest_centroid(F.col(vec_col), centroids))
+    return (
+        assigned.filter(F.col("_c").isin(probe))
+        .select(F.col(id_col), cosine_sim(F.col(vec_col), _vec_lit(query_vec)).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 3,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """For each left row, its k nearest right rows by cosine.
+
+    Blocked equi-join when ``block_col`` given (the scale path — block =
+    LSH bucket or IVF cell), else a broadcast of the smaller right side.
+    Ranking via window over the join output (partial top-k per key).
+    """
+    from pyspark.sql.window import Window
+
+    l = left.select(F.col(left_id).alias("qid"), F.col(vec_col).alias("qv"),
+                    *([F.col(block_col).alias("_blk")] if block_col else []))
+    r = right.select(F.col(right_id).alias("nid"), F.col(vec_col).alias("nv"),
+                     *([F.col(block_col).alias("_blk2")] if block_col else []))
+    if block_col:
+        joined = l.join(r, on=[F.col("_blk") == F.col("_blk2"), F.col("qid") != F.col("nid")])
+    else:
+        joined = l.join(F.broadcast(r), on=[F.col("qid") != F.col("nid")])
+    scored = joined.select(
+        "qid", "nid", cosine_sim(F.col("qv"), F.col("nv")).alias("cos_sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
