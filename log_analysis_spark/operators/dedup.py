@@ -74,6 +74,10 @@ def ngram_jaccard_pairs(
         F.col(block_col).alias("_blk"),
         F.array_distinct(shingles(F.col(text_col), n)).alias("_sh"),
     )
+    # materialize the shingle arrays through the join's exchange — without
+    # this barrier Catalyst's projection collapse inlines the whole shingle
+    # computation into BOTH join sides of EVERY pair (measured ~50x slower)
+    sh = sh.repartition(F.col("_blk"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = a.join(b, on=[F.col("a._blk") == F.col("b._blk"), F.col("a._id") < F.col("b._id")])
     return (
@@ -108,6 +112,10 @@ def minhash_signature(text: Column, num_perm: int = 64, n: int = 3) -> Column:
     each permutation is an affine map; min over shingles. All native
     ``transform``/``array_min`` — JVM-side, one pass over the shingles.
     Empty shingle set -> signature of MERSENNE sentinels (joins with nothing).
+
+    NOTE: as a single Column expression this gets re-inlined wherever it is
+    referenced (projection collapse); for the LSH pipeline use
+    ``minhash_signatures`` which computes each hash exactly once.
     """
     sh = F.array_distinct(shingles(text, n))
     base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE)))
@@ -126,6 +134,37 @@ def minhash_signature(text: Column, num_perm: int = 64, n: int = 3) -> Column:
         for a, b in coeffs
     ]
     return F.array(*mins)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 64, n: int = 3
+) -> DataFrame:
+    """(id, sig: array<long>) via explode -> 64 min-aggregates -> groupBy.
+
+    Why not the pure-expression form: Catalyst's projection collapse would
+    inline the full 64-perm signature into every downstream reference
+    (16 band keys -> 16x recompute — measured 25x slower). Here each
+    shingle is hashed ONCE; map-side partial aggregation collapses the
+    exploded rows to one 64-long row per id before the shuffle, so the
+    exchange carries O(ids * num_perm) regardless of document length.
+    Ids with an empty shingle set are omitted (they cannot be near-dups;
+    an all-sentinel row would otherwise form one giant useless LSH bucket).
+    """
+    coeffs = _perm_coeffs(num_perm)
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("_s"),
+    ).select("_id", F.pmod(F.xxhash64("_s"), F.lit(MERSENNE)).alias("_h"))
+    aggs = [
+        F.min(F.pmod(a * F.col("_h") + b, F.lit(MERSENNE))).alias(f"_m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    per_id = exploded.groupBy("_id").agg(*aggs)
+    sentinel = F.lit(MERSENNE).cast("long")
+    return per_id.select(
+        "_id",
+        F.array(*[F.coalesce(F.col(f"_m{i}"), sentinel) for i in range(num_perm)]).alias("_sig"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -147,11 +186,7 @@ def minhash_lsh_pairs(
     """
     assert num_perm % bands == 0
     r = num_perm // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_text"),
-        minhash_signature(F.col(text_col), num_perm, n).alias("_sig"),
-    )
+    sig = minhash_signatures(df, id_col, text_col, num_perm, n)
     banded = sig.select(
         "_id",
         F.explode(
@@ -215,6 +250,34 @@ def simhash(text: Column) -> Column:
     return fp
 
 
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, fingerprint) via explode -> 64 bit-vote sums -> groupBy.
+
+    Single pass over the token hashes (the Column-expression ``simhash``
+    recomputes the token array inside each of the 64 bit aggregates);
+    map-side partial aggregation keeps the shuffle at O(ids * 64) longs.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.col(text_col))).alias("_t"),
+    ).select("_id", F.xxhash64("_t").alias("_h"))
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("_h"), i).bitwiseAND(F.lit(1).cast("long")) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"_v{i}")
+        for i in range(64)
+    ]
+    per_id = exploded.groupBy("_id").agg(*votes)
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp + F.when(
+            F.col(f"_v{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return per_id.select("_id", fp.alias("_sh"))
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
@@ -225,7 +288,7 @@ def simhash_pairs(
     equi-join per chunk (keyed shuffle, no cross join), then exact
     ``bit_count(xor)`` verify.
     """
-    sh = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sh"))
+    sh = simhash_fingerprints(df, id_col, text_col)
     chunks = sh.select(
         "_id",
         "_sh",

@@ -101,6 +101,50 @@ def run_day(
     return UnitResult(rows_in=rows_in, rows_out=rows_out, bytes_out=dir_bytes(http_dir))
 
 
+def run_once(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    start: str | None = None,
+    end: str | None = None,
+    byte_exact: bool = True,
+    with_sinks: bool = True,
+) -> dict:
+    """Single-pass pipeline over a date RANGE: one pruned scan per record
+    family, one write (or aggregate action) each — the shape you'd run on a
+    cluster when resume granularity isn't needed. 3 Spark jobs total vs
+    ~5 per day for the day-looped resume mode; used by bench for
+    throughput/scaling measurement.
+
+    ``with_sinks=False`` replaces the sink writes with routed-count
+    aggregate actions (pipeline compute without local-FS commit serialism).
+    """
+    pages = read_pages_table(spark, input_path, start, end)
+    t0 = time.monotonic()
+    http_e = enrich(parse_http_like(pages, byte_exact=byte_exact), spark, host_col="host")
+    conn = parse_conn_like(pages, vectorized=True)
+    if with_sinks:
+        (
+            http_e.withColumn("day", F.date_format("ts_bucket", "yyyy-MM-dd"))
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(os.path.join(out_dir, "sinks", "http_like"))
+        )
+        route_to_sinks(conn, os.path.join(out_dir, "sinks", "conn_like"))
+        (
+            events_per_host_hour(http_e, host_col="host", ts_col="ts_bucket")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "agg", "events_per_host_hour"))
+        )
+    else:
+        from ..operators.route import routed_counts
+
+        events_per_host_hour(http_e, host_col="host", ts_col="ts_bucket").count()
+        topk_domains(http_e, k=10, host_col="host").count()
+        routed_counts(conn).count()
+    return {"wall_sec": time.monotonic() - t0}
+
+
 def finalize(spark: SparkSession, out_dir: str, k: int = 10) -> DataFrame:
     """Cross-day final aggregates (single small stage over per-day partials)."""
     http = spark.read.parquet(os.path.join(out_dir, "sinks", "http_like"))
@@ -127,7 +171,12 @@ def run_pipeline(
     # dynamic partition overwrite => re-running a unit replaces only its day
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     for day in days:
-        fp = dir_fingerprint(os.path.join(input_path, f"day={day}"))
+        # fingerprint = input files + job params: a changed host filter or
+        # parse mode must invalidate the unit, not be silently skipped
+        fp = (
+            dir_fingerprint(os.path.join(input_path, f"day={day}"))
+            + f"|host={host_filter}|byte_exact={byte_exact}"
+        )
         if resume and manifest.is_done("pipeline", day, fp):
             skipped.append(day)
             continue

@@ -1,0 +1,117 @@
+"""Structured Streaming variant of the pipeline (continuous ingest mode).
+
+The reference is strictly batch — one date directory per search, no
+watermarks or state (/root/reference/src/zeek/zeek_log.rs:364-410; SURVEY.md
+§2 "deliberately absent"). This module supplies the streaming recast the
+north rule's continuous-ingest story implies: the same parse -> enrich ->
+route -> aggregate operators applied to a file-source stream of page
+parquet, with event-time windows + watermark for the per-host-hour
+aggregate and checkpointed exactly-once sinks.
+
+Operator reuse is 1:1: ``parse_http_like``/``enrich`` are batch/stream
+agnostic DataFrame transforms (Catalyst plans them either way). Only the
+source (``readStream``) and sinks (``writeStream`` + checkpointLocation)
+differ — which is precisely Spark's batch/streaming unification story.
+
+Scale notes: file-source streaming scales by ``maxFilesPerTrigger``
+(micro-batch admission control); the watermark bounds per-host-hour state
+so a 10^12-row backfill cannot OOM state storage; sink checkpointing gives
+resume-on-restart semantics equivalent to the batch manifest
+(plans/checkpoint.py), supplied by Spark itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.parse import parse_http_like
+from ..operators.enrich import enrich
+from ..schemas import PAGES_SCHEMA, RECORD_TYPES
+
+
+def read_pages_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream over the pages table layout (day=... dirs)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{path}/day=*")
+    )
+
+
+def streaming_events_per_host_hour(
+    pages: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Windowed per-host-hour counts with late-data handling.
+
+    The batch equivalent groups on date_trunc('hour'); here the event-time
+    window + watermark bounds aggregation state (late pages beyond the
+    watermark are dropped deterministically).
+    """
+    http = parse_http_like(pages, byte_exact=True)
+    return (
+        http.withWatermark("ts_bucket", watermark)
+        .groupBy(F.window("ts_bucket", "1 hour").alias("w"), F.col("host"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("hour"), "host", "n_events")
+    )
+
+
+def start_pipeline_stream(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+):
+    """Start the streaming pipeline: enriched http records appended to a
+    day-partitioned sink, exactly-once via checkpointing.
+
+    Returns the StreamingQuery (caller awaits/stops). Routing whitelist
+    applies as in batch: unknown langs still pass (left join), rows keep
+    their record identity from the parser.
+    """
+    pages = read_pages_stream(spark, input_path, max_files_per_trigger)
+    http_e = enrich(parse_http_like(pages, byte_exact=True), spark, host_col="host")
+    routed = http_e.withColumn("day", F.date_format("ts_bucket", "yyyy-MM-dd"))
+    return (
+        routed.writeStream.format("parquet")
+        .option("path", f"{out_dir}/http_like")
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("day")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_agg_stream(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 100000,
+):
+    """Start the watermarked per-host-hour aggregate stream (append mode:
+    a window emits once its watermark passes — deterministic finalization).
+
+    Default admits all ready files in one micro-batch: a file source is not
+    event-time-ordered, so small triggers would advance the watermark past
+    windows that still have in-flight rows (correct streaming semantics —
+    those rows count as late — but surprising for bounded backfills).
+    Continuous ingest deployments lower ``max_files_per_trigger`` and accept
+    the watermark's late-row policy.
+    """
+    pages = read_pages_stream(spark, input_path, max_files_per_trigger)
+    agg = streaming_events_per_host_hour(pages, watermark)
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", f"{out_dir}/events_per_host_hour")
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

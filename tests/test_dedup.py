@@ -1,0 +1,136 @@
+"""Dedup operator tests: exact groups from the synth spec, sketch recall
+vs the exact oracle, determinism of fingerprints."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from log_analysis_spark.operators import dedup as DD
+from log_analysis_spark.synth import EXACT_DUP_MOD, gen_pages_local
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    pdf = gen_pages_local(2000).reset_index().rename(columns={"index": "pid"})
+    return spark.createDataFrame(pdf[["pid", "url", "text", "lang"]])
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_exact_dedup_finds_constructed_dups(spark, pages_df):
+    """synth guarantees text(id) == text(id-1) when id % 41 == 40."""
+    groups = DD.exact_dup_groups(pages_df, "pid", "text").collect()
+    dup_keepers = {r["keep_id"] for r in groups}
+    expected_pairs = [
+        (i - 1, i) for i in range(1, 2000) if i % EXACT_DUP_MOD == EXACT_DUP_MOD - 1
+    ]
+    assert expected_pairs, "spec should place dups in 2000 rows"
+    for a, _b in expected_pairs:
+        # near-dup chains can merge groups; keeper must be <= a
+        assert any(k <= a for k in dup_keepers)
+    total = DD.exact_dedup(pages_df, "pid", "text").agg(F.sum("group_size")).first()[0]
+    assert total == 2000  # partition of the input, nothing lost
+
+
+def test_exact_dedup_survivors_distinct(spark, pages_df):
+    d = DD.exact_dedup(pages_df, "pid", "text")
+    assert d.count() == d.select("h").distinct().count()
+
+
+def _exact_pairs_global(spark, docs, threshold):
+    """Unblocked exact Jaccard oracle (single constant block)."""
+    blocked = docs.withColumn("one", F.lit(1))
+    return {
+        (r["id_a"], r["id_b"])
+        for r in DD.ngram_jaccard_pairs(
+            blocked, "doc_id", "text", block_col="one", n=3, threshold=threshold
+        ).collect()
+    }
+
+
+def test_minhash_lsh_recall_and_precision(spark, docs):
+    exact = _exact_pairs_global(spark, docs, 0.8)
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_pairs(
+            docs, "doc_id", "text", num_perm=64, bands=16, n=3, threshold=0.8
+        ).collect()
+    }
+    # exact-verification step => no false positives
+    assert lsh <= exact
+    # banding at r=4,b=16 catches s>=0.8 pairs with P ~ 1-(1-0.41)^16 ~ 1.0
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    sig = docs.select(
+        "doc_id", DD.minhash_signature(F.col("text"), num_perm=16).alias("s")
+    )
+    a = {r["doc_id"]: r["s"] for r in sig.collect()}
+    b = {r["doc_id"]: r["s"] for r in sig.collect()}
+    assert a == b
+    assert all(len(v) == 16 for v in a.values())
+
+
+def test_simhash_deterministic_and_discriminative(spark, docs):
+    fp = docs.select("doc_id", DD.simhash(F.col("text")).alias("f"))
+    vals = {r["doc_id"]: r["f"] for r in fp.collect()}
+    assert len(set(vals.values())) > len(vals) // 2  # mostly distinct fingerprints
+    again = {r["doc_id"]: r["f"] for r in fp.collect()}
+    assert vals == again
+
+
+def test_simhash_near_dup_hamming_small(spark):
+    pdf = pd.DataFrame(
+        {
+            "pid": [0, 1, 2],
+            "text": [
+                "the quick brown fox jumps over the lazy dog again and again today",
+                "the quick brown fox jumps over the lazy dog again and again tonight",
+                "completely unrelated words about spark shuffle partitions and skew",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in DD.simhash_pairs(df, "pid", "text", max_hamming=64).collect()
+    }
+    assert pairs[(0, 1)] < pairs.get((0, 2), 64)
+    assert pairs[(0, 1)] < pairs.get((1, 2), 64)
+
+
+def test_embedding_neardup_matches_numpy(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in DD.embedding_neardup_pairs(
+            emb, "vec_id", "embedding", block_col="label", threshold=0.3
+        ).collect()
+    }
+    pdf = emb.toPandas()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in pdf.itertuples()}
+    labels = {r.vec_id: r.label for r in pdf.itertuples()}
+    expected = {}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if labels[a] != labels[b]:
+                continue
+            va, vb = vecs[a], vecs[b]
+            c = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            if c >= 0.3:
+                expected[(a, b)] = c
+    assert set(got) == set(expected)
+    for k in got:
+        assert got[k] == pytest.approx(expected[k], abs=1e-9)

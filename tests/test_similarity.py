@@ -1,0 +1,95 @@
+"""Similarity-search tests: exact top-k vs numpy, ANN recall, kNN join."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from log_analysis_spark.operators import similarity as SIM
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    pdf = emb.toPandas()
+    return {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in pdf.itertuples()}
+
+
+def _exact_topk(emb_np, q, k):
+    qv = np.asarray(q, dtype=np.float64)
+    scores = {
+        i: float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+        for i, v in emb_np.items()
+    }
+    return sorted(scores, key=lambda i: (-scores[i], i))[:k]
+
+
+def test_brute_force_topk_matches_numpy(emb, emb_np):
+    q = [float(x) for x in emb_np[0]]
+    got = [r["vec_id"] for r in SIM.brute_force_topk(emb, q, k=10).collect()]
+    assert got == _exact_topk(emb_np, q, 10)
+
+
+def test_brute_force_topk_scores_descending(emb, emb_np):
+    q = [float(x) for x in emb_np[1]]
+    rows = SIM.brute_force_topk(emb, q, k=10).collect()
+    scores = [r["cos_sim"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert rows[0]["vec_id"] == 1  # self is its own nearest neighbor
+
+
+def test_lsh_topk_subset_and_recall(emb, emb_np):
+    q = [float(x) for x in emb_np[0]]
+    exact = set(_exact_topk(emb_np, q, 10))
+    got = [r["vec_id"] for r in SIM.lsh_topk(emb, q, k=10, n_planes=8).collect()]
+    assert len(got) <= 10
+    # approximate: with 8 planes + 1-bit probing, expect meaningful overlap
+    assert len(set(got) & exact) >= 3
+
+
+def test_ivf_topk_runs_and_probes(emb, emb_np):
+    cents = SIM.ivf_centroids(emb, n_centroids=4)
+    assert cents.shape == (4, 64)
+    q = [float(x) for x in emb_np[0]]
+    got = SIM.ivf_topk(emb, q, cents, k=5, n_probe=2).collect()
+    assert 0 < len(got) <= 5
+    scores = [r["cos_sim"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_knn_join_matches_numpy_for_one_query(emb, emb_np):
+    rows = SIM.knn_join(emb, emb, k=2, block_col="label").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["nid"], r["cos_sim"]))
+    labels = {
+        r.vec_id: r.label for r in emb.select("vec_id", "label").toPandas().itertuples()
+    }
+    qid = sorted(by_q)[0]
+    qv = emb_np[qid]
+    cands = {
+        i: float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+        for i, v in emb_np.items()
+        if i != qid and labels[i] == labels[qid]
+    }
+    expect = sorted(cands, key=lambda i: (-cands[i], i))[:2]
+    got = [nid for _rank, nid, _s in sorted(by_q[qid])]
+    assert got == expect
+    assert all(len(v) <= 2 for v in by_q.values())
+
+
+def test_hyperplane_bucket_deterministic(emb):
+    planes = SIM.hyperplanes(64, 8, seed=42)
+    b1 = emb.select("vec_id", SIM.hyperplane_bucket(F.col("embedding"), planes).alias("b"))
+    a = {r["vec_id"]: r["b"] for r in b1.collect()}
+    b = {r["vec_id"]: r["b"] for r in b1.collect()}
+    assert a == b
+    assert all(0 <= v < 256 for v in a.values())

@@ -1,0 +1,73 @@
+"""Streaming pipeline tests: availableNow micro-batch run over the synth
+pages table must produce the same routed rows / aggregate counts as batch."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from log_analysis_spark.functions.parse import parse_http_like
+from log_analysis_spark.operators.aggregate import events_per_host_hour
+from log_analysis_spark.streaming.stream_job import (
+    start_agg_stream,
+    start_pipeline_stream,
+)
+from log_analysis_spark.synth import write_pages
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("stream") / "pages")
+    write_pages(spark, 2000, p)
+    return p
+
+
+def test_stream_matches_batch_rows(spark, pages_path, tmpdir_path):
+    q = start_pipeline_stream(
+        spark, pages_path, f"{tmpdir_path}/out", f"{tmpdir_path}/ckpt"
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(f"{tmpdir_path}/out/http_like")
+    batch = parse_http_like(spark.read.parquet(pages_path).drop("day"), byte_exact=True)
+    assert got.count() == 2000
+    # routed-row equality on the url key set
+    assert (
+        got.select("url").exceptAll(batch.select("url")).count() == 0
+        and batch.select("url").exceptAll(got.select("url")).count() == 0
+    )
+
+
+def test_stream_agg_matches_batch(spark, pages_path, tmpdir_path):
+    q = start_agg_stream(
+        spark, pages_path, f"{tmpdir_path}/out", f"{tmpdir_path}/ckpt"
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(f"{tmpdir_path}/out/events_per_host_hour")
+    pages = spark.read.parquet(pages_path).drop("day")
+    batch = events_per_host_hour(parse_http_like(pages, byte_exact=True))
+    # availableNow + watermark: windows whose watermark passed are emitted;
+    # with bounded input the final watermark covers all but the max event
+    # hour region — compare on the emitted subset, counts must be exact.
+    joined = got.alias("s").join(
+        batch.alias("b"), on=[F.col("s.hour") == F.col("b.hour"), F.col("s.host") == F.col("b.host")]
+    )
+    n_got = got.count()
+    assert n_got > 0
+    assert joined.filter(F.col("s.n_events") != F.col("b.n_events")).count() == 0
+    assert joined.count() == n_got
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, pages_path, tmpdir_path):
+    out, ckpt = f"{tmpdir_path}/out", f"{tmpdir_path}/ckpt"
+    q = start_pipeline_stream(spark, pages_path, out, ckpt, max_files_per_trigger=2)
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(f"{out}/http_like").count()
+    # restart with the same checkpoint: no new input -> no duplicate rows
+    q2 = start_pipeline_stream(spark, pages_path, out, ckpt)
+    q2.awaitTermination(300)
+    n2 = spark.read.parquet(f"{out}/http_like").count()
+    assert n1 == n2 == 2000
+    assert os.path.isdir(f"{ckpt}/offsets")

@@ -1,0 +1,95 @@
+"""Text-analysis function tests against hand-computed values and the
+documents table's declared labels."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from log_analysis_spark.functions import textstats as TS
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    pdf = pd.DataFrame(
+        {
+            "i": [0, 1, 2, 3],
+            "text": [
+                "the cat and the dog",
+                "der hund und die katze ist da",
+                "",
+                "one-token",
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_token_count(tiny):
+    got = {r["i"]: r["n"] for r in tiny.select("i", TS.token_count(F.col("text")).alias("n")).collect()}
+    assert got == {0: 5, 1: 7, 2: 0, 3: 1}
+
+
+def test_stopword_hits_multiplicity(tiny):
+    got = {
+        r["i"]: r["n"]
+        for r in tiny.select("i", TS.stopword_hits(F.col("text"), "en").alias("n")).collect()
+    }
+    assert got[0] == 3  # 'the' x2 + 'and'
+    assert got[2] == 0
+
+
+def test_langid_on_tiny(tiny):
+    got = {r["i"]: r["l"] for r in tiny.select("i", TS.langid(F.col("text")).alias("l")).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "unknown"
+
+
+def test_langid_accuracy_on_documents(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    scored = d.select("lang", TS.langid(F.col("text")).alias("pred"))
+    known = scored.filter(F.col("lang").isin(list(TS.LANGID_ORDER)))
+    n = known.count()
+    correct = known.filter(F.col("lang") == F.col("pred")).count()
+    assert n > 0
+    # word-soup corpus: majority of labeled docs should still classify right
+    assert correct / n >= 0.6
+
+
+def test_fingerprint_known_value(spark):
+    df = spark.createDataFrame(pd.DataFrame({"text": ["ab c"]}))
+    got = df.select(TS.fingerprint(F.col("text")).alias("f")).first()["f"]
+    expect = 0
+    for ch in "ab c":
+        expect = (expect * 31 + ord(ch)) % 2147483647
+    assert got == expect
+
+
+def test_fingerprint_case_and_punct_invariant(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": [0, 1], "text": ["Hello, World 42!", "hello world "]})
+    )
+    got = {r["i"]: r["f"] for r in df.select("i", TS.fingerprint(F.col("text")).alias("f")).collect()}
+    # lowercased, non-[a-z ] stripped -> both reduce to 'hello world '
+    assert got[0] == got[1]
+
+
+def test_quality_score_bounds(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    stats = d.select(TS.quality_score(F.col("text")).alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    ).first()
+    assert 0.0 <= stats["lo"] <= stats["hi"] <= 1.0
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame(pd.DataFrame({"text": ["a b c d", "a b", ""]}))
+    got = [r["s"] for r in df.select(TS.shingles(F.col("text"), 3).alias("s")).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == []
+    assert got[2] == []
