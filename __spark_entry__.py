@@ -265,6 +265,89 @@ def q_salted_count(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (probed bit-identical to
+    DuckDB quantile_cont)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization: lag + running-sum windows. 30-min gap,
+    floor-second arithmetic and (ts, event_id) tiebreak on both engines."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.col("sec") - F.lag("sec").over(w) > 1800, 1).otherwise(
+            F.when(F.lag("sec").over(w).isNull(), 1).otherwise(0)
+        ),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("sec") - F.min("sec")).alias("duration_sec"),
+        )
+    )
+
+
+def q_pivot_counts(spark, sf_dir):
+    """Pivot-style conditional aggregation (counts per type as columns)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in ["click", "view", "purchase", "error", "signup"]
+    ]
+    return ev.groupBy("day").agg(*aggs).orderBy("day")
+
+
+def q_semi_join(spark, sf_dir):
+    """Left-semi join (EXISTS): customers having at least one order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_intersect_users(spark, sf_dir):
+    """Set intersection: users active in BOTH halves of the month."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    a = ev.filter(F.col("day") <= "2024-01-15").select("user_id").distinct()
+    b = ev.filter(F.col("day") > "2024-01-15").select("user_id").distinct()
+    return a.intersect(b)
+
+
+def q_sample_mod(spark, sf_dir):
+    """Deterministic 10% sample via key modulo (reproducible across
+    engines/partitionings, unlike rand())."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 10 == 0)
+        .select("event_id", "event_type", "value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis (documents)
 # ---------------------------------------------------------------------------
@@ -420,6 +503,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "membership_antijoin": q_membership_antijoin,
         "distinct_per_type": q_distinct_per_type,
         "salted_count": q_salted_count,
+        "percentiles": q_percentiles,
+        "sessionize": q_sessionize,
+        "pivot_counts": q_pivot_counts,
+        "semi_join": q_semi_join,
+        "intersect_users": q_intersect_users,
+        "sample_mod": q_sample_mod,
         "regex_parse": q_regex_parse,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
@@ -582,6 +671,44 @@ def oracle_sql() -> dict[str, str]:
         "salted_count": (
             "SELECT event_type, count(*) AS n FROM events "
             "GROUP BY event_type ORDER BY event_type"
+        ),
+        "percentiles": (
+            "SELECT event_type, quantile_cont(value, 0.5) AS p50, "
+            "quantile_cont(value, 0.9) AS p90 FROM events "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
+        "sessionize": (
+            "WITH ev AS (SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS sec FROM events), "
+            "flagged AS (SELECT user_id, event_id, sec, "
+            "CASE WHEN lag(sec) OVER w IS NULL THEN 1 "
+            "WHEN sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_session "
+            "FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)), "
+            "sess AS (SELECT user_id, sec, "
+            "sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS session_id FROM flagged) "
+            "SELECT user_id, session_id, count(*) AS n_events, "
+            "max(sec) - min(sec) AS duration_sec "
+            "FROM sess GROUP BY user_id, session_id"
+        ),
+        "pivot_counts": (
+            "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+            + ", ".join(
+                f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+                for t in ["click", "view", "purchase", "error", "signup"]
+            )
+            + " FROM events GROUP BY day ORDER BY day"
+        ),
+        "semi_join": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+        ),
+        "intersect_users": (
+            "SELECT DISTINCT user_id FROM events WHERE strftime(ts, '%Y-%m-%d') <= '2024-01-15' "
+            "INTERSECT "
+            "SELECT DISTINCT user_id FROM events WHERE strftime(ts, '%Y-%m-%d') > '2024-01-15'"
+        ),
+        "sample_mod": (
+            "SELECT event_id, event_type, value FROM events WHERE event_id % 10 = 0"
         ),
         "regex_parse": (
             "SELECT doc_id, regexp_extract(text, '^(\\w+)', 1) AS first_word, "
