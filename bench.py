@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "lsh_topk",
     "knn_join",
     "embedding_neardup",
+    "sessionize",
+    "percentiles",
+    "semi_join",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at
