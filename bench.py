@@ -61,9 +61,13 @@ BENCH_QUERIES = [
 
 # fine splits so task count is core-count-independent and load-balanced at
 # this (tiny vs production) input size; production default stays 128MB.
+# snappy sinks: on local disk the pipeline is CPU-bound, and snappy buys
+# ~30% throughput for 1.5x file size (measured); a storage/network-bound
+# cluster flips this back to the session default (zstd).
 BENCH_CONF = {
     "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
     "spark.sql.files.openCostInBytes": "0",
+    "spark.sql.parquet.compression.codec": "snappy",
 }
 
 
