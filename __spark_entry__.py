@@ -394,6 +394,17 @@ def q_fingerprints(spark, sf_dir):
     return d.select("doc_id", TS.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """BPE-ish pre-tokenization counts (letter runs / digit runs / symbols)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", TS.bpe_ish_token_count(F.col("text")).cast("long").alias("nt"))
+        .groupBy("lang")
+        .agg(F.sum("nt").alias("sum_bpe_tokens"), F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup family (documents)
 # ---------------------------------------------------------------------------
@@ -470,6 +481,14 @@ def q_knn_join(spark, sf_dir):
     return SIM.knn_join(e, e, k=2, block_col="label")
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantized ANN (rows-only; exactness bounds in
+    tests/test_similarity.py)."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = SIM.ivf_centroids(e, n_centroids=8)
+    return SIM.ivf_topk(e, _query_vec(spark, sf_dir), cents, k=10, n_probe=2)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (binary payload metadata; kernel stubbed, see module)
 # ---------------------------------------------------------------------------
@@ -514,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
+        "bpe_tokens": q_bpe_tokens,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -522,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
         "knn_join": q_knn_join,
+        "ivf_topk": q_ivf_topk,
         "binary_meta": q_binary_meta,
     }
 
@@ -736,6 +757,13 @@ def oracle_sql() -> dict[str, str]:
             "regexp_replace(lower(text), '[^a-z ]', '', 'g'), ''), c -> c != ''), "
             "c -> ord(c))), (acc, c) -> (acc * 31 + c) % 2147483647) AS fp "
             "FROM documents"
+        ),
+        "bpe_tokens": (
+            "WITH t AS (SELECT lang, "
+            "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS nt "
+            "FROM documents) "
+            "SELECT lang, sum(nt) AS sum_bpe_tokens, count(*) AS n_docs "
+            "FROM t GROUP BY lang ORDER BY lang"
         ),
         "exact_dedup": (
             "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS group_size "

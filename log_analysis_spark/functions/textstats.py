@@ -99,6 +99,20 @@ def fingerprint(text: Column) -> Column:
     )
 
 
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish pre-tokenization: letter runs, digit runs, single symbols —
+    the usual byte-pair-encoding pre-split, as one native regexp pass.
+    Identical RE2/Java semantics for this pattern."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(bpe_ish_tokens(text))
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles as strings; used by dedup (Jaccard / MinHash)."""
     toks = tokens(text)

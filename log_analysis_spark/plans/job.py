@@ -203,21 +203,31 @@ def main() -> None:
     ap.add_argument("--end-date")
     ap.add_argument("--host", help="host filter (src_ip analog)")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--single-pass",
+        action="store_true",
+        help="one date-range scan, no per-day resume units (throughput mode)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
     from ..session import get_spark
 
     spark = get_spark("log-analysis-job", master=args.master)
-    metrics = run_pipeline(
-        spark,
-        args.input,
-        args.out,
-        args.start_date,
-        args.end_date,
-        args.host,
-        resume=not args.no_resume,
-    )
+    if args.single_pass:
+        metrics = run_once(
+            spark, args.input, args.out, args.start_date, args.end_date
+        )
+    else:
+        metrics = run_pipeline(
+            spark,
+            args.input,
+            args.out,
+            args.start_date,
+            args.end_date,
+            args.host,
+            resume=not args.no_resume,
+        )
     print(json.dumps(metrics))
 
 

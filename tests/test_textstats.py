@@ -50,15 +50,22 @@ def test_langid_on_tiny(tiny):
     assert got[2] == "unknown"
 
 
-def test_langid_accuracy_on_documents(spark):
-    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    scored = d.select("lang", TS.langid(F.col("text")).alias("pred"))
-    known = scored.filter(F.col("lang").isin(list(TS.LANGID_ORDER)))
+def test_langid_accuracy_on_synth_pages(spark):
+    """The synth corpus embeds lang-correlated word pools (synth.py
+    _LANG_WORDS) — langid must recover the label for the languages it
+    models. (The driver's documents table has uncorrelated lang labels, so
+    accuracy there is meaningless; parity on it is still oracle-checked.)"""
+    from log_analysis_spark.synth import gen_pages_local
+
+    pdf = gen_pages_local(1500)[["text", "lang"]]
+    d = spark.createDataFrame(pdf)
+    known = d.filter(F.col("lang").isin(list(TS.LANGID_ORDER))).select(
+        "lang", TS.langid(F.col("text")).alias("pred")
+    )
     n = known.count()
     correct = known.filter(F.col("lang") == F.col("pred")).count()
     assert n > 0
-    # word-soup corpus: majority of labeled docs should still classify right
-    assert correct / n >= 0.6
+    assert correct / n >= 0.9
 
 
 def test_fingerprint_known_value(spark):
