@@ -56,19 +56,45 @@ def _as_arrow(series: pd.Series, want_binary: bool) -> pa.Array:
 
 
 # --- Arrow-vectorized extractors (byte-exact path) --------------------------
+def _binary_to_string_or_null(payload: pa.Array) -> pa.Array:
+    """binary -> string, nulling (not raising on) invalid-UTF-8 payloads.
+
+    The fast path is one validated cast for the whole batch; only a batch
+    that actually contains invalid UTF-8 pays the per-element fallback —
+    corrupt pages are the rare exception in a CC-style corpus, and one bad
+    row must not fail the task (the reference similarly never aborts a
+    file on a bad line)."""
+    try:
+        return payload.cast(pa.string())
+    except pa.ArrowInvalid:
+        fixed = [
+            None if b is None or not _valid_utf8(b) else b.decode("utf-8")
+            for b in payload.to_pylist()
+        ]
+        return pa.array(fixed, type=pa.string())
+
+
+def _valid_utf8(b: bytes) -> bool:
+    try:
+        b.decode("utf-8")
+        return True
+    except UnicodeDecodeError:
+        return False
+
+
 @F.pandas_udf(T.StringType())
 def extract_text_udf(html: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """Byte-exact payload extraction from html:binary.
 
     RE2 runs directly over the binary Arrow buffer (no decode before the
     match, so invalid-UTF-8 surroundings can't corrupt the slice); the
-    matched bytes are then cast to string (validating UTF-8 of the payload
-    itself). Zero Python per row.
+    matched bytes are then cast to string — invalid-UTF-8 payloads become
+    NULL instead of failing the task. Zero Python per row on the fast path.
     """
     for batch in html:
         arr = _as_arrow(batch, want_binary=True)
         m = pc.extract_regex(arr, TEXT_PATTERN)
-        out = pc.struct_field(m, "t").cast(pa.string())
+        out = _binary_to_string_or_null(pc.struct_field(m, "t"))
         yield out.to_pandas()
 
 
@@ -168,12 +194,18 @@ def path_of(url: Column) -> Column:
 def parse_http_like(pages: DataFrame, byte_exact: bool = True) -> DataFrame:
     """pages -> http_like typed records (FIXTURES.md §3).
 
-    ``byte_exact=True`` routes text extraction through the Arrow RE2 kernel
-    on raw bytes; ``False`` uses the pure-JVM path (same result for UTF-8
-    corpora, no Python process at all — measured in bench).
+    ``byte_exact=True`` routes ALL html-derived extraction through Arrow
+    RE2 kernels on raw bytes (a page with invalid UTF-8 outside the
+    extracted fields parses fine; JVM ``decode`` would throw).
+    ``False`` uses the pure-JVM path — same result for valid-UTF-8
+    corpora, no Python process at all (measured in bench).
     """
-    text_col = extract_text_udf("html") if byte_exact else extract_text_native(F.col("html"))
-    status_col = extract_status_native(F.col("html"))
+    if byte_exact:
+        text_col = extract_text_udf("html")
+        status_col = extract_status_udf("html")
+    else:
+        text_col = extract_text_native(F.col("html"))
+        status_col = extract_status_native(F.col("html"))
     return pages.select(
         F.col("url"),
         host_of(F.col("url")).alias("host"),
