@@ -30,6 +30,8 @@ _BASE_CONF = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": "32",
+    # keep catalog artifacts (bucketed tables) out of the repo cwd
+    "spark.sql.warehouse.dir": "/tmp/spark-warehouse",
 }
 
 
