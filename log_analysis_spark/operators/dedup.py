@@ -48,10 +48,68 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard of two string arrays (as sets). int/int IEEE division."""
+    """Exact Jaccard of two arrays (as sets). int/int IEEE division."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def shingle_hash_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int, extra_cols: list[str] | None = None
+) -> DataFrame:
+    """(_id, [extra...], _h: int64) — one row per word-n-gram occurrence.
+
+    Tokenizes ONCE per document (posexplode), then forms n-grams with
+    ``lead()`` windows over token position. The Column-expression
+    ``textstats.shingles`` is correct but re-evaluates the full
+    split/trim/filter tokenization for every ``element_at`` reference —
+    O(tokens x n) re-splits per document (measured: 12s to shingle 5k docs
+    vs ~1s this way). int64 hashes because downstream set ops over longs
+    are ~5x cheaper than over strings (collisions ~1e-13 per doc set, and
+    Jaccard uses only set sizes).
+
+    The window shuffle is keyed by id — linear, partial-agg-free but
+    skew-safe (a document's tokens land on one reducer; documents are
+    bounded).
+    """
+    from pyspark.sql.window import Window
+
+    extra_cols = extra_cols or []
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in extra_cols],
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tok"),
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    parts = [F.col("_tok").alias("_t0")] + [
+        F.lead("_tok", j).over(w).alias(f"_t{j}") for j in range(1, n)
+    ]
+    grams = toks.select("_id", *extra_cols, *parts).filter(
+        F.col(f"_t{n - 1}").isNotNull()
+    )
+    return grams.select(
+        "_id",
+        *extra_cols,
+        F.xxhash64(F.concat_ws(" ", *[F.col(f"_t{j}") for j in range(n)])).alias("_h"),
+    )
+
+
+def _hashed_shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int, extra_cols: list[str] | None = None
+) -> DataFrame:
+    """(_id, [extra...], _sh: array<long>) — distinct shingle-hash sets,
+    materialized through a REAL aggregation.
+
+    collect_set (not a Column expression) on purpose: a mere
+    ``repartition`` barrier does NOT stop projection collapse (Catalyst
+    pulls a Project through a Repartition that doesn't reference its
+    columns), after which the whole shingle pipeline is re-evaluated per
+    joined PAIR — measured 1.4 ms/pair vs ~4 us/pair for the set ops
+    themselves. An aggregate consumes the expression at its input, so
+    downstream sees data.
+    """
+    rows = shingle_hash_rows(df, id_col, text_col, n, extra_cols)
+    return rows.groupBy("_id", *(extra_cols or [])).agg(F.collect_set("_h").alias("_sh"))
 
 
 def ngram_jaccard_pairs(
@@ -69,15 +127,10 @@ def ngram_jaccard_pairs(
     ``minhash_lsh_pairs``) — this exact variant is the verification oracle.
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(block_col).alias("_blk"),
-        F.array_distinct(shingles(F.col(text_col), n)).alias("_sh"),
+    sh = _hashed_shingle_sets(
+        df.withColumnRenamed(block_col, "_blk") if block_col != "_blk" else df,
+        id_col, text_col, n, extra_cols=["_blk"],
     )
-    # materialize the shingle arrays through the join's exchange — without
-    # this barrier Catalyst's projection collapse inlines the whole shingle
-    # computation into BOTH join sides of EVERY pair (measured ~50x slower)
-    sh = sh.repartition(F.col("_blk"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = a.join(b, on=[F.col("a._blk") == F.col("b._blk"), F.col("a._id") < F.col("b._id")])
     return (
@@ -151,10 +204,10 @@ def minhash_signatures(
     an all-sentinel row would otherwise form one giant useless LSH bucket).
     """
     coeffs = _perm_coeffs(num_perm)
-    exploded = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("_s"),
-    ).select("_id", F.pmod(F.xxhash64("_s"), F.lit(MERSENNE)).alias("_h"))
+    # duplicate shingle occurrences don't change a min -> no distinct pass
+    exploded = shingle_hash_rows(df, id_col, text_col, n).select(
+        "_id", F.pmod(F.col("_h"), F.lit(MERSENNE)).alias("_h")
+    )
     aggs = [
         F.min(F.pmod(a * F.col("_h") + b, F.lit(MERSENNE))).alias(f"_m{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -212,10 +265,7 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(shingles(F.col(text_col), n)).alias("_sh"),
-    )
+    sh = _hashed_shingle_sets(df, id_col, text_col, n)
     verified = (
         cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
