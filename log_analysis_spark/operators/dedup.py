@@ -228,6 +228,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     n: int = 3,
     threshold: float = 0.8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-verified.
 
@@ -236,6 +237,12 @@ def minhash_lsh_pairs(
     the bucket equi-join and the candidate distinct; both are keyed hash
     shuffles that scale linearly. Banding math: P(candidate) =
     1-(1-s^r)^b with r = num_perm/bands.
+
+    ``max_bucket``: giant-bucket guard (SCALE.md) — a degenerate bucket
+    (boilerplate cluster) of size B contributes B^2/2 candidates; buckets
+    larger than this are dropped from candidate generation (their members
+    still pair through their other, more selective bands). Default None =
+    exact candidate semantics.
     """
     assert num_perm % bands == 0
     r = num_perm // bands
@@ -252,6 +259,11 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("_bn"))
+        banded = banded.join(
+            sizes.filter(F.col("_bn") <= max_bucket), on=["band", "bkey"]
+        ).drop("_bn")
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
