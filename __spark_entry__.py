@@ -578,6 +578,24 @@ def _sql_cos(a: str, b: str) -> str:
     return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
 
 
+def _sql_normvec(v: str) -> str:
+    """Unit-normalize — mirrors dedup.normalized_vectors element ops."""
+    sumsq = (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform({v}, x -> x::DOUBLE * x::DOUBLE)), (acc, w) -> acc + w)"
+    )
+    return f"list_transform({v}, x -> x::DOUBLE / sqrt({sumsq}))"
+
+
+def _sql_dot_plain(a: str, b: str) -> str:
+    """Dot of already-double arrays — mirrors dedup.dot_product."""
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
 _SQL_SHINGLES3 = (
     "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
     "for i in range(1, len(w) - 1)])"
@@ -785,11 +803,12 @@ def oracle_sql() -> dict[str, str]:
         # minhash_lsh, simhash, lsh_topk: sketch/approximate — rows-only checks;
         # exact-recall assertions live in tests/test_dedup.py & test_similarity.py
         "embedding_neardup": (
+            f"WITH nv AS (SELECT vec_id, label, {_sql_normvec('embedding')} AS v "
+            "FROM embeddings) "
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-            f"{_sql_cos('a.embedding', 'b.embedding')} AS cos_sim "
-            "FROM embeddings a JOIN embeddings b "
-            "ON a.label = b.label AND a.vec_id < b.vec_id "
-            f"WHERE {_sql_cos('a.embedding', 'b.embedding')} >= {NEARDUP_COS}"
+            f"{_sql_dot_plain('a.v', 'b.v')} AS cos_sim "
+            "FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id "
+            f"WHERE {_sql_dot_plain('a.v', 'b.v')} >= {NEARDUP_COS}"
         ),
         "cosine_topk": (
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
@@ -798,12 +817,14 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10"
         ),
         "knn_join": (
+            f"WITH nv AS (SELECT vec_id, label, {_sql_normvec('embedding')} AS v "
+            "FROM embeddings) "
             "SELECT qid, nid, cos_sim, rank FROM ("
             "SELECT a.vec_id AS qid, b.vec_id AS nid, "
-            f"{_sql_cos('a.embedding', 'b.embedding')} AS cos_sim, "
+            f"{_sql_dot_plain('a.v', 'b.v')} AS cos_sim, "
             "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
-            f"{_sql_cos('a.embedding', 'b.embedding')} DESC, b.vec_id ASC) AS rank "
-            "FROM embeddings a JOIN embeddings b "
+            f"{_sql_dot_plain('a.v', 'b.v')} DESC, b.vec_id ASC) AS rank "
+            "FROM nv a JOIN nv b "
             "ON a.label = b.label AND a.vec_id != b.vec_id) WHERE rank <= 2"
         ),
         "binary_meta": (

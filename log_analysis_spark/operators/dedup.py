@@ -403,6 +403,42 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def normalized_vectors(
+    df: DataFrame, id_col: str, vec_col: str, extra_cols: list[str] | None = None
+) -> DataFrame:
+    """(_id, [extra...], _nv: array<double>) — unit-normalized vectors,
+    materialized through an aggregation barrier.
+
+    Pair-scoring with the raw cosine formula costs 3 folds per PAIR
+    (dot(a,b), dot(a,a), dot(b,b)); the norms are per-VECTOR invariants.
+    Normalizing once turns pair cost into a single dot product — and the
+    aggregate barrier stops projection collapse from re-inlining the
+    normalization into every pair (same trap as _hashed_shingle_sets).
+    """
+    extra_cols = extra_cols or []
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+    )
+    nv = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
+    projected = df.select(
+        F.col(id_col).alias("_id"), *[F.col(c) for c in extra_cols], nv.alias("_nv")
+    )
+    return projected.groupBy("_id", *extra_cols).agg(F.first("_nv").alias("_nv"))
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Deterministic left-to-right double dot product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda p, q: p * q),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -414,20 +450,23 @@ def embedding_neardup_pairs(
 
     At scale the block key is an LSH bucket (similarity.hyperplane_bucket);
     any coarse partitioner (cluster id, label) works — the join stays an
-    equi-join on the block.
+    equi-join on the block. Scoring = one dot product of pre-normalized
+    vectors per pair.
     """
-    v = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(block_col).alias("_blk"),
-        F.col(vec_col).alias("_v"),
-    )
+    v = normalized_vectors(df, id_col, vec_col, extra_cols=[block_col])
     a, b = v.alias("a"), v.alias("b")
     return (
-        a.join(b, on=[F.col("a._blk") == F.col("b._blk"), F.col("a._id") < F.col("b._id")])
+        a.join(
+            b,
+            on=[
+                F.col(f"a.{block_col}") == F.col(f"b.{block_col}"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            cosine_sim(F.col("a._v"), F.col("b._v")).alias("cos_sim"),
+            dot_product(F.col("a._nv"), F.col("b._nv")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

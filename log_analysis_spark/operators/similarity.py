@@ -183,19 +183,26 @@ def knn_join(
     Blocked equi-join when ``block_col`` given (the scale path — block =
     LSH bucket or IVF cell), else a broadcast of the smaller right side.
     Ranking via window over the join output (partial top-k per key).
+    Vectors are unit-normalized once per side (aggregation-materialized),
+    so each pair costs a single dot product.
     """
     from pyspark.sql.window import Window
 
-    l = left.select(F.col(left_id).alias("qid"), F.col(vec_col).alias("qv"),
-                    *([F.col(block_col).alias("_blk")] if block_col else []))
-    r = right.select(F.col(right_id).alias("nid"), F.col(vec_col).alias("nv"),
-                     *([F.col(block_col).alias("_blk2")] if block_col else []))
+    from .dedup import dot_product, normalized_vectors
+
+    extras = [block_col] if block_col else []
+    l = normalized_vectors(left, left_id, vec_col, extra_cols=extras)
+    l = l.select(F.col("_id").alias("qid"), F.col("_nv").alias("qv"),
+                 *([F.col(block_col).alias("_blk")] if block_col else []))
+    r = normalized_vectors(right, right_id, vec_col, extra_cols=extras)
+    r = r.select(F.col("_id").alias("nid"), F.col("_nv").alias("nv"),
+                 *([F.col(block_col).alias("_blk2")] if block_col else []))
     if block_col:
         joined = l.join(r, on=[F.col("_blk") == F.col("_blk2"), F.col("qid") != F.col("nid")])
     else:
         joined = l.join(F.broadcast(r), on=[F.col("qid") != F.col("nid")])
     scored = joined.select(
-        "qid", "nid", cosine_sim(F.col("qv"), F.col("nv")).alias("cos_sim")
+        "qid", "nid", dot_product(F.col("qv"), F.col("nv")).alias("cos_sim")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
