@@ -9,8 +9,13 @@ hashing/banding/verification all run in whole-stage codegen):
 - exact dedup          — md5 groupBy, keep min-id
 - n-gram Jaccard       — blocked self-join + exact set similarity
 - MinHash + LSH        — signature -> bands -> bucket join -> exact verify
+  (Broder, "On the resemblance and containment of documents", 1997; banding
+  per Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3)
 - SimHash              — 64-bit sign fingerprint, banded hamming candidates
+  (Charikar, "Similarity estimation techniques from rounding algorithms",
+  STOC 2002; chunk-pigeonhole candidates per Manku et al., WWW 2007)
 - embedding near-dup   — cosine over ``array<float>``, LSH-bucketed
+  (random-hyperplane LSH, Charikar 2002)
 
 Scale design: every candidate-generation step is a hash-partitioned
 bucket join (shuffle on bucket key, never a cross join); verification only
