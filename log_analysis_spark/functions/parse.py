@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..schemas import CONN_LIKE_SCHEMA, EVENT_STRUCT
+from ..schemas import CONN_LIKE_SCHEMA
 
 # sentinel markers shared with the synth spec (synth.py html template).
 # RE2 syntax (pyarrow) and java.util.regex handle these identically.

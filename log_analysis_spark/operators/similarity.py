@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import cosine_sim

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.parse import parse_http_like
 from ..operators.enrich import enrich
-from ..schemas import PAGES_SCHEMA, RECORD_TYPES
+from ..schemas import PAGES_SCHEMA
 
 
 def read_pages_stream(

@@ -16,7 +16,7 @@ from log_analysis_spark.operators.enrich import enrich
 from log_analysis_spark.operators.route import read_sink, route_to_sinks, routed_counts
 from log_analysis_spark.plans.job import run_pipeline
 from log_analysis_spark.schemas import RECORD_TYPES
-from log_analysis_spark.synth import gen_pages, gen_pages_local, write_pages
+from log_analysis_spark.synth import gen_pages, write_pages
 
 from .golden import (
     golden_events_per_host_hour,

@@ -8,7 +8,6 @@ import pyarrow.compute as pc
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from pyspark.sql import functions as F
 
 from log_analysis_spark.functions.parse import (
     EVENT_RE,

@@ -5,7 +5,6 @@ from __future__ import annotations
 import pandas as pd
 import pytest
 
-from pyspark.sql import functions as F
 
 from log_analysis_spark.streaming.sessionize import sessionize_stream
 
