@@ -659,7 +659,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY r_name ORDER BY r_name"
         ),
         "json_extract": (
-            "SELECT event_type, sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k, "
+            "SELECT event_type, sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k, "
             "count(*) AS n, "
             "sum(json_extract_string(props, '$.k')::BIGINT)::DOUBLE / count(*)::DOUBLE AS avg_k "
             "FROM events GROUP BY event_type ORDER BY event_type"
@@ -723,8 +723,8 @@ def oracle_sql() -> dict[str, str]:
             "WHEN sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_session "
             "FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)), "
             "sess AS (SELECT user_id, sec, "
-            "sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id "
-            "ROWS UNBOUNDED PRECEDING) AS session_id FROM flagged) "
+            "(sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id "
+            "ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id FROM flagged) "
             "SELECT user_id, session_id, count(*) AS n_events, "
             "max(sec) - min(sec) AS duration_sec "
             "FROM sess GROUP BY user_id, session_id"
@@ -732,7 +732,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_counts": (
             "SELECT strftime(ts, '%Y-%m-%d') AS day, "
             + ", ".join(
-                f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+                f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS n_{t}"
                 for t in ["click", "view", "purchase", "error", "signup"]
             )
             + " FROM events GROUP BY day ORDER BY day"
@@ -756,7 +756,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": (
             f"WITH t AS (SELECT lang, len({_TOKENS.format(t='text')})::BIGINT AS nt "
             "FROM documents) "
-            "SELECT lang, count(*) AS n_docs, sum(nt) AS sum_tokens, "
+            "SELECT lang, count(*) AS n_docs, sum(nt)::BIGINT AS sum_tokens, "
             "sum(nt)::DOUBLE / count(*)::DOUBLE AS avg_tokens "
             "FROM t GROUP BY lang ORDER BY lang"
         ),
@@ -780,7 +780,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH t AS (SELECT lang, "
             "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS nt "
             "FROM documents) "
-            "SELECT lang, sum(nt) AS sum_bpe_tokens, count(*) AS n_docs "
+            "SELECT lang, sum(nt)::BIGINT AS sum_bpe_tokens, count(*) AS n_docs "
             "FROM t GROUP BY lang ORDER BY lang"
         ),
         "exact_dedup": (

@@ -138,45 +138,72 @@ def main() -> None:
     spark.range(1).count()
     qs = E.queries()
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         t0 = time.monotonic()
-        n = qs[name](spark, sf_dir).count()
+        try:
+            n = qs[name](spark, sf_dir).count()
+        except Exception as ex:  # noqa: BLE001 - one bad query must not lose the bench
+            errors[name] = str(ex)[:500]
+            print(f"  {name}: FAILED: {ex}", file=sys.stderr)
+            continue
         times[name] = round(time.monotonic() - t0, 3)
         print(f"  {name}: {times[name]:.2f}s ({n} rows)", file=sys.stderr)
     spark.stop()
 
     pages_path = _gen_pages_cached(n_rows)
 
-    def run_level(cores: int, reps: int) -> dict:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--pipeline-run",
-             "--cores", str(cores), "--reps", str(reps),
-             "--input", pages_path, "--out", f"/tmp/bench_out_{cores}"],
-            capture_output=True, text=True, check=True,
-        )
-        wall = json.loads(out.stdout.strip().splitlines()[-1])["wall_s"]
-        print(f"  pipeline local[{cores}]: {wall:.1f}s "
-              f"({n_rows / wall:.0f} pages/s)", file=sys.stderr)
-        return {"cores": cores, "wall_s": round(wall, 2),
-                "pages_per_sec": round(n_rows / wall, 1)}
+    def run_level(cores: int, reps: int, attempts: int = 2) -> dict | None:
+        """One pipeline level in a subprocess. Never raises: on failure the
+        child's stderr is surfaced and None is returned, so the final JSON
+        still carries every level that DID succeed (round-1 lost the whole
+        bench to one transient subprocess death here)."""
+        for attempt in range(1, attempts + 1):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--pipeline-run",
+                 "--cores", str(cores), "--reps", str(reps),
+                 "--input", pages_path, "--out", f"/tmp/bench_out_{cores}"],
+                capture_output=True, text=True,
+            )
+            try:
+                if out.returncode != 0:
+                    raise RuntimeError(f"rc={out.returncode}")
+                wall = json.loads(out.stdout.strip().splitlines()[-1])["wall_s"]
+            except Exception as ex:  # noqa: BLE001
+                print(f"  pipeline local[{cores}] attempt {attempt}/{attempts} "
+                      f"FAILED ({ex}); child stderr tail:", file=sys.stderr)
+                for line in (out.stderr or "").splitlines()[-15:]:
+                    print(f"    {line}", file=sys.stderr)
+                continue
+            print(f"  pipeline local[{cores}]: {wall:.1f}s "
+                  f"({n_rows / wall:.0f} pages/s)", file=sys.stderr)
+            return {"cores": cores, "wall_s": round(wall, 2),
+                    "pages_per_sec": round(n_rows / wall, 1)}
+        return None
 
     headline = run_level(16, 2)
     scaling: dict = {}
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
         n_level = run_level(2, 1)
         n4_level = run_level(8, 2)
-        eff = (n4_level["pages_per_sec"] / n_level["pages_per_sec"]) / 4.0
-        scaling = {"n": n_level, "n4": n4_level, "efficiency": round(eff, 3)}
+        if n_level and n4_level:
+            eff = (n4_level["pages_per_sec"] / n_level["pages_per_sec"]) / 4.0
+            scaling = {"n": n_level, "n4": n4_level, "efficiency": round(eff, 3)}
+        else:
+            scaling = {"n": n_level, "n4": n4_level, "efficiency": None}
 
-    print(json.dumps({
+    result = {
         "metric": "headline query wall + pages-pipeline throughput",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "sf": sf,
-        "pipeline": {"rows": n_rows, **headline},
+        "pipeline": {"rows": n_rows, **(headline or {"failed": True})},
         "scaling": scaling,
-    }))
+    }
+    if errors:
+        result["query_errors"] = errors
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -177,11 +177,17 @@ def knn_join(
     right_id: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    n_planes: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
     """For each left row, its k nearest right rows by cosine.
 
     Blocked equi-join when ``block_col`` given (the scale path — block =
-    LSH bucket or IVF cell), else a broadcast of the smaller right side.
+    LSH bucket or IVF cell). With ``block_col=None`` a sign-LSH block is
+    derived automatically (``hyperplane_bucket`` over ``n_planes`` seeded
+    hyperplanes on both sides), which makes the result approximate-kNN but
+    keeps the join an equi-join — there is NO cross-join path: a broadcast
+    nested-loop over |L|x|R| pairs cannot survive real data sizes.
     Ranking via window over the join output (partial top-k per key).
     Vectors are unit-normalized once per side (aggregation-materialized),
     so each pair costs a single dot product.
@@ -190,7 +196,16 @@ def knn_join(
 
     from .dedup import dot_product, normalized_vectors
 
-    extras = [block_col] if block_col else []
+    if block_col is None:
+        dim_row = left.select(F.size(vec_col)).first()
+        if dim_row is None:
+            raise ValueError("knn_join: left side is empty; cannot derive LSH block")
+        planes = hyperplanes(int(dim_row[0]), n_planes, seed)
+        block_col = "_auto_blk"
+        left = left.withColumn(block_col, hyperplane_bucket(F.col(vec_col), planes))
+        right = right.withColumn(block_col, hyperplane_bucket(F.col(vec_col), planes))
+
+    extras = [block_col]
     l = normalized_vectors(left, left_id, vec_col, extra_cols=extras)
     l = l.select(F.col("_id").alias("qid"), F.col("_nv").alias("qv"),
                  *([F.col(block_col).alias("_blk")] if block_col else []))
@@ -205,4 +220,9 @@ def knn_join(
         "qid", "nid", dot_product(F.col("qv"), F.col("nv")).alias("cos_sim")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # long rank: SQL engines type row_number() as BIGINT; int32 here would
+    # break value-hash parity with the DuckDB oracle
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -86,6 +86,30 @@ def test_knn_join_matches_numpy_for_one_query(emb, emb_np):
     assert all(len(v) <= 2 for v in by_q.values())
 
 
+def test_knn_join_without_block_never_cross_joins(emb):
+    """block_col=None must auto-derive an LSH block: the physical plan may
+    not contain a broadcast nested-loop / cartesian product (a disguised
+    |L|x|R| cross join would not survive real data sizes)."""
+    import contextlib
+    import io
+
+    df = SIM.knn_join(emb, emb, k=2, block_col=None)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    # approximate-kNN contract still holds: <= k neighbors per query,
+    # neighbors share the query's LSH bucket, never self-paired
+    by_q = {}
+    for r in rows:
+        assert r["qid"] != r["nid"]
+        by_q.setdefault(r["qid"], []).append(r["nid"])
+    assert by_q and all(len(v) <= 2 for v in by_q.values())
+
+
 def test_hyperplane_bucket_deterministic(emb):
     planes = SIM.hyperplanes(64, 8, seed=42)
     b1 = emb.select("vec_id", SIM.hyperplane_bucket(F.col("embedding"), planes).alias("b"))

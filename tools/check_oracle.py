@@ -34,6 +34,33 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _arrow_type_key(t) -> str:
+    """Collapse only representation-equivalent Arrow types; anything else
+    (e.g. DuckDB HUGEINT -> decimal128 vs Spark int64) must mismatch, because
+    the driver's value-hash sees the engine-native representation."""
+    import pyarrow as pa
+
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_arrow_type_key(t.value_type)}>"
+    return str(t)
+
+
+def compare_arrow_types(spark_tbl, duck_tbl) -> list[str]:
+    problems = []
+    sch_s = {f.name: f.type for f in spark_tbl.schema}
+    sch_d = {f.name: f.type for f in duck_tbl.schema}
+    for c in sorted(set(sch_s) & set(sch_d)):
+        ks, kd = _arrow_type_key(sch_s[c]), _arrow_type_key(sch_d[c])
+        if ks != kd:
+            problems.append(
+                f"col {c}: engine-native type differs: spark={sch_s[c]} duck={sch_d[c]} "
+                f"(driver value-hash WILL mismatch)"
+            )
+    return problems
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
     a, b = normalize(spark_pdf), normalize(duck_pdf)
@@ -82,7 +109,8 @@ def main() -> int:
             continue
         try:
             sdf = fn(spark, sf_dir)
-            spark_pdf = sdf.toPandas()
+            spark_tbl = sdf.toArrow()
+            spark_pdf = spark_tbl.to_pandas()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {ex}")
             n_bad += 1
@@ -92,12 +120,14 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            duck_pdf = con.execute(oracles[name]).df()
+            duck_tbl = con.execute(oracles[name]).arrow()
+            duck_pdf = duck_tbl.to_pandas()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {ex}")
             n_bad += 1
             continue
-        problems = compare(name, spark_pdf, duck_pdf)
+        problems = compare_arrow_types(spark_tbl, duck_tbl)
+        problems += compare(name, spark_pdf, duck_pdf)
         if problems:
             print(f"FAIL {name} ({len(spark_pdf)} rows):")
             for p in problems:
