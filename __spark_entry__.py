@@ -349,6 +349,108 @@ def q_sample_mod(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# typed Zeek record families (dns/ssl): TSV lines -> tokenize -> sentinel
+# NULLs -> typed cast -> aggregate, using the production parse path
+# (sources.zeek_records.parse_tsv_lines). Lines are derived deterministically
+# from the events table so the DuckDB oracle can verify the END RESULT via an
+# independent (non-mechanical) derivation.
+# ---------------------------------------------------------------------------
+DNS_QTYPES = [("A", 1), ("AAAA", 28), ("CNAME", 5), ("MX", 15), ("TXT", 16)]
+SSL_VERSIONS = ["TLSv13", "TLSv12", "TLSv10", "SSLv3"]
+
+
+def _dns_lines(ev):
+    """Deterministic dns.log-shaped TSV lines from events rows."""
+    qi = (F.col("user_id") % 5).cast("int")
+    qtype_name = F.element_at(F.array(*[F.lit(n) for n, _ in DNS_QTYPES]), qi + 1)
+    qtype = F.element_at(F.array(*[F.lit(str(c)) for _, c in DNS_QTYPES]), qi + 1)
+    nx = F.col("value") > 50.0
+    line = F.concat_ws(
+        "\t",
+        F.unix_timestamp("ts").cast("string"),                      # ts
+        F.concat(F.lit("D"), F.col("event_id").cast("string")),     # uid
+        F.concat(F.lit("10.0."), (F.col("user_id") % 256).cast("string"), F.lit(".1")),
+        F.when(F.col("event_type") == "error", F.lit("-"))          # id_orig_p: unset
+        .otherwise((F.lit(1024) + F.col("event_id") % 64511).cast("string")),
+        F.lit("8.8.8.8"),                                           # id_resp_h
+        F.lit("53"),                                                # id_resp_p
+        F.lit("udp"),                                               # proto
+        (F.col("event_id") % 65536).cast("string"),                 # trans_id
+        F.lit("-"),                                                 # rtt: unset
+        F.concat(F.col("event_type"), F.lit(".example.com")),       # query
+        F.lit("1"), F.lit("C_INTERNET"),                            # qclass
+        qtype, qtype_name,
+        F.when(nx, F.lit("3")).otherwise(F.lit("0")),               # rcode
+        F.when(nx, F.lit("NXDOMAIN")).otherwise(F.lit("NOERROR")),  # rcode_name
+    )
+    return ev.select(line.alias("value"))
+
+
+def q_dns_qtype_counts(spark, sf_dir):
+    """dns-family typed parse + aggregate: qtype histogram with NXDOMAIN
+    rate, unset-port NULL counting, and typed sums (reference vocabulary
+    zeek_log_proto.rs:5-37; dns fields per public Zeek docs)."""
+    from log_analysis_spark.sources.zeek_records import parse_tsv_lines
+
+    dns = parse_tsv_lines(_dns_lines(_t(spark, sf_dir, "events")), "dns")
+    return (
+        dns.groupBy("qtype_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(F.when(F.col("rcode") == 3, 1).otherwise(0)).cast("long").alias("n_nxdomain"),
+            F.sum(F.when(F.col("id_orig_p").isNull(), 1).otherwise(0)).cast("long").alias("n_null_port"),
+            F.sum("trans_id").alias("sum_trans"),
+            F.min("ts").alias("min_ts"),
+        )
+        .orderBy("qtype_name")
+    )
+
+
+def _ssl_lines(ev):
+    """Deterministic ssl.log-shaped TSV lines from events rows."""
+    version = F.element_at(
+        F.array(*[F.lit(v) for v in SSL_VERSIONS]), (F.col("user_id") % 4).cast("int") + 1
+    )
+    line = F.concat_ws(
+        "\t",
+        F.unix_timestamp("ts").cast("string"),                      # ts
+        F.concat(F.lit("S"), F.col("event_id").cast("string")),     # uid
+        F.concat(F.lit("10.1."), (F.col("user_id") % 256).cast("string"), F.lit(".1")),
+        (F.lit(1024) + F.col("event_id") % 64511).cast("string"),   # id_orig_p
+        F.lit("93.184.216.34"),                                     # id_resp_h
+        F.lit("443"),                                               # id_resp_p
+        version,
+        F.lit("TLS_AES_128_GCM_SHA256"),                            # cipher
+        F.lit("x25519"),                                            # curve
+        F.when(F.col("event_type") == "signup", F.lit("-"))         # server_name: unset
+        .otherwise(F.concat(F.col("event_type"), F.lit(".example.org"))),
+        F.when(F.col("event_id") % 2 == 0, F.lit("T")).otherwise(F.lit("F")),  # resumed
+        F.lit("-"),                                                 # last_alert
+        F.lit("h2"),                                                # next_protocol
+        F.when(F.col("value") > 20.0, F.lit("T")).otherwise(F.lit("F")),       # established
+    )
+    return ev.select(line.alias("value"))
+
+
+def q_ssl_version_counts(spark, sf_dir):
+    """ssl-family typed parse + aggregate: version histogram with boolean
+    T/F casts (resumed/established) and unset-SNI NULL counting."""
+    from log_analysis_spark.sources.zeek_records import parse_tsv_lines
+
+    ssl = parse_tsv_lines(_ssl_lines(_t(spark, sf_dir, "events")), "ssl")
+    return (
+        ssl.groupBy("version")
+        .agg(
+            F.count(F.lit(1)).alias("n_conns"),
+            F.sum(F.when(F.col("established"), 1).otherwise(0)).cast("long").alias("n_established"),
+            F.sum(F.when(F.col("resumed"), 1).otherwise(0)).cast("long").alias("n_resumed"),
+            F.sum(F.when(F.col("server_name").isNull(), 1).otherwise(0)).cast("long").alias("n_null_sni"),
+        )
+        .orderBy("version")
+    )
+
+
+# ---------------------------------------------------------------------------
 # text analysis (documents)
 # ---------------------------------------------------------------------------
 def q_regex_parse(spark, sf_dir):
@@ -430,18 +532,23 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (sketch-based; rows-only check — recall
-    vs the exact q_ngram_jaccard is asserted in tests/test_dedup.py)."""
+    """MinHash+LSH near-dup pairs, exact-verified. md5-based base hash so
+    the DuckDB oracle replays the ENTIRE pipeline (shingle hash ->
+    signatures -> banding -> candidate join -> exact-Jaccard verify)
+    bit-for-bit; recall vs q_ngram_jaccard additionally asserted in
+    tests/test_dedup.py."""
     return DD.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
-        num_perm=64, bands=16, n=3, threshold=JACCARD_T,
+        num_perm=64, bands=16, n=3, threshold=JACCARD_T, hash_fn="md5",
     )
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (sketch-based; rows-only check)."""
+    """SimHash near-dup pairs; md5-based token hash -> the oracle replays
+    fingerprints, chunk-pigeonhole candidates, and hamming verify exactly."""
     return DD.simhash_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=6
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=6,
+        hash_fn="md5",
     )
 
 
@@ -469,8 +576,9 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k (rows-only; recall vs exact asserted
-    in tests/test_similarity.py)."""
+    """LSH-bucketed approximate top-k. Deterministic seeded hyperplanes +
+    fold-exact sign decisions make the probe set and scores replayable by
+    the DuckDB oracle; recall vs exact asserted in tests/test_similarity.py."""
     return SIM.lsh_topk(
         _t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10, n_planes=8
     )
@@ -482,10 +590,14 @@ def q_knn_join(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
-    """IVF coarse-quantized ANN (rows-only; exactness bounds in
-    tests/test_similarity.py)."""
+    """IVF coarse-quantized ANN over the deterministic seed quantizer
+    (lloyd_iters=0): assignment, probe set, and scores are all replayable
+    by the DuckDB oracle. The Lloyd-refined quantizer stays available in
+    the API (a distributed mean's summation order is partition-dependent,
+    so refined centroids can't be replayed bit-exactly by another engine);
+    its quality bounds live in tests/test_similarity.py."""
     e = _t(spark, sf_dir, "embeddings")
-    cents = SIM.ivf_centroids(e, n_centroids=8)
+    cents = SIM.ivf_centroids(e, n_centroids=8, lloyd_iters=0)
     return SIM.ivf_topk(e, _query_vec(spark, sf_dir), cents, k=10, n_probe=2)
 
 
@@ -528,6 +640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "intersect_users": q_intersect_users,
         "sample_mod": q_sample_mod,
+        "dns_qtype_counts": q_dns_qtype_counts,
+        "ssl_version_counts": q_ssl_version_counts,
         "regex_parse": q_regex_parse,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
@@ -600,6 +714,123 @@ _SQL_SHINGLES3 = (
     "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
     "for i in range(1, len(w) - 1)])"
 )
+
+
+def _sql_h60(x: str) -> str:
+    """60-bit md5 base hash — DuckDB replay of ``dedup.md5_hash60``: left
+    fold over the first 15 hex digits (verified equal to Spark's
+    conv(substring(md5(x),1,15),16,10))."""
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, list_transform("
+        f"list_filter(regexp_split_to_array(substring(md5({x}),1,15), ''), c -> c != ''), "
+        f"c -> CASE WHEN c >= '0' AND c <= '9' THEN ord(c)-48 ELSE ord(c)-87 END)), "
+        f"(acc, d) -> acc*16 + d)"
+    )
+
+
+def _sql_minhash_lsh(num_perm: int = 64, bands: int = 16, threshold: float = 0.8) -> str:
+    """Full MinHash-LSH replay: same permutation coefficients, banding, and
+    exact-Jaccard verify as ``dedup.minhash_lsh_pairs(hash_fn='md5')``."""
+    coeffs = DD._perm_coeffs(num_perm)
+    m = DD.MERSENNE
+    r = num_perm // bands
+    sig_elems = ", ".join(
+        f"(list_min(list_transform(hp, h -> ({a}*h+{b}) % {m})))::BIGINT"
+        for a, b in coeffs
+    )
+    band_keys = ", ".join(
+        f"'{b}_' || " + " || '_' || ".join(f"g[{b * r + j + 1}]::VARCHAR" for j in range(r))
+        for b in range(bands)
+    )
+    jac = "len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s))::DOUBLE"
+    return (
+        f"WITH tok AS (SELECT doc_id, {_TOKENS.format(t='text')} AS w FROM documents), "
+        f"shg AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN {_SQL_SHINGLES3} ELSE [] END AS s "
+        f"FROM tok), "
+        f"hs AS MATERIALIZED (SELECT doc_id, s, "
+        f"list_transform(s, x -> {_sql_h60('x')} % {m}) AS hp FROM shg WHERE len(s) > 0), "
+        f"sig AS MATERIALIZED (SELECT doc_id, [{sig_elems}] AS g FROM hs), "
+        f"banded AS (SELECT doc_id, unnest([{band_keys}]) AS bkey FROM sig), "
+        f"cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        f"FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id) "
+        f"SELECT id_a, id_b, {jac} AS jaccard "
+        f"FROM cand JOIN hs sa ON sa.doc_id = id_a JOIN hs sb ON sb.doc_id = id_b "
+        f"WHERE {jac} >= {threshold}"
+    )
+
+
+def _sql_simhash(max_hamming: int = 6) -> str:
+    """SimHash replay: 60-bit md5 token hashes, per-bit +1/-1 votes,
+    16-bit-chunk pigeonhole candidates, bit_count(xor) verify — mirrors
+    ``dedup.simhash_pairs(hash_fn='md5')`` (fingerprint bits 60-63 are 0
+    in md5 mode on both engines)."""
+    fp_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(h, x -> "
+        f"CASE WHEN ((x >> {i}) & 1) = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(60)
+    )
+    chunk_keys = ", ".join(f"'{i}_' || ((f >> {16 * i}) & 65535)::VARCHAR" for i in range(4))
+    return (
+        f"WITH tok AS (SELECT doc_id, {_TOKENS.format(t='text')} AS w FROM documents), "
+        f"hs AS MATERIALIZED (SELECT doc_id, list_transform(w, t -> {_sql_h60('t')}) AS h "
+        f"FROM tok WHERE len(w) > 0), "
+        f"fp AS MATERIALIZED (SELECT doc_id, ({fp_terms})::BIGINT AS f FROM hs), "
+        f"chunks AS (SELECT doc_id, f, unnest([{chunk_keys}]) AS ck FROM fp) "
+        f"SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+        f"bit_count(xor(a.f, b.f))::BIGINT AS hamming "
+        f"FROM chunks a JOIN chunks b ON a.ck = b.ck AND a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.f, b.f)) <= {max_hamming}"
+    )
+
+
+def _sql_plane_lit(p) -> str:
+    # %.17e keeps every literal a DOUBLE (a bare decimal would parse as
+    # DECIMAL and round differently) with full round-trip precision
+    return "[" + ", ".join(f"{float(x):.17e}" for x in p) + "]"
+
+
+def _sql_lsh_topk(k: int = 10, n_planes: int = 8) -> str:
+    """Sign-LSH probe replay: same seeded hyperplanes as similarity.lsh_topk,
+    bucket = sign bits of fold dots, probe = hamming<=1 ball around the
+    query's bucket (the query IS table row vec_id=0)."""
+    planes = SIM.hyperplanes(64, n_planes, seed=42)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN {_sql_dot('embedding', _sql_plane_lit(p))} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return (
+        f"WITH bk AS MATERIALIZED (SELECT vec_id, embedding, ({bucket_terms})::BIGINT AS b "
+        f"FROM embeddings), "
+        f"q AS (SELECT embedding AS qv, b AS qb FROM bk WHERE vec_id = 0) "
+        f"SELECT bk.vec_id, {_sql_cos('bk.embedding', 'q.qv')} AS cos_sim "
+        f"FROM bk, q WHERE bit_count(xor(bk.b, q.qb)) <= 1 "
+        f"ORDER BY cos_sim DESC, bk.vec_id ASC LIMIT {k}"
+    )
+
+
+def _sql_ivf_topk(k: int = 10, n_centroids: int = 8, n_probe: int = 2) -> str:
+    """Seeded-IVF replay: stride seed centroids, c.c - 2 v.c assignment with
+    lowest-index tiebreak, probe = n_probe nearest cells to the query —
+    mirrors similarity.ivf_centroids(lloyd_iters=0) + ivf_topk."""
+    cc = _sql_dot("embedding", "embedding")
+    return (
+        f"WITH st AS (SELECT greatest(count(*) // {n_centroids}, 1) AS s FROM embeddings), "
+        f"cents AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, "
+        f"embedding AS cv, {cc} AS cc FROM embeddings, st "
+        f"WHERE vec_id % s = 0 AND vec_id // s < {n_centroids}), "
+        f"q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+        f"qprobe AS (SELECT cidx FROM (SELECT c.cidx, row_number() OVER "
+        f"(ORDER BY c.cc - 2 * {_sql_dot('q.qv', 'c.cv')}, c.cidx) AS rn "
+        f"FROM cents c, q) WHERE rn <= {n_probe}), "
+        f"assign AS (SELECT vec_id, embedding, cidx FROM (SELECT e.vec_id, e.embedding, c.cidx, "
+        f"row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY c.cc - 2 * {_sql_dot('e.embedding', 'c.cv')}, c.cidx) AS rn "
+        f"FROM embeddings e, cents c) WHERE rn = 1) "
+        f"SELECT a.vec_id, {_sql_cos('a.embedding', 'q.qv')} AS cos_sim "
+        f"FROM assign a JOIN qprobe p ON a.cidx = p.cidx, q "
+        f"ORDER BY cos_sim DESC, a.vec_id ASC LIMIT {k}"
+    )
 
 
 def _sql_quality(t: str) -> str:
@@ -749,6 +980,37 @@ def oracle_sql() -> dict[str, str]:
         "sample_mod": (
             "SELECT event_id, event_type, value FROM events WHERE event_id % 10 = 0"
         ),
+        # dns/ssl oracles are INDEPENDENT derivations (no TSV round-trip):
+        # they verify the typed parse path's end result, not its mechanics
+        "dns_qtype_counts": (
+            "WITH d AS (SELECT "
+            "CASE (user_id % 5) WHEN 0 THEN 'A' WHEN 1 THEN 'AAAA' WHEN 2 THEN 'CNAME' "
+            "WHEN 3 THEN 'MX' ELSE 'TXT' END AS qtype_name, "
+            "CASE WHEN value > 50.0 THEN 3 ELSE 0 END AS rcode, "
+            "CASE WHEN event_type = 'error' THEN NULL ELSE 1024 + event_id % 64511 END AS orig_p, "
+            "event_id % 65536 AS trans_id, "
+            "floor(epoch(ts))::BIGINT AS sec FROM events) "
+            "SELECT qtype_name, count(*) AS n_queries, "
+            "sum(CASE WHEN rcode = 3 THEN 1 ELSE 0 END)::BIGINT AS n_nxdomain, "
+            "sum(CASE WHEN orig_p IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_port, "
+            "sum(trans_id)::BIGINT AS sum_trans, "
+            "min(sec)::DOUBLE AS min_ts "
+            "FROM d GROUP BY qtype_name ORDER BY qtype_name"
+        ),
+        "ssl_version_counts": (
+            "WITH s AS (SELECT "
+            "CASE (user_id % 4) WHEN 0 THEN 'TLSv13' WHEN 1 THEN 'TLSv12' "
+            "WHEN 2 THEN 'TLSv10' ELSE 'SSLv3' END AS version, "
+            "(value > 20.0) AS established, "
+            "(event_id % 2 = 0) AS resumed, "
+            "CASE WHEN event_type = 'signup' THEN NULL ELSE event_type || '.example.org' END AS sni "
+            "FROM events) "
+            "SELECT version, count(*) AS n_conns, "
+            "sum(CASE WHEN established THEN 1 ELSE 0 END)::BIGINT AS n_established, "
+            "sum(CASE WHEN resumed THEN 1 ELSE 0 END)::BIGINT AS n_resumed, "
+            "sum(CASE WHEN sni IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_sni "
+            "FROM s GROUP BY version ORDER BY version"
+        ),
         "regex_parse": (
             "SELECT doc_id, regexp_extract(text, '^(\\w+)', 1) AS first_word, "
             f"len({_TOKENS.format(t='text')})::BIGINT AS n_tokens FROM documents"
@@ -800,8 +1062,10 @@ def oracle_sql() -> dict[str, str]:
             "len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE "
             f">= {JACCARD_T}"
         ),
-        # minhash_lsh, simhash, lsh_topk: sketch/approximate — rows-only checks;
-        # exact-recall assertions live in tests/test_dedup.py & test_similarity.py
+        "minhash_lsh": _sql_minhash_lsh(num_perm=64, bands=16, threshold=JACCARD_T),
+        "simhash": _sql_simhash(max_hamming=6),
+        "lsh_topk": _sql_lsh_topk(k=10, n_planes=8),
+        "ivf_topk": _sql_ivf_topk(k=10, n_centroids=8, n_probe=2),
         "embedding_neardup": (
             f"WITH nv AS (SELECT vec_id, label, {_sql_normvec('embedding')} AS v "
             "FROM embeddings) "

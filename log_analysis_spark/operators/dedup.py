@@ -33,6 +33,23 @@ from ..functions.textstats import shingles, tokens
 MERSENNE = 2147483647  # 2^31-1
 
 
+def md5_hash60(col: Column) -> Column:
+    """60-bit hash from the first 15 hex digits of md5 — the cross-engine
+    base hash: DuckDB replays it exactly (hex-digit left fold over
+    ``substring(md5(x),1,15)``), unlike xxhash64 which DuckDB lacks. Used by
+    the oracle-checked sketch variants; xxhash64 stays the scale default
+    (no hex round-trip, full 64 bits)."""
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10).cast("long")
+
+
+def _base_hash(col: Column, hash_fn: str) -> Column:
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5":
+        return md5_hash60(col)
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (want 'xxhash64' or 'md5')")
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep one row per exact text (min id wins). Returns survivor ids +
     group size. Partial aggregation collapses duplicates map-side, so the
@@ -60,7 +77,12 @@ def _jaccard(a: Column, b: Column) -> Column:
 
 
 def shingle_hash_rows(
-    df: DataFrame, id_col: str, text_col: str, n: int, extra_cols: list[str] | None = None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    extra_cols: list[str] | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(_id, [extra...], _h: int64) — one row per word-n-gram occurrence.
 
@@ -95,12 +117,17 @@ def shingle_hash_rows(
     return grams.select(
         "_id",
         *extra_cols,
-        F.xxhash64(F.concat_ws(" ", *[F.col(f"_t{j}") for j in range(n)])).alias("_h"),
+        _base_hash(F.concat_ws(" ", *[F.col(f"_t{j}") for j in range(n)]), hash_fn).alias("_h"),
     )
 
 
 def _hashed_shingle_sets(
-    df: DataFrame, id_col: str, text_col: str, n: int, extra_cols: list[str] | None = None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    extra_cols: list[str] | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(_id, [extra...], _sh: array<long>) — distinct shingle-hash sets,
     materialized through a REAL aggregation.
@@ -113,7 +140,7 @@ def _hashed_shingle_sets(
     themselves. An aggregate consumes the expression at its input, so
     downstream sees data.
     """
-    rows = shingle_hash_rows(df, id_col, text_col, n, extra_cols)
+    rows = shingle_hash_rows(df, id_col, text_col, n, extra_cols, hash_fn)
     return rows.groupBy("_id", *(extra_cols or [])).agg(F.collect_set("_h").alias("_sh"))
 
 
@@ -194,34 +221,45 @@ def minhash_signature(text: Column, num_perm: int = 64, n: int = 3) -> Column:
     return F.array(*mins)
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_perm: int = 64, n: int = 3
-) -> DataFrame:
-    """(id, sig: array<long>) via explode -> 64 min-aggregates -> groupBy.
+def _signatures_from_sets(sh: DataFrame, num_perm: int) -> DataFrame:
+    """(_id, _sig: array<long>) from materialized shingle-hash sets.
 
-    Why not the pure-expression form: Catalyst's projection collapse would
-    inline the full 64-perm signature into every downstream reference
-    (16 band keys -> 16x recompute — measured 25x slower). Here each
-    shingle is hashed ONCE; map-side partial aggregation collapses the
-    exploded rows to one 64-long row per id before the shuffle, so the
-    exchange carries O(ids * num_perm) regardless of document length.
-    Ids with an empty shingle set are omitted (they cannot be near-dups;
-    an all-sentinel row would otherwise form one giant useless LSH bucket).
+    Map-only: the sets behind ``_sh`` are aggregation-materialized (and, in
+    the LSH pipeline, persisted), so the 64 affine-map/array_min expressions
+    here cost num_perm multiplies per element in one projection — each
+    shingle was hashed exactly once upstream, and no extra shuffle happens
+    (the old explode -> 64 min-aggs form paid a second keyed exchange).
+    Ids with an empty shingle set never reach ``_sh`` (they cannot be
+    near-dups; an all-sentinel row would otherwise form one giant useless
+    LSH bucket).
     """
     coeffs = _perm_coeffs(num_perm)
-    # duplicate shingle occurrences don't change a min -> no distinct pass
-    exploded = shingle_hash_rows(df, id_col, text_col, n).select(
-        "_id", F.pmod(F.col("_h"), F.lit(MERSENNE)).alias("_h")
-    )
-    aggs = [
-        F.min(F.pmod(a * F.col("_h") + b, F.lit(MERSENNE))).alias(f"_m{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    per_id = exploded.groupBy("_id").agg(*aggs)
+    base = F.transform(F.col("_sh"), lambda h: F.pmod(h, F.lit(MERSENNE)))
+
+    def _perm(a: int, b: int):
+        # closure factory (a defaulted lambda would read as 3-arg to Spark)
+        return lambda h: F.pmod(a * h + b, F.lit(MERSENNE))
+
     sentinel = F.lit(MERSENNE).cast("long")
-    return per_id.select(
-        "_id",
-        F.array(*[F.coalesce(F.col(f"_m{i}"), sentinel) for i in range(num_perm)]).alias("_sig"),
+    mins = [
+        F.coalesce(F.array_min(F.transform(base, _perm(a, b))), sentinel)
+        for a, b in coeffs
+    ]
+    return sh.select("_id", F.array(*mins).alias("_sig"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    n: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, sig: array<long>): shingle-hash sets (one tokenize+hash pass)
+    -> per-permutation array mins. See ``_signatures_from_sets``."""
+    return _signatures_from_sets(
+        _hashed_shingle_sets(df, id_col, text_col, n, hash_fn=hash_fn), num_perm
     )
 
 
@@ -234,6 +272,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_bucket: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-verified.
 
@@ -243,6 +282,15 @@ def minhash_lsh_pairs(
     shuffles that scale linearly. Banding math: P(candidate) =
     1-(1-s^r)^b with r = num_perm/bands.
 
+    The shingle-hash sets are computed ONCE and ``persist()``-ed — both the
+    signature/banding stage and the exact-verify stage read the same cached
+    relation, so the raw text is tokenized a single time (at cluster scale
+    the same role is played by materializing the set table).
+
+    ``hash_fn='md5'`` swaps the shingle base hash for the cross-engine
+    ``md5_hash60`` so a DuckDB oracle can replay the whole pipeline
+    bit-for-bit; 'xxhash64' stays the scale default.
+
     ``max_bucket``: giant-bucket guard (SCALE.md) — a degenerate bucket
     (boilerplate cluster) of size B contributes B^2/2 candidates; buckets
     larger than this are dropped from candidate generation (their members
@@ -251,30 +299,27 @@ def minhash_lsh_pairs(
     """
     assert num_perm % bands == 0
     r = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, num_perm, n)
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws("_", F.slice("_sig", b * r + 1, r))).alias("bkey"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    sh = _hashed_shingle_sets(df, id_col, text_col, n, hash_fn=hash_fn).persist()
+    sig = _signatures_from_sets(sh, num_perm)
+    # band key = band index + the band's signature slice; hashing it narrows
+    # the shuffle key to 8 bytes (equality semantics are identical)
+    band_keys = [
+        F.concat_ws("_", F.lit(str(b)), F.slice("_sig", b * r + 1, r))
+        for b in range(bands)
+    ]
+    if hash_fn == "xxhash64":
+        band_keys = [F.xxhash64(k) for k in band_keys]
+    banded = sig.select("_id", F.explode(F.array(*band_keys)).alias("bkey"))
     if max_bucket is not None:
-        sizes = banded.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("_bn"))
+        sizes = banded.groupBy("bkey").agg(F.count(F.lit(1)).alias("_bn"))
         banded = banded.join(
-            sizes.filter(F.col("_bn") <= max_bucket), on=["band", "bkey"]
+            sizes.filter(F.col("_bn") <= max_bucket), on=["bkey"]
         ).drop("_bn")
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
             b_,
             on=[
-                F.col("a.band") == F.col("b.band"),
                 F.col("a.bkey") == F.col("b.bkey"),
                 F.col("a._id") < F.col("b._id"),
             ],
@@ -282,7 +327,6 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    sh = _hashed_shingle_sets(df, id_col, text_col, n)
     verified = (
         cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
@@ -317,17 +361,22 @@ def simhash(text: Column) -> Column:
     return fp
 
 
-def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """(id, fingerprint) via explode -> 64 bit-vote sums -> groupBy.
 
     Single pass over the token hashes (the Column-expression ``simhash``
     recomputes the token array inside each of the 64 bit aggregates);
     map-side partial aggregation keeps the shuffle at O(ids * 64) longs.
+    ``hash_fn='md5'`` uses the 60-bit cross-engine base hash (bits 60-63 of
+    the fingerprint are then always 0 — harmless: hamming and the chunk
+    pigeonhole are unaffected) so a DuckDB oracle can replay it.
     """
     exploded = df.select(
         F.col(id_col).alias("_id"),
         F.explode(tokens(F.col(text_col))).alias("_t"),
-    ).select("_id", F.xxhash64("_t").alias("_h"))
+    ).select("_id", _base_hash(F.col("_t"), hash_fn).alias("_h"))
     votes = [
         F.sum(
             F.when(
@@ -346,7 +395,8 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
@@ -355,7 +405,7 @@ def simhash_pairs(
     equi-join per chunk (keyed shuffle, no cross join), then exact
     ``bit_count(xor)`` verify.
     """
-    sh = simhash_fingerprints(df, id_col, text_col)
+    sh = simhash_fingerprints(df, id_col, text_col, hash_fn=hash_fn)
     chunks = sh.select(
         "_id",
         "_sh",
@@ -386,7 +436,9 @@ def simhash_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh"))).alias("hamming"),
+            # long: SQL engines' bit_count is narrower/wider by dialect;
+            # BIGINT on both sides keeps oracle value-hash parity
+            F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh"))).cast("long").alias("hamming"),
         )
         .distinct()
     )

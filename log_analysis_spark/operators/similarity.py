@@ -23,6 +23,18 @@ def _vec_lit(v) -> Column:
     return F.array(*[F.lit(float(x)) for x in v])
 
 
+def _fold_dot(a, b) -> float:
+    """Driver-side dot as a left-to-right IEEE double fold — bit-identical
+    to the engine-side folds (Spark ``aggregate``, DuckDB ``list_reduce``).
+    np.dot would NOT be: BLAS uses pairwise/SIMD summation whose rounding
+    can differ, which would flip sign decisions near 0 and break oracle
+    parity of bucket assignments."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
 def brute_force_topk(
     df: DataFrame, query_vec, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -81,10 +93,9 @@ def lsh_topk(
     here the same pruning is a filter that Catalyst pushes to the scan.
     """
     planes = hyperplanes(len(query_vec), n_planes, seed)
-    qv = np.asarray(query_vec, dtype=np.float64)
     qbucket = 0
     for i, p in enumerate(planes):
-        if float(np.dot(p, qv)) > 0:
+        if _fold_dot(query_vec, p) > 0:
             qbucket |= 1 << i
     probe = [qbucket] + [qbucket ^ (1 << i) for i in range(n_planes)] if probe_hamming >= 1 else [qbucket]
     bucketed = df.withColumn("_bucket", hyperplane_bucket(F.col(vec_col), planes))
@@ -97,12 +108,18 @@ def lsh_topk(
 
 
 def ivf_centroids(
-    df: DataFrame, n_centroids: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame, n_centroids: int = 16, id_col: str = "vec_id", vec_col: str = "embedding",
+    lloyd_iters: int = 1,
 ) -> np.ndarray:
     """IVF coarse quantizer: deterministic seed vectors (every id ≡ 0 mod
-    stride) refined by one Lloyd iteration computed distributively
-    (groupBy(assignment).avg per dimension). Driver holds only
-    n_centroids * dim floats."""
+    stride) refined by ``lloyd_iters`` Lloyd iterations computed
+    distributively (groupBy(assignment).avg per dimension). Driver holds
+    only n_centroids * dim floats.
+
+    ``lloyd_iters=0`` returns the raw seeds — the fully deterministic,
+    SQL-replayable quantizer used by the driver's oracle-checked query
+    (a Lloyd mean's summation order is partition-dependent, so refined
+    centroids can't be replayed bit-exactly by another engine)."""
     n = df.count()
     stride = max(n // n_centroids, 1)
     seeds = (
@@ -112,6 +129,8 @@ def ivf_centroids(
         .collect()
     )
     cents = np.array([r[0] for r in seeds], dtype=np.float64)
+    if lloyd_iters <= 0:
+        return cents
     assigned = df.withColumn("_c", nearest_centroid(F.col(vec_col), cents))
     dim = cents.shape[1]
     sums = assigned.groupBy("_c").agg(
@@ -127,7 +146,9 @@ def ivf_centroids(
 
 def nearest_centroid(vec: Column, centroids: np.ndarray) -> Column:
     """argmin_c ||v - c||^2 as native expressions (expanded: c.c - 2 v.c;
-    v.v is constant per row and drops out)."""
+    v.v is constant per row and drops out). Ties keep the lowest centroid
+    index. c.c is a driver-side left fold (not np.dot) so the score — and
+    therefore the assignment — is replayable bit-exactly in SQL."""
     best_idx = F.lit(0)
     best_score = None
     for ci, c in enumerate(centroids):
@@ -136,7 +157,7 @@ def nearest_centroid(vec: Column, centroids: np.ndarray) -> Column:
             F.lit(0.0).cast("double"),
             lambda acc, v: acc + v,
         )
-        score = F.lit(float(np.dot(c, c))) - F.lit(2.0) * dot
+        score = F.lit(_fold_dot(c, c)) - F.lit(2.0) * dot
         if best_score is None:
             best_score, best_idx = score, F.lit(ci)
         else:
@@ -156,10 +177,15 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF search: score only vectors assigned to the n_probe centroids
-    nearest the query. At scale the assignment is a partition column."""
-    qv = np.asarray(query_vec, dtype=np.float64)
-    d2 = ((centroids - qv) ** 2).sum(axis=1)
-    probe = [int(i) for i in np.argsort(d2)[:n_probe]]
+    nearest the query. At scale the assignment is a partition column.
+    Probe ranking uses the same c.c - 2 q.c score (q.q drops out) with the
+    same fold arithmetic and index tiebreak as ``nearest_centroid``, so an
+    oracle can reproduce the probe set exactly."""
+    scores = [
+        (_fold_dot(c, c) - 2.0 * _fold_dot(query_vec, c), ci)
+        for ci, c in enumerate(centroids)
+    ]
+    probe = [ci for _s, ci in sorted(scores)[:n_probe]]
     assigned = df.withColumn("_c", nearest_centroid(F.col(vec_col), centroids))
     return (
         assigned.filter(F.col("_c").isin(probe))

@@ -1,0 +1,141 @@
+"""Typed Zeek record families: per-type field vocabularies + cast stages.
+
+The reference routes 28 record types (/root/reference/src/zeek/
+zeek_log_proto.rs:5-37) but keeps every value an untyped string, ignoring
+the ``#types`` header line (/root/reference/src/zeek/zeek_log.rs:147-149).
+The rebuild supplies what a real Zeek user hits immediately: typed parsers
+for the most common families beyond conn/http — **dns**, **ssl**, and
+**weird** — with field vocabularies from the public Zeek log documentation
+(docs.zeek.org log-files reference) and Zeek's value conventions:
+
+- ``time``/``interval``  -> double (epoch seconds / seconds)
+- ``port``/``count``     -> int / long
+- ``bool``               -> Zeek 'T'/'F' letters -> BooleanType
+- ``vector[...]``        -> comma-separated -> array<string>
+- unset ``-`` / ``(empty)`` sentinels -> NULL (handled upstream by
+  ``zeek_tsv._null_sentinels``)
+
+Everything is native Column casts in one projection — whole-stage codegen,
+zero Python per row; at 10^12 rows the cast stage fuses into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --- per-family field vocabularies (public Zeek docs: dns.log, ssl.log,
+# weird.log columns; names use the on-disk '.'->'_' convention of
+# zeek_tsv.read_proto) ------------------------------------------------------
+CONN_ID_FIELDS = ["id.orig_h", "id.orig_p", "id.resp_h", "id.resp_p"]
+
+DNS_FIELDS = [
+    "ts", "uid", *CONN_ID_FIELDS, "proto", "trans_id", "rtt",
+    "query", "qclass", "qclass_name", "qtype", "qtype_name",
+    "rcode", "rcode_name", "AA", "TC", "RD", "RA", "Z",
+    "answers", "TTLs", "rejected",
+]
+
+SSL_FIELDS = [
+    "ts", "uid", *CONN_ID_FIELDS, "version", "cipher", "curve",
+    "server_name", "resumed", "last_alert", "next_protocol",
+    "established", "ssl_history",
+]
+
+WEIRD_FIELDS = [
+    "ts", "uid", *CONN_ID_FIELDS, "name", "addl", "notice", "peer",
+]
+
+# cast kinds: time | interval | port | count | bool | vector | (default str)
+_CASTS: dict[str, dict[str, str]] = {
+    "dns": {
+        "ts": "time", "id_orig_p": "port", "id_resp_p": "port",
+        "trans_id": "count", "rtt": "interval",
+        "qclass": "count", "qtype": "count", "rcode": "count", "Z": "count",
+        "AA": "bool", "TC": "bool", "RD": "bool", "RA": "bool",
+        "rejected": "bool", "answers": "vector", "TTLs": "vector",
+    },
+    "ssl": {
+        "ts": "time", "id_orig_p": "port", "id_resp_p": "port",
+        "resumed": "bool", "established": "bool",
+    },
+    "weird": {
+        "ts": "time", "id_orig_p": "port", "id_resp_p": "port",
+        "notice": "bool",
+    },
+}
+
+FIELDS_BY_TYPE: dict[str, list[str]] = {
+    "dns": DNS_FIELDS,
+    "ssl": SSL_FIELDS,
+    "weird": WEIRD_FIELDS,
+}
+
+
+def _cast_col(c: F.Column, kind: str) -> F.Column:
+    if kind in ("time", "interval"):
+        return c.cast("double")
+    if kind == "port":
+        return c.cast("int")
+    if kind == "count":
+        return c.cast("long")
+    if kind == "bool":
+        # Zeek booleans are the letters T/F; anything else (incl. NULL from
+        # the unset sentinel) stays NULL rather than failing the task
+        return F.when(c == "T", F.lit(True)).when(c == "F", F.lit(False))
+    if kind == "vector":
+        return F.split(c, ",")
+    return c
+
+
+def cast_records(df: DataFrame, record_type: str) -> DataFrame:
+    """Typed cast stage over a string DataFrame from ``zeek_tsv.read_proto``.
+
+    One projection; columns not in the family's cast map (or extra columns
+    like record_type/hour_bucket) pass through untouched, so the stage is
+    robust to logs with additional fields.
+    """
+    casts = _CASTS.get(record_type.lower())
+    if casts is None:
+        raise ValueError(
+            f"no typed schema for record type {record_type!r} "
+            f"(have: {sorted(_CASTS)}; conn/http are parsed by functions.parse)"
+        )
+    cols = [
+        _cast_col(F.col(name), casts[name]).alias(name) if name in casts else F.col(name)
+        for name in df.columns
+    ]
+    return df.select(*cols)
+
+
+def parse_tsv_lines(
+    df: DataFrame, record_type: str, value_col: str = "value", sep: str = "\t"
+) -> DataFrame:
+    """Tokenize raw TSV lines by a family's field vocabulary and cast.
+
+    The in-plan core of the reader (same split/getItem projection,
+    ``-``/``(empty)`` -> NULL sentinels, typed cast stage) without the file
+    plumbing — used by the driver-gate queries and reusable for lines
+    arriving via any transport (files, Kafka values, events). Lines shorter
+    than the vocabulary yield NULL for the missing trailing fields.
+    """
+    import re as _re
+
+    from .zeek_tsv import _null_sentinels
+
+    fields = FIELDS_BY_TYPE[record_type.lower()]
+    parts = F.split(F.col(value_col), _re.escape(sep))
+    # F.get (not getItem): ANSI mode throws on out-of-bounds, and a single
+    # short/malformed line must never fail the task
+    cols = [
+        _null_sentinels(F.get(parts, i)).alias(name.replace(".", "_"))
+        for i, name in enumerate(fields)
+    ]
+    return cast_records(df.select(*cols), record_type)
+
+
+def read_proto_typed(spark, files: list[str], record_type: str) -> DataFrame:
+    """Read one family's .log(.gz) files and apply its typed cast stage."""
+    from .zeek_tsv import read_proto
+
+    return cast_records(read_proto(spark, files), record_type)

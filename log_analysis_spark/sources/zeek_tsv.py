@@ -154,8 +154,10 @@ def read_proto(
     df = spark.read.text(files).withColumn("_file", F.input_file_name())
     df = df.filter(~F.col("value").startswith("#"))  # S6
     parts = F.split(F.col("value"), re.escape(sep))
+    # F.get (not getItem): ANSI mode throws on out-of-bounds, and a single
+    # short/truncated line must never fail the whole task
     cols = [
-        _null_sentinels(parts.getItem(i)).alias(name.replace(".", "_"))
+        _null_sentinels(F.get(parts, i)).alias(name.replace(".", "_"))
         for i, name in enumerate(header.fields)
     ]
     fname = F.element_at(F.split(F.col("_file"), "/"), -1)

@@ -1,0 +1,122 @@
+"""Typed Zeek record families (dns/ssl/weird): cast stages + routed counts.
+
+Extends the format-fidelity reader tests with the per-family typed schemas
+a real Zeek user needs (reference routes 28 types untyped,
+/root/reference/src/zeek/zeek_log_proto.rs:5-37; fields per public Zeek
+docs)."""
+
+import pytest
+
+from pyspark.sql import types as T
+
+from log_analysis_spark.sources import zeek_records as zr
+from log_analysis_spark.sources import zeek_tsv as zk
+
+
+
+def _dns_fixture(root: str) -> None:
+    fields = ["ts", "uid", "id.orig_h", "id.orig_p", "id.resp_h", "id.resp_p",
+              "proto", "trans_id", "rtt", "query", "qclass", "qclass_name",
+              "qtype", "qtype_name", "rcode", "rcode_name", "AA", "TC", "RD",
+              "RA", "Z", "answers", "TTLs", "rejected"]
+    zk.write_zeek_fixture(
+        root, "2024-07-02", "dns", "00:00:00-01:00:00", fields,
+        [
+            ["1719878401.123456", "D1", "10.0.0.1", "5353", "8.8.8.8", "53",
+             "udp", "1001", "0.015", "example.com", "1", "C_INTERNET",
+             "1", "A", "0", "NOERROR", "F", "F", "T", "T", "0",
+             "93.184.216.34,93.184.216.35", "300.0,600.0", "F"],
+            ["1719878402.5", "D2", "10.0.0.2", "-", "8.8.4.4", "53",
+             "udp", "1002", "-", "missing.example", "1", "C_INTERNET",
+             "28", "AAAA", "3", "NXDOMAIN", "F", "F", "T", "F", "0",
+             "-", "-", "T"],
+        ],
+    )
+
+
+def _ssl_weird_fixture(root: str) -> None:
+    ssl_fields = ["ts", "uid", "id.orig_h", "id.orig_p", "id.resp_h",
+                  "id.resp_p", "version", "cipher", "curve", "server_name",
+                  "resumed", "last_alert", "next_protocol", "established",
+                  "ssl_history"]
+    zk.write_zeek_fixture(
+        root, "2024-07-02", "ssl", "00:00:00-01:00:00", ssl_fields,
+        [
+            ["1719878403.0", "S1", "10.0.0.1", "44310", "93.184.216.34", "443",
+             "TLSv13", "TLS_AES_128_GCM_SHA256", "x25519", "example.org",
+             "F", "-", "h2", "T", "CsxkrOAd"],
+            ["1719878404.0", "S2", "10.0.0.3", "44311", "93.184.216.34", "443",
+             "TLSv12", "TLS_ECDHE_RSA_WITH_AES_128_GCM_SHA256", "-", "(empty)",
+             "T", "-", "-", "F", "Cs"],
+        ],
+    )
+    weird_fields = ["ts", "uid", "id.orig_h", "id.orig_p", "id.resp_h",
+                    "id.resp_p", "name", "addl", "notice", "peer"]
+    zk.write_zeek_fixture(
+        root, "2024-07-02", "weird", "00:00:00-01:00:00", weird_fields,
+        [["1719878405.0", "W1", "10.0.0.9", "1024", "10.0.0.10", "80",
+          "bad_HTTP_request", "-", "F", "zeek"]],
+    )
+
+
+def test_dns_typed_cast(spark, tmpdir_path):
+    _dns_fixture(tmpdir_path)
+    files = zk.discover(tmpdir_path, "2024-07-02")
+    dns = zr.read_proto_typed(spark, files["dns"], "dns")
+    sch = {f.name: f.dataType for f in dns.schema.fields}
+    assert sch["ts"] == T.DoubleType()
+    assert sch["id_orig_p"] == T.IntegerType()
+    assert sch["trans_id"] == T.LongType()
+    assert sch["qtype"] == T.LongType()
+    assert sch["AA"] == T.BooleanType()
+    assert sch["answers"] == T.ArrayType(T.StringType(), containsNull=False)
+    rows = {r["uid"]: r for r in dns.collect()}
+    r1, r2 = rows["D1"], rows["D2"]
+    assert r1["ts"] == pytest.approx(1719878401.123456)
+    assert r1["qtype"] == 1 and r1["qtype_name"] == "A"
+    assert r1["AA"] is False and r1["RD"] is True
+    assert r1["answers"] == ["93.184.216.34", "93.184.216.35"]
+    assert r1["rejected"] is False
+    # unset sentinels -> typed NULLs, one bad field never kills the row
+    assert r2["id_orig_p"] is None
+    assert r2["rtt"] is None
+    assert r2["answers"] is None
+    assert r2["rejected"] is True
+    assert r2["rcode"] == 3 and r2["rcode_name"] == "NXDOMAIN"
+
+
+def test_ssl_weird_typed_and_routed_counts(spark, tmpdir_path):
+    _dns_fixture(tmpdir_path)
+    _ssl_weird_fixture(tmpdir_path)
+    files = zk.discover(tmpdir_path, "2024-07-02")
+    # routed-count golden: every family routes to its own frame with the
+    # fixture's row count (reference LogTree fan-out, zeek_log.rs:383-397)
+    counts = {
+        proto: zr.read_proto_typed(spark, files[proto], proto).count()
+        for proto in ("dns", "ssl", "weird")
+    }
+    assert counts == {"dns": 2, "ssl": 2, "weird": 1}
+
+    ssl = {r["uid"]: r for r in zr.read_proto_typed(spark, files["ssl"], "ssl").collect()}
+    assert ssl["S1"]["established"] is True and ssl["S1"]["resumed"] is False
+    assert ssl["S2"]["established"] is False and ssl["S2"]["resumed"] is True
+    assert ssl["S2"]["curve"] is None          # '-' unset
+    assert ssl["S2"]["server_name"] is None    # '(empty)'
+    weird = zr.read_proto_typed(spark, files["weird"], "weird").collect()[0]
+    assert weird["name"] == "bad_HTTP_request" and weird["notice"] is False
+
+
+def test_unknown_family_raises(spark):
+    with pytest.raises(ValueError, match="no typed schema"):
+        zr.cast_records(spark.range(1), "quic")
+
+
+def test_parse_tsv_lines_short_line_nulls(spark):
+    df = spark.createDataFrame(
+        [("1719878401\tD1\t10.0.0.1",)], ["value"]
+    )
+    out = zr.parse_tsv_lines(df, "dns").collect()[0]
+    assert out["ts"] == 1719878401.0
+    assert out["uid"] == "D1"
+    assert out["id_orig_h"] == "10.0.0.1"
+    assert out["qtype_name"] is None  # missing trailing fields -> NULL
