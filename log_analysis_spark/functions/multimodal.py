@@ -1,12 +1,19 @@
 """Multimodal column handling: opaque binary payloads + typed metadata.
 
 Images/audio/video are ``binary`` columns with a typed metadata struct.
-The decode kernels themselves are STUBBED (this container has no
-PIL/ffmpeg/librosa — see ``_HAVE_PIL`` gates): when the real library is
-absent, decode uses a clearly-marked deterministic fake so the Spark-side
-plumbing — schema, Arrow batch shape, ``mapInPandas`` signature,
-partitioning — is real and fully tested. Swapping in the real kernel is a
-one-function change.
+Decode kernels are REAL pure-numpy/stdlib implementations for the open
+formats feasible without PIL/ffmpeg (absent in this container):
+
+- **BMP**  — uncompressed 24-bit (BITMAPINFOHEADER, bottom-up rows,
+  4-byte stride padding, BGR->RGB)
+- **PNG**  — 8-bit gray/RGB/RGBA, non-interlaced: IDAT zlib inflate +
+  all five scanline filters (None/Sub/Up/Average/Paeth) per the PNG spec
+- **WAV**  — RIFF/WAVE PCM16: fmt/data chunk walk -> int16 sample matrix
+
+Anything else (JPEG, video codecs) deliberately falls back to a
+clearly-labeled deterministic RAW RASTER interpretation of the bytes —
+a decode failure or unknown format must never fail the Spark task
+(one-bad-row robustness rule); rows keep flowing with fallback features.
 
 Scale notes: payload bytes travel executor->Python once per stage via
 Arrow; keep all multimodal transforms in ONE ``mapInPandas`` stage
@@ -17,6 +24,8 @@ for multi-MB payloads set it low (e.g. 64) to cap executor memory.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -25,13 +34,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-try:  # pragma: no cover - not present in this container
-    from PIL import Image  # noqa: F401
-
-    _HAVE_PIL = True
-except ImportError:
-    _HAVE_PIL = False
 
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -77,34 +79,161 @@ DECODED_IMAGE_SCHEMA = T.StructType(
 )
 
 
-def _fake_decode(buf: bytes) -> np.ndarray:
-    """DETERMINISTIC FAKE decode (no image libs in container): interprets
-    the byte stream itself as an 8-bit single-channel raster of width 64.
-    Replace with ``PIL.Image.open`` when available."""
+def _decode_bmp(buf: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> (h, w, 3) uint8 RGB (spec: BITMAPFILEHEADER
+    + BITMAPINFOHEADER, rows bottom-up unless height<0, stride padded to 4)."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", buf, 10)
+    w, h = struct.unpack_from("<ii", buf, 18)
+    (_planes, bpp) = struct.unpack_from("<HH", buf, 26)
+    (comp,) = struct.unpack_from("<I", buf, 30)
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    bottom_up, hh = h > 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    if data_off + stride * hh > len(buf):
+        raise ValueError("truncated BMP")
+    rows = np.frombuffer(buf, dtype=np.uint8, count=stride * hh, offset=data_off)
+    img = rows.reshape(hh, stride)[:, : w * 3].reshape(hh, w, 3)[:, :, ::-1]  # BGR->RGB
+    return img[::-1] if bottom_up else img
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, nch: int) -> np.ndarray:
+    """Undo PNG scanline filters (spec 9. Filtering): 0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth. uint8 arithmetic wraps mod 256 by construction."""
+    stride = w * nch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        if ft == 1:  # Sub: + left (sequential in x; explicit mod-256)
+            for x in range(nch, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - nch])) & 0xFF
+        elif ft == 2:  # Up
+            cur += prev
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = int(cur[x - nch]) if x >= nch else 0
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter {ft}")
+        out[y] = cur
+        prev = out[y]
+    return out
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(buf: bytes) -> np.ndarray:
+    """Minimal PNG: 8-bit gray (color 0) / RGB (2) / RGBA (6),
+    non-interlaced. IDAT chunks concatenated -> zlib inflate -> unfilter."""
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat = 8, b""
+    w = h = nch = None
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+                raise ValueError(f"unsupported PNG (depth={depth}, color={color})")
+            nch = {0: 1, 2: 3, 6: 4}[color]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    out = _png_unfilter(zlib.decompress(idat), w, h, nch)
+    return out.reshape(h, w, nch) if nch > 1 else out.reshape(h, w)
+
+
+def _decode_wav(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """RIFF/WAVE PCM16 -> (sample_rate, n_channels, samples[n, nch] int16)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8 : pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, nch, rate = struct.unpack_from("<HHI", fmt, 0)
+    (bits,) = struct.unpack_from("<H", fmt, 14)
+    if audio_fmt != 1 or bits != 16 or nch < 1:
+        raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+    frame = 2 * nch
+    samples = np.frombuffer(data[: (len(data) // frame) * frame], dtype="<i2")
+    return rate, nch, samples.reshape(-1, nch)
+
+
+def _raw_raster(buf: bytes) -> np.ndarray:
+    """DETERMINISTIC FALLBACK for undecodable/unknown payloads: the byte
+    stream as an 8-bit single-channel raster of width 64, zero-padded to a
+    full last row (empty payload -> one zero row — never raises, so one bad
+    payload can't fail the task)."""
     arr = np.frombuffer(buf, dtype=np.uint8)
     w = 64
-    h = max(len(arr) // w, 1)
-    return arr[: h * w].reshape(h, w)
+    if arr.size == 0:
+        return np.zeros((1, w), dtype=np.uint8)
+    h = (arr.size + w - 1) // w
+    padded = np.zeros(h * w, dtype=np.uint8)
+    padded[: arr.size] = arr
+    return padded.reshape(h, w)
+
+
+def decode_raster(buf: bytes) -> np.ndarray:
+    """Magic-dispatched image decode: real BMP/PNG kernels, raw-raster
+    fallback for everything else (including corrupt files)."""
+    try:
+        if buf[:8] == _PNG_SIG:
+            return _decode_png(buf)
+        if buf[:2] == b"BM":
+            return _decode_bmp(buf)
+    except Exception:  # noqa: BLE001 - corrupt payload -> fallback, not task death
+        pass
+    return _raw_raster(buf)
 
 
 def decode_images(df: DataFrame, url_col: str = "url", payload_col: str = "html") -> DataFrame:
     """binary payload -> decoded image features via one mapInPandas stage.
 
-    Real plumbing (Arrow batches in, typed rows out, column pruning to just
-    (url, payload)); stubbed kernel when PIL is absent.
+    Real kernels (BMP/PNG) with raw-raster fallback; Arrow batches in,
+    typed rows out, column pruning to just (url, payload).
     """
-    if _HAVE_PIL:  # pragma: no cover
-        raise NotImplementedError("real PIL decode kernel: wire Image.open here")
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rasters = [_fake_decode(bytes(b)) for b in pdf[payload_col]]
+            rasters = [decode_raster(bytes(b)) for b in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "url": pdf[url_col].to_numpy(),
                     "width": [r.shape[1] for r in rasters],
                     "height": [r.shape[0] for r in rasters],
-                    "n_channels": [1] * len(rasters),
+                    "n_channels": [r.shape[2] if r.ndim == 3 else 1 for r in rasters],
                     "mean_luma": [float(r.mean()) for r in rasters],
                 }
             )
@@ -112,12 +241,61 @@ def decode_images(df: DataFrame, url_col: str = "url", payload_col: str = "html"
     return df.select(url_col, payload_col).mapInPandas(_decode, schema=DECODED_IMAGE_SCHEMA)
 
 
+DECODED_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_audio(df: DataFrame, url_col: str = "url", payload_col: str = "html") -> DataFrame:
+    """binary payload -> PCM16 WAV features (rate, channels, frames, RMS)
+    in one mapInPandas stage; undecodable payloads yield NULL features
+    (row preserved, task never fails)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, chans, counts, rmss = [], [], [], []
+            for b in pdf[payload_col]:
+                try:
+                    rate, nch, samples = _decode_wav(bytes(b))
+                    rates.append(rate)
+                    chans.append(nch)
+                    counts.append(samples.shape[0])
+                    rmss.append(
+                        float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+                        if samples.size
+                        else 0.0
+                    )
+                except Exception:  # noqa: BLE001
+                    rates.append(None)
+                    chans.append(None)
+                    counts.append(None)
+                    rmss.append(None)
+            yield pd.DataFrame(
+                {
+                    "url": pdf[url_col].to_numpy(),
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "n_channels": pd.array(chans, dtype="Int32"),
+                    "n_samples": pd.array(counts, dtype="Int64"),
+                    "rms": pd.array(rmss, dtype="Float64"),
+                }
+            )
+
+    return df.select(url_col, payload_col).mapInPandas(_decode, schema=DECODED_AUDIO_SCHEMA)
+
+
 def resize_images(
     df: DataFrame, out_w: int = 8, out_h: int = 8, url_col: str = "url", payload_col: str = "html"
 ) -> DataFrame:
-    """Decode + nearest-neighbor resize to (out_h, out_w), emitting the
-    resized raster as array<int>. One fused mapInPandas stage (decode and
-    resize share the batch; bytes cross the Arrow boundary once)."""
+    """Decode + grayscale + nearest-neighbor resize to (out_h, out_w),
+    emitting the resized raster as array<int>. One fused mapInPandas stage
+    (decode and resize share the batch; bytes cross the Arrow boundary
+    once)."""
     schema = T.StructType(
         [
             T.StructField("url", T.StringType(), True),
@@ -129,7 +307,9 @@ def resize_images(
         for pdf in batches:
             out = []
             for b in pdf[payload_col]:
-                r = _fake_decode(bytes(b))
+                r = decode_raster(bytes(b))
+                if r.ndim == 3:  # multi-channel -> integer mean luma
+                    r = (r.astype(np.uint32).sum(axis=2) // r.shape[2]).astype(np.uint8)
                 yi = (np.arange(out_h) * r.shape[0] // out_h).astype(int)
                 xi = (np.arange(out_w) * r.shape[1] // out_w).astype(int)
                 out.append(r[np.ix_(yi, xi)].ravel().astype(np.int32).tolist())

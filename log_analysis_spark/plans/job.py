@@ -62,9 +62,18 @@ def run_day(
     byte_exact: bool = True,
 ) -> UnitResult:
     """Process one day partition end-to-end (one declarative plan per sink
-    family; the scan is pruned to the day's directory)."""
-    pages = read_pages_table(spark, input_path, day, day)
-    rows_in = pages.count()
+    family; the scan is pruned to the day's directory).
+
+    Manifest metrics (rows in/out) ride the write jobs themselves via
+    ``df.observe`` — no extra ``count()`` scan of the input and no re-read
+    of the just-written sink (at 10^12 rows those were ~2 spare passes per
+    unit purely for bookkeeping)."""
+    from pyspark.sql import Observation
+
+    obs_in = Observation(f"rows_in_{day}")
+    pages = read_pages_table(spark, input_path, day, day).observe(
+        obs_in, F.count(F.lit(1)).alias("n")
+    )
 
     http = parse_http_like(pages, byte_exact=byte_exact)
     if host_filter:
@@ -81,8 +90,10 @@ def run_day(
     route_to_sinks(conn, sink_dir, mode="overwrite")
 
     http_dir = os.path.join(out_dir, "sinks", "http_like")
+    obs_out = Observation(f"rows_out_{day}")
     (
         http_e.withColumn("day", F.date_format("ts_bucket", "yyyy-MM-dd"))
+        .observe(obs_out, F.count(F.lit(1)).alias("n"))
         .write.mode("overwrite")
         .partitionBy("day")
         .parquet(http_dir)
@@ -97,7 +108,10 @@ def run_day(
         .parquet(agg_dir)
     )
 
-    rows_out = spark.read.parquet(http_dir).filter(F.col("day") == day).count()
+    # .get blocks until the first action through each observed node is done;
+    # both writes above have completed by now, so these are immediate
+    rows_in = int(obs_in.get["n"])
+    rows_out = int(obs_out.get["n"])
     return UnitResult(rows_in=rows_in, rows_out=rows_out, bytes_out=dir_bytes(http_dir))
 
 

@@ -1,16 +1,90 @@
-"""Multimodal plumbing tests: metadata sniff (native), stubbed decode /
-resize / frame-sample kernels behind real mapInPandas stages."""
+"""Multimodal tests: metadata sniff (native), REAL pure-numpy decode
+kernels (BMP / PNG / WAV) verified byte-exactly against hand-built
+payloads, raw-raster fallback robustness, resize / frame-sample stages."""
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 
+import numpy as np
 import pandas as pd
 import pytest
 
 from pyspark.sql import functions as F
 
 from log_analysis_spark.functions import multimodal as MM
+
+
+# --- tiny reference encoders (independent of the decoders under test) ------
+def make_bmp(rgb: np.ndarray) -> bytes:
+    """Minimal 24-bit uncompressed BMP from an (h, w, 3) uint8 RGB array."""
+    h, w, _ = rgb.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for row in rgb[::-1]:  # bottom-up
+        line = bytearray()
+        for px in row:
+            line += bytes([px[2], px[1], px[0]])  # RGB -> BGR
+        line += b"\x00" * (stride - len(line))
+        body += line
+    data_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + bytes(body)
+
+
+def make_png(arr: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Minimal PNG (8-bit gray or RGB) with chosen per-row filter types."""
+    if arr.ndim == 2:
+        h, w, nch, color = arr.shape[0], arr.shape[1], 1, 0
+        flat = arr.reshape(h, w)
+    else:
+        h, w, nch = arr.shape
+        color = {3: 2, 4: 6}[nch]
+        flat = arr.reshape(h, w * nch)
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * nch, dtype=np.uint8)
+    for y in range(h):
+        line = flat[y].astype(np.uint8)
+        ft = filters[y]
+        if ft == 0:
+            enc = line.copy()
+        elif ft == 2:  # Up
+            enc = (line - prev) % 256
+        elif ft == 1:  # Sub
+            enc = line.copy()
+            enc[nch:] = (line[nch:] - line[:-nch]) % 256
+        else:
+            raise ValueError("test encoder supports filters 0/1/2")
+        raw += bytes([ft]) + enc.astype(np.uint8).tobytes()
+        prev = line
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Minimal PCM16 WAV from an (n, nch) int16 array."""
+    n, nch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * 2 * nch, 2 * nch, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
 
 
 @pytest.fixture(scope="module")
@@ -45,10 +119,96 @@ def test_sniff_media_meta(media):
 def test_decode_images_plumbing(media):
     out = {r["url"]: r for r in MM.decode_images(media).collect()}
     assert set(out) == {"u://png", "u://jpg", "u://wav", "u://raw"}
+    # u://png has the PNG magic but no valid chunks -> raw-raster fallback
+    # (zero-padded last row, so height is the byte-count CEILING / 64)
     r = out["u://png"]
-    assert r["width"] == 64 and r["height"] == (8 + 256 * 8) // 64
+    assert r["width"] == 64 and r["height"] == -(-(8 + 256 * 8) // 64)
     assert r["n_channels"] == 1
     assert 0.0 <= r["mean_luma"] <= 255.0
+
+
+def test_decode_real_png_byte_exact():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    for filters in ([0] * 5, [1] * 5, [2] * 5, [0, 1, 2, 1, 0]):
+        buf = make_png(img, filters=list(filters))
+        got = MM.decode_raster(buf)
+        assert got.shape == (5, 4, 3)
+        assert np.array_equal(got, img), f"filters {filters}"
+    gray = rng.integers(0, 256, size=(3, 7), dtype=np.uint8)
+    assert np.array_equal(MM.decode_raster(make_png(gray)), gray)
+
+
+def test_decode_png_paeth_average_roundtrip():
+    """Filters 3/4 aren't in the test encoder; verify the decoder against
+    hand-filtered scanlines built straight from the spec formulas."""
+    img = np.array([[10, 20, 30, 40], [15, 25, 35, 45]], dtype=np.uint8)
+    w, h, nch = 4, 2, 1
+    raw = bytearray()
+    # row 0: Average filter (prev = 0): enc[x] = cur[x] - (left // 2)
+    row0 = img[0]
+    enc0 = [int(row0[0])]
+    for x in range(1, w):
+        enc0.append((int(row0[x]) - (int(row0[x - 1]) >> 1)) % 256)
+    raw += bytes([3]) + bytes(enc0)
+    # row 1: Paeth (a=left in row1, b=up, c=up-left)
+    row1 = img[1]
+    enc1 = []
+    for x in range(w):
+        a = int(row1[x - 1]) if x >= 1 else 0
+        b = int(img[0][x])
+        c = int(img[0][x - 1]) if x >= 1 else 0
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        enc1.append((int(row1[x]) - pred) % 256)
+    raw += bytes([4]) + bytes(enc1)
+    got = MM._png_unfilter(bytes(raw), w, h, nch)
+    assert np.array_equal(got, img)
+
+
+def test_decode_real_bmp_byte_exact():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)  # stride pad hits
+    got = MM.decode_raster(make_bmp(img))
+    assert got.shape == (3, 5, 3)
+    assert np.array_equal(got, img)
+
+
+def test_decode_wav_features(spark):
+    t = np.arange(800)
+    mono = (np.sin(t / 10.0) * 1000).astype(np.int16).reshape(-1, 1)
+    stereo = np.stack([t % 100, (t * 3) % 100], axis=1).astype(np.int16)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u://mono", "u://stereo", "u://bad"],
+                "html": [make_wav(mono, 8000), make_wav(stereo, 44100), b"notawav"],
+            }
+        )
+    )
+    out = {r["url"]: r for r in MM.decode_audio(df).collect()}
+    assert out["u://mono"]["sample_rate"] == 8000
+    assert out["u://mono"]["n_channels"] == 1
+    assert out["u://mono"]["n_samples"] == 800
+    expect_rms = float(np.sqrt(np.mean(mono.astype(np.float64) ** 2)))
+    assert out["u://mono"]["rms"] == pytest.approx(expect_rms)
+    assert out["u://stereo"]["n_channels"] == 2
+    assert out["u://stereo"]["sample_rate"] == 44100
+    # undecodable payload -> NULL features, row preserved
+    assert out["u://bad"]["sample_rate"] is None
+    assert out["u://bad"]["rms"] is None
+
+
+def test_decode_images_short_and_empty_payloads(spark):
+    """One bad row must never fail the task: empty and sub-64-byte payloads
+    decode via the padded fallback raster."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": ["u://empty", "u://tiny"], "html": [b"", b"abc"]})
+    )
+    out = {r["url"]: r for r in MM.decode_images(df).collect()}
+    assert out["u://empty"]["height"] == 1 and out["u://empty"]["mean_luma"] == 0.0
+    assert out["u://tiny"]["height"] == 1 and out["u://tiny"]["width"] == 64
 
 
 def test_decode_images_deterministic(media):
