@@ -107,6 +107,99 @@ def lsh_topk(
     )
 
 
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Materialize the sign-LSH index: embeddings written PARTITIONED BY
+    bucket id. This is the scale form the ad-hoc ``lsh_topk`` docstring
+    promises: at 10^12 vectors a probe reads (1 + n_planes) directories out
+    of 2^n_planes instead of recomputing every bucket per query — the
+    partition filter prunes at file-listing time, before any IO.
+    Returns the hyperplanes (persist them with the index)."""
+    dim_row = df.select(F.size(vec_col)).first()
+    if dim_row is None:
+        raise ValueError("write_lsh_index: empty input")
+    planes = hyperplanes(int(dim_row[0]), n_planes, seed)
+    bucketed = df.withColumn("_bucket", hyperplane_bucket(F.col(vec_col), planes))
+    bucketed.write.mode("overwrite").partitionBy("_bucket").parquet(path)
+    return planes
+
+
+def lsh_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k over the materialized LSH index with partition
+    pruning: the ``_bucket IN (probe set)`` filter is a partition filter —
+    only the probed bucket directories are listed and scanned."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if _fold_dot(query_vec, p) > 0:
+            qbucket |= 1 << i
+    probe = [qbucket]
+    if probe_hamming >= 1:
+        probe += [qbucket ^ (1 << i) for i in range(n_planes)]
+    return (
+        spark.read.parquet(index_path)
+        .filter(F.col("_bucket").isin(probe))
+        .select(F.col(id_col), cosine_sim(F.col(vec_col), _vec_lit(query_vec)).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: embeddings written PARTITIONED BY their
+    nearest-centroid cell. Probes then prune to n_probe directories."""
+    assigned = df.withColumn("_c", nearest_centroid(F.col(vec_col), centroids))
+    assigned.write.mode("overwrite").partitionBy("_c").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search over the materialized cell-partitioned index (partition
+    pruning on ``_c``), same probe ranking as ``ivf_topk``."""
+    scores = [
+        (_fold_dot(c, c) - 2.0 * _fold_dot(query_vec, c), ci)
+        for ci, c in enumerate(centroids)
+    ]
+    probe = [ci for _s, ci in sorted(scores)[:n_probe]]
+    return (
+        spark.read.parquet(index_path)
+        .filter(F.col("_c").isin(probe))
+        .select(F.col(id_col), cosine_sim(F.col(vec_col), _vec_lit(query_vec)).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivf_centroids(
     df: DataFrame, n_centroids: int = 16, id_col: str = "vec_id", vec_col: str = "embedding",
     lloyd_iters: int = 1,

@@ -110,6 +110,49 @@ def test_knn_join_without_block_never_cross_joins(emb):
     assert by_q and all(len(v) <= 2 for v in by_q.values())
 
 
+def test_lsh_index_partition_pruning(emb, emb_np, spark, tmpdir_path):
+    """The materialized LSH index must (a) return the same result as the
+    ad-hoc lsh_topk and (b) prune partitions: the probe's scan plan shows a
+    PartitionFilters entry on _bucket, i.e. unprobed bucket directories are
+    never read."""
+    import contextlib
+    import io
+    import os
+
+    path = os.path.join(tmpdir_path, "lsh_index")
+    SIM.write_lsh_index(emb, path, n_planes=8)
+    # hive-partitioned layout, one dir per bucket
+    assert any(d.startswith("_bucket=") for d in os.listdir(path))
+    q = [float(x) for x in emb_np[0]]
+    indexed = SIM.lsh_topk_indexed(spark, path, q, k=10, n_planes=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        indexed.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "_bucket" in plan
+    got = [(r["vec_id"], r["cos_sim"]) for r in indexed.collect()]
+    want = [
+        (r["vec_id"], r["cos_sim"])
+        for r in SIM.lsh_topk(emb, q, k=10, n_planes=8).collect()
+    ]
+    assert got == want
+
+
+def test_ivf_index_partition_pruning(emb, emb_np, spark, tmpdir_path):
+    import os
+
+    path = os.path.join(tmpdir_path, "ivf_index")
+    cents = SIM.ivf_centroids(emb, n_centroids=4, lloyd_iters=0)
+    SIM.write_ivf_index(emb, path, cents)
+    assert any(d.startswith("_c=") for d in os.listdir(path))
+    q = [float(x) for x in emb_np[0]]
+    got = [(r["vec_id"], r["cos_sim"]) for r in
+           SIM.ivf_topk_indexed(spark, path, q, cents, k=5, n_probe=2).collect()]
+    want = [(r["vec_id"], r["cos_sim"]) for r in
+            SIM.ivf_topk(emb, q, cents, k=5, n_probe=2).collect()]
+    assert got == want
+
+
 def test_hyperplane_bucket_deterministic(emb):
     planes = SIM.hyperplanes(64, 8, seed=42)
     b1 = emb.select("vec_id", SIM.hyperplane_bucket(F.col("embedding"), planes).alias("b"))
