@@ -60,6 +60,7 @@ def run_day(
     day: str,
     host_filter: str | None = None,
     byte_exact: bool = True,
+    proto_filter: str | None = None,
 ) -> UnitResult:
     """Process one day partition end-to-end (one declarative plan per sink
     family; the scan is pruned to the day's directory).
@@ -85,6 +86,11 @@ def run_day(
         conn = conn.filter(
             (F.col("id_orig_h") == host_filter) | (F.col("id_resp_h") == host_filter)
         )
+    # proto_type predicate (ZeekSearchParams.proto_type; the reference only
+    # ever left this as commented-out specializations, zeek_log.rs:263-288 —
+    # here it is just one more composed Column filter)
+    if proto_filter:
+        conn = conn.filter(F.col("record_type") == proto_filter.lower())
 
     sink_dir = os.path.join(out_dir, "sinks", "conn_like")
     route_to_sinks(conn, sink_dir, mode="overwrite")
@@ -176,6 +182,7 @@ def run_pipeline(
     host_filter: str | None = None,
     resume: bool = True,
     byte_exact: bool = True,
+    proto_filter: str | None = None,
 ) -> dict:
     """Full job with per-day lineage + resume. Returns run metrics."""
     manifest = Manifest(os.path.join(out_dir, "_manifest"))
@@ -190,11 +197,14 @@ def run_pipeline(
         fp = (
             dir_fingerprint(os.path.join(input_path, f"day={day}"))
             + f"|host={host_filter}|byte_exact={byte_exact}"
+            + (f"|proto={proto_filter}" if proto_filter else "")
         )
         if resume and manifest.is_done("pipeline", day, fp):
             skipped.append(day)
             continue
-        res = run_day(spark, input_path, out_dir, day, host_filter, byte_exact)
+        res = run_day(
+            spark, input_path, out_dir, day, host_filter, byte_exact, proto_filter
+        )
         manifest.mark_done("pipeline", day, fp, res)
         processed.append(day)
         rows_in_total += res.rows_in
@@ -216,6 +226,7 @@ def main() -> None:
     ap.add_argument("--start-date")
     ap.add_argument("--end-date")
     ap.add_argument("--host", help="host filter (src_ip analog)")
+    ap.add_argument("--proto", help="record-type filter (proto_type analog)")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument(
         "--single-pass",
@@ -241,6 +252,7 @@ def main() -> None:
             args.end_date,
             args.host,
             resume=not args.no_resume,
+            proto_filter=args.proto,
         )
     print(json.dumps(metrics))
 

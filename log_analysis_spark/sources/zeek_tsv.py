@@ -226,6 +226,41 @@ def distinct_src_ips(frames: dict[str, DataFrame]) -> DataFrame:
     return out.filter(F.col("ip").isNotNull()).distinct()
 
 
+def write_ip_db(
+    frames_by_date: dict[str, dict[str, DataFrame]] | dict[str, DataFrame],
+    out_path: str,
+) -> int:
+    """Export the distinct source-IP set to a read-only ``ip.db`` file —
+    the enrichment-cache seed the reference's tests build
+    (/root/reference/tests/zeek_search.rs:70-123 ``_write_to_file``:
+    one IP per line, chmod 444).
+
+    Accepts either one date's ``{proto: DataFrame}`` or a
+    ``{date: {proto: DataFrame}}`` tree; the cross-date union is first-seen
+    dedup (main.rs:321-330) which for a plain set is just distinct. The
+    collect is bounded: distinct IPs are the enrichment dim's key set
+    (reference design holds the same set in memory as ``summary``).
+    Returns the number of IPs written.
+    """
+    inner = list(frames_by_date.values())
+    if inner and isinstance(inner[0], dict):
+        per_date = [distinct_src_ips(f) for f in frames_by_date.values()]
+        ips_df = per_date[0]
+        for p in per_date[1:]:
+            ips_df = ips_df.unionByName(p)
+        ips_df = ips_df.distinct()
+    else:
+        ips_df = distinct_src_ips(frames_by_date)
+    ips = sorted(r["ip"] for r in ips_df.collect())
+    if os.path.exists(out_path):
+        os.chmod(out_path, 0o644)  # previous export is read-only
+    with open(out_path, "w", encoding="utf-8") as f:
+        for ip in ips:
+            f.write(ip + "\n")
+    os.chmod(out_path, 0o444)
+    return len(ips)
+
+
 def write_zeek_fixture(
     out_dir: str,
     date: str,

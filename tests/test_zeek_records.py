@@ -111,6 +111,26 @@ def test_unknown_family_raises(spark):
         zr.cast_records(spark.range(1), "quic")
 
 
+def test_write_ip_db(spark, tmpdir_path):
+    """ip.db export: distinct IPs across dates, one per line, chmod 444
+    (reference tests/zeek_search.rs:70-123)."""
+    import os
+    import stat
+
+    _dns_fixture(tmpdir_path)
+    _ssl_weird_fixture(tmpdir_path)
+    frames = zk.search(spark, tmpdir_path, "2024-07-02")
+    out = os.path.join(tmpdir_path, "ip.db")
+    n = zk.write_ip_db({"2024-07-02": frames}, out)
+    with open(out) as f:
+        ips = [ln.strip() for ln in f]
+    assert n == len(ips) == len(set(ips))
+    assert "10.0.0.1" in ips and ips == sorted(ips)
+    assert stat.S_IMODE(os.stat(out).st_mode) == 0o444
+    # idempotent re-export over the read-only file
+    assert zk.write_ip_db({"2024-07-02": frames}, out) == n
+
+
 def test_parse_tsv_lines_short_line_nulls(spark):
     df = spark.createDataFrame(
         [("1719878401\tD1\t10.0.0.1",)], ["value"]
