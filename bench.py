@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "minhash_lsh",
     "simhash",
     "ngram_jaccard",
+    "dup_clusters",
     "cosine_topk",
     "lsh_topk",
     "knn_join",

@@ -445,6 +445,83 @@ def simhash_pairs(
     return cand.filter(F.col("hamming") <= max_hamming)
 
 
+# --- dup-cluster resolution (connected components) --------------------------
+def dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: connected components
+    by iterative min-label propagation. Returns (_id, _label) where _label
+    is the minimum id reachable in the pair graph (singletons label
+    themselves).
+
+    Each iteration is one keyed shuffle (edges ⋈ labels → min per node);
+    convergence takes graph-diameter iterations — near-dup clusters are
+    shallow (boilerplate stars, chain edits), so typically 2-5. The driver
+    loop holds only a changed-row counter per iteration; labels persist
+    across iterations so lineage doesn't recompute from scratch. At 10^12
+    nodes the same loop runs with checkpointing every few iterations
+    (lineage truncation); the alternating large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) drops the iteration count to O(log n) for deep graphs.
+    """
+    ids = df.select(F.col(id_col).alias("_id")).distinct()
+    edges = (
+        pairs.select(F.col("id_a").alias("_u"), F.col("id_b").alias("_v"))
+        .unionByName(pairs.select(F.col("id_b").alias("_u"), F.col("id_a").alias("_v")))
+        .distinct()
+        .persist()
+    )
+    labels = ids.select("_id", F.col("_id").alias("_label")).persist()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["_v"] == labels["_id"])
+            .groupBy("_u")
+            .agg(F.min("_label").alias("_nl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["_id"] == nbr_min["_u"], "left")
+            .select(
+                labels["_id"],
+                F.least(F.col("_label"), F.coalesce(F.col("_nl"), F.col("_label"))).alias("_label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n._id") == F.col("o._id"))
+            .filter(F.col("n._label") != F.col("o._label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Pick one canonical document per dup cluster: highest ``score_col``,
+    ties to the smallest id. Returns (_id, _label, _keep) for every doc.
+    One window over the cluster key — the standard keep-best stage after
+    cluster resolution in a training-data dedup pipeline."""
+    from pyspark.sql.window import Window
+
+    scored = clusters.join(
+        df.select(F.col(id_col).alias("_id"), F.col(score_col).alias("_score")), "_id"
+    )
+    w = Window.partitionBy("_label").orderBy(F.desc("_score"), F.asc("_id"))
+    return scored.withColumn("_keep", F.row_number().over(w) == 1).drop("_score")
+
+
 # --- embedding near-dup -----------------------------------------------------
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity of two float arrays, accumulated in double with a

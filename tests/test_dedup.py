@@ -134,3 +134,34 @@ def test_embedding_neardup_matches_numpy(spark):
     assert set(got) == set(expected)
     for k in got:
         assert got[k] == pytest.approx(expected[k], abs=1e-9)
+
+
+def test_dup_clusters_multi_hop_chain(spark):
+    """Connected components must merge A-B, B-C, C-D into one cluster
+    labeled min(A) even though A and D share no pair (needs >1 propagation
+    iteration), while singletons keep their own label."""
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 10, 20]})
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [2, 3, 1], "id_b": [3, 4, 2]})
+    )
+    got = {
+        r["_id"]: r["_label"]
+        for r in DD.dup_clusters(docs, "doc_id", pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 20: 20}
+
+
+def test_dedup_keep_best_picks_highest_score(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 9], "q": [0.1, 0.9, 0.9, 0.5]})
+    )
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": [1, 2], "id_b": [2, 3]}))
+    clusters = DD.dup_clusters(docs, "doc_id", pairs)
+    kept = {
+        r["_id"]: r["_keep"]
+        for r in DD.dedup_keep_best(docs, clusters, "doc_id", "q").collect()
+    }
+    # cluster {1,2,3}: best score 0.9 tie -> min id 2; singleton 9 keeps itself
+    assert kept == {1: False, 2: True, 3: False, 9: True}
