@@ -510,6 +510,33 @@ def q_bpe_tokens(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # dedup family (documents)
 # ---------------------------------------------------------------------------
+STRATA = {"en": 0.5, "de": 0.3}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic language-balanced sampling: membership decided by an
+    md5 hash bucket of the doc id, so the row set is reproducible across
+    partitionings/retries and replayable exactly by the oracle."""
+    from log_analysis_spark.operators.sampling import sample_stratified
+
+    return sample_stratified(
+        _t(spark, sf_dir, "documents"), "lang", "doc_id", STRATA, default_fraction=0.1
+    ).select("doc_id", "lang")
+
+
+def q_split_counts(spark, sf_dir):
+    """Deterministic train/valid/test split sizes (hash-keyed: a document
+    never changes split on re-runs or cluster-size changes)."""
+    from log_analysis_spark.operators.sampling import split_by_hash
+
+    return (
+        split_by_hash(_t(spark, sf_dir, "documents"), "doc_id", 0.1, 0.1)
+        .groupBy("_split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("_split")
+    )
+
+
 def q_exact_dedup(spark, sf_dir):
     return DD.exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -665,6 +692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fingerprints": q_fingerprints,
         "bpe_tokens": q_bpe_tokens,
+        "stratified_sample": q_stratified_sample,
+        "split_counts": q_split_counts,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
@@ -1062,6 +1091,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT lang, sum(nt)::BIGINT AS sum_bpe_tokens, count(*) AS n_docs "
             "FROM t GROUP BY lang ORDER BY lang"
+        ),
+        "stratified_sample": (
+            f"SELECT doc_id, lang FROM documents "
+            f"WHERE {_sql_h60('doc_id::VARCHAR')} % 10000 < "
+            "(CASE lang WHEN 'de' THEN 3000 WHEN 'en' THEN 5000 ELSE 1000 END)"
+        ),
+        "split_counts": (
+            f"WITH b AS (SELECT {_sql_h60('doc_id::VARCHAR')} % 10000 AS bk FROM documents) "
+            "SELECT CASE WHEN bk < 1000 THEN 'test' WHEN bk < 2000 THEN 'valid' "
+            "ELSE 'train' END AS _split, count(*) AS n_docs FROM b "
+            "GROUP BY _split ORDER BY _split"
         ),
         "exact_dedup": (
             "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS group_size "

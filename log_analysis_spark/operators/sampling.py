@@ -1,0 +1,65 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+``rand()``-based sampling is irreproducible across partitionings, retries,
+and engines; every sampler here decides membership from a HASH of a stable
+key, so the same row set is selected on any cluster size, on re-runs after
+failure, and by the DuckDB oracle. All native Column expressions — the
+sample predicate pushes into the scan (no shuffle, no Python).
+
+Use cases: language-balanced subsetting (per-group rates), deterministic
+train/valid/test splits keyed by document id or URL (a given document
+always lands in the same split — critical for dedup-safe eval sets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_hash60
+
+SCALE = 10_000  # rate granularity: 0.01%
+
+
+def _bucket(key: Column) -> Column:
+    """Stable [0, SCALE) bucket from a key — md5-based so any engine can
+    replay membership exactly."""
+    return F.pmod(md5_hash60(key.cast("string")), F.lit(SCALE))
+
+
+def sample_stratified(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-group deterministic sampling: keep a row iff its key's hash
+    bucket falls under the group's rate. Groups absent from ``fractions``
+    use ``default_fraction``. Rates are exact to 1/SCALE in expectation and
+    exactly reproducible row-for-row."""
+    rate = F.lit(int(round(default_fraction * SCALE)))
+    for g, frac in sorted(fractions.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(int(round(frac * SCALE)))).otherwise(rate)
+    return df.filter(_bucket(F.col(key_col)) < rate)
+
+
+def split_by_hash(
+    df: DataFrame,
+    key_col: str,
+    test_fraction: float = 0.1,
+    valid_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic train/valid/test assignment as a ``_split`` column.
+    A key always maps to the same split — safe against re-partitioning,
+    retries, and incremental re-runs (new data never reshuffles old
+    assignments)."""
+    b = _bucket(F.col(key_col))
+    t = int(round(test_fraction * SCALE))
+    v = int(round(valid_fraction * SCALE))
+    return df.withColumn(
+        "_split",
+        F.when(b < t, F.lit("test"))
+        .when(b < t + v, F.lit("valid"))
+        .otherwise(F.lit("train")),
+    )

@@ -1,0 +1,53 @@
+"""Deterministic sampling: reproducibility across partitionings, per-group
+rates, split stability."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from log_analysis_spark.operators import sampling as SP
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_stratified_sample_deterministic_across_partitionings(docs):
+    frac = {"en": 0.5, "de": 0.2}
+    a = {r["doc_id"] for r in SP.sample_stratified(docs, "lang", "doc_id", frac).collect()}
+    b = {
+        r["doc_id"]
+        for r in SP.sample_stratified(
+            docs.repartition(7, "lang"), "lang", "doc_id", frac
+        ).collect()
+    }
+    assert a == b and a  # same row SET regardless of physical layout
+
+
+def test_stratified_sample_rates_approx(docs):
+    n_en = docs.filter(F.col("lang") == "en").count()
+    got = SP.sample_stratified(docs, "lang", "doc_id", {"en": 0.5}, 0.0)
+    got_en = got.filter(F.col("lang") == "en").count()
+    assert got.count() == got_en  # default 0.0 drops every other group
+    assert abs(got_en / n_en - 0.5) < 0.2  # hash buckets approximate the rate
+
+
+def test_split_by_hash_stable_and_exhaustive(docs):
+    s1 = {r["doc_id"]: r["_split"] for r in SP.split_by_hash(docs, "doc_id", 0.1, 0.1).collect()}
+    s2 = {
+        r["doc_id"]: r["_split"]
+        for r in SP.split_by_hash(docs.repartition(5), "doc_id", 0.1, 0.1).collect()
+    }
+    assert s1 == s2
+    assert set(s1.values()) <= {"train", "valid", "test"}
+    assert len(s1) == docs.count()
+    # growing the corpus never reassigns existing keys: subset invariance
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    s_half = {r["doc_id"]: r["_split"] for r in SP.split_by_hash(half, "doc_id", 0.1, 0.1).collect()}
+    assert all(s1[k] == v for k, v in s_half.items())

@@ -153,6 +153,24 @@ def test_ivf_index_partition_pruning(emb, emb_np, spark, tmpdir_path):
     assert got == want
 
 
+def test_assign_centroids_arrow_matches_expression_path(emb):
+    """The Arrow matrix-multiply assignment (scale path for large
+    n_centroids) must agree with the fold-exact Column-expression path on
+    real (non-equidistant) vectors."""
+    cents = SIM.ivf_centroids(emb, n_centroids=4, lloyd_iters=0)
+    expr = {
+        r["vec_id"]: r["_c"]
+        for r in emb.withColumn(
+            "_c", SIM.nearest_centroid(F.col("embedding"), cents)
+        ).select("vec_id", "_c").collect()
+    }
+    arrow = {
+        r["vec_id"]: r["_c"]
+        for r in SIM.assign_centroids_arrow(emb, cents).collect()
+    }
+    assert arrow == expr
+
+
 def test_hyperplane_bucket_deterministic(emb):
     planes = SIM.hyperplanes(64, 8, seed=42)
     b1 = emb.select("vec_id", SIM.hyperplane_bucket(F.col("embedding"), planes).alias("b"))
