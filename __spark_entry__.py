@@ -628,6 +628,12 @@ def q_lsh_topk(spark, sf_dir):
     )
 
 
+def q_quantized_topk(spark, sf_dir):
+    """Cosine top-k over int8-quantized embeddings (4x storage at 10^12
+    vectors; scales cancel in cosine so scoring is integer dots)."""
+    return SIM.quantized_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
 def q_knn_join(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return SIM.knn_join(e, e, k=2, block_col="label")
@@ -701,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
         "cosine_topk": q_cosine_topk,
+        "quantized_topk": q_quantized_topk,
         "lsh_topk": q_lsh_topk,
         "knn_join": q_knn_join,
         "ivf_topk": q_ivf_topk,
@@ -1155,6 +1162,16 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT e.vec_id, {_sql_cos('e.embedding', 'q.qv')} AS cos_sim "
             "FROM embeddings e, q "
             "ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10"
+        ),
+        "quantized_topk": (
+            "WITH sc AS (SELECT vec_id, embedding, "
+            "list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS s FROM embeddings), "
+            "qz AS MATERIALIZED (SELECT vec_id, "
+            "CASE WHEN s > 0 THEN list_transform(embedding, x -> floor(x::DOUBLE * 127.0 / s + 0.5)) "
+            "ELSE list_transform(embedding, x -> 0.0) END AS q FROM sc), "
+            "qr AS (SELECT q AS qq FROM qz WHERE vec_id = 0) "
+            f"SELECT z.vec_id, {_sql_cos('z.q', 'qr.qq')} AS qcos FROM qz z, qr "
+            "ORDER BY qcos DESC, z.vec_id ASC LIMIT 10"
         ),
         "knn_join": (
             f"WITH nv AS (SELECT vec_id, label, {_sql_normvec('embedding')} AS v "

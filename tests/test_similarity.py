@@ -171,6 +171,28 @@ def test_assign_centroids_arrow_matches_expression_path(emb):
     assert arrow == expr
 
 
+def test_quantized_topk_recall_vs_exact(emb, emb_np):
+    """int8 quantization at dim 64 should preserve nearly all of the exact
+    top-10 (scales cancel in cosine; max per-element error 1/254)."""
+    exact = set(_exact_topk(emb_np, [float(x) for x in emb_np[0]], 10))
+    got = [r["vec_id"] for r in SIM.quantized_topk(emb, query_id=0, k=10).collect()]
+    assert len(got) == 10
+    assert len(set(got) & exact) >= 8
+    assert got[0] == 0  # self is still its own nearest neighbor
+
+
+def test_quantize_vectors_range_and_zero_guard(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1, 2], "embedding": [[0.5, -1.0, 0.25], [0.0, 0.0, 0.0]]})
+    )
+    rows = {r["_id"]: r for r in SIM.quantize_vectors(df).collect()}
+    assert rows[1]["_q"] == [64, -127, 32]  # floor(x*127/max|v| + .5)
+    assert rows[1]["_scale"] == 1.0
+    assert rows[2]["_q"] == [0, 0, 0]  # zero vector: no div-by-zero
+
+
 def test_hyperplane_bucket_deterministic(emb):
     planes = SIM.hyperplanes(64, 8, seed=42)
     b1 = emb.select("vec_id", SIM.hyperplane_bucket(F.col("embedding"), planes).alias("b"))
