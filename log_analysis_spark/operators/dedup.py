@@ -481,13 +481,15 @@ def dup_clusters(
             .groupBy("_u")
             .agg(F.min("_label").alias("_nl"))
         )
+        # localCheckpoint (not persist): truncates lineage so the logical
+        # plan stays O(1) per iteration instead of growing every round
         new_labels = (
             labels.join(nbr_min, labels["_id"] == nbr_min["_u"], "left")
             .select(
                 labels["_id"],
                 F.least(F.col("_label"), F.coalesce(F.col("_nl"), F.col("_label"))).alias("_label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -501,6 +503,81 @@ def dup_clusters(
             break
     edges.unpersist()
     return labels
+
+
+def dup_clusters_star(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star edge
+    rewriting (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — O(log n) rounds even on deep graphs, where
+    ``dup_clusters``' plain min-propagation needs graph-diameter rounds
+    (a 10^4-long chain-edit cluster would need 10^4 shuffles there).
+
+    large-star: every node's HIGHER neighbors re-attach to its component
+    minimum; small-star: every node's lower-or-equal neighbors collapse
+    onto the minimum. Each round is two keyed aggregations + joins; the
+    edge set monotonically contracts to stars (v -> root). Returns the
+    same (_id, _label) contract as ``dup_clusters``.
+    """
+    ids = df.select(F.col(id_col).alias("_id")).distinct()
+    edges = (
+        pairs.select(F.col("id_a").alias("_u"), F.col("id_b").alias("_v"))
+        .unionByName(pairs.select(F.col("id_b").alias("_u"), F.col("id_a").alias("_v")))
+        .filter(F.col("_u") != F.col("_v"))
+        .distinct()
+        .persist()
+    )
+    for _ in range(max_iter):
+        # large-star: m(u) = min(u, min N(u)); emit (v, m) for v in N(u), v > u
+        m_large = edges.groupBy("_u").agg(
+            F.least(F.min("_v"), F.first("_u")).alias("_m")
+        )
+        large = (
+            edges.join(m_large, "_u")
+            .filter(F.col("_v") > F.col("_u"))
+            .select(F.col("_v").alias("_u"), F.col("_m").alias("_v"))
+        )
+        # small-star on canonical (hi, lo) edges: m(u) = min(u, min N(u));
+        # emit (v, m) for v in N(u) ∪ {u}
+        canon = large.select(
+            F.greatest("_u", "_v").alias("_u"), F.least("_u", "_v").alias("_v")
+        ).filter(F.col("_u") != F.col("_v")).distinct()
+        m_small = canon.groupBy("_u").agg(F.min("_v").alias("_m"))
+        small = (
+            canon.join(m_small, "_u")
+            .select(F.col("_v").alias("_u"), F.col("_m").alias("_v"))
+            .unionByName(m_small.select(F.col("_u"), F.col("_m").alias("_v")))
+            .filter(F.col("_u") != F.col("_v"))
+            .distinct()
+        )
+        # localCheckpoint TRUNCATES lineage: without it the logical plan
+        # doubles every round (unions/joins/distinct stack up) and Catalyst
+        # itself OOMs after ~10 iterations — the standard iterative-graph
+        # pattern on DataFrames (cluster jobs use checkpoint() on HDFS)
+        new_edges = (
+            small.unionByName(small.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new_edges.exceptAll(edges).limit(1).count() == 0
+            and edges.exceptAll(new_edges).limit(1).count() == 0
+        )
+        edges.unpersist()
+        edges = new_edges
+        if converged:
+            break
+    # stars: every node's label = min(self, min neighbor); singletons self
+    roots = edges.groupBy("_u").agg(F.least(F.min("_v"), F.first("_u")).alias("_label"))
+    out = ids.join(roots, ids["_id"] == roots["_u"], "left").select(
+        "_id", F.coalesce("_label", F.col("_id")).alias("_label")
+    )
+    edges.unpersist()
+    return out
 
 
 def dedup_keep_best(

@@ -165,3 +165,37 @@ def test_dedup_keep_best_picks_highest_score(spark):
     }
     # cluster {1,2,3}: best score 0.9 tie -> min id 2; singleton 9 keeps itself
     assert kept == {1: False, 2: True, 3: False, 9: True}
+
+
+def test_dup_clusters_star_matches_plain_and_handles_deep_chains(spark):
+    """large-star/small-star must (a) agree with min-propagation on random
+    graphs and (b) resolve a 64-node path — diameter 63, far beyond plain
+    propagation's round budget — in its O(log n) rounds."""
+    # (b) deep chain: 0-1-2-...-63 in one component labeled 0
+    chain_ids = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(64))}))
+    chain_pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(63)), "id_b": list(range(1, 64))})
+    )
+    got = {
+        r["_id"]: r["_label"]
+        for r in DD.dup_clusters_star(chain_ids, "doc_id", chain_pairs, max_iter=10).collect()
+    }
+    assert got == {i: 0 for i in range(64)}
+
+    # (a) random sparse graph: equality with the plain propagation result
+    rng = np.random.default_rng(3)
+    n = 60
+    ids = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(n))}))
+    a = rng.integers(0, n, size=40)
+    b = rng.integers(0, n, size=40)
+    mask = a != b
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": a[mask].tolist(), "id_b": b[mask].tolist()})
+    )
+    star = {
+        r["_id"]: r["_label"] for r in DD.dup_clusters_star(ids, "doc_id", pairs).collect()
+    }
+    plain = {
+        r["_id"]: r["_label"] for r in DD.dup_clusters(ids, "doc_id", pairs, max_iter=60).collect()
+    }
+    assert star == plain
