@@ -87,6 +87,49 @@ def start_pipeline_stream(
     )
 
 
+def streaming_exact_dedup(
+    pages: DataFrame, watermark: str = "24 hours", key_cols: tuple[str, ...] = ("url",)
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence per key within the
+    watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state to keys seen
+    inside the watermark window (a plain dropDuplicates on a stream grows
+    state forever — a non-starter on a 10^12-row feed). A re-crawled URL
+    arriving more than ``watermark`` after its first appearance is admitted
+    again — the right contract for continuous web ingest, where cross-
+    horizon dedup belongs to the batch layer (``operators.dedup``).
+    """
+    return pages.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+def start_dedup_stream(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "24 hours",
+    max_files_per_trigger: int = 100000,
+):
+    """Start a deduplicated pass-through stream: first occurrence per url
+    (within the watermark) lands in the sink exactly once."""
+    pages = read_pages_stream(spark, input_path, max_files_per_trigger)
+    deduped = streaming_exact_dedup(pages, watermark).withColumn(
+        "day", F.date_format("warc_ts", "yyyy-MM-dd")
+    )
+    return (
+        deduped.drop("html").writeStream.format("parquet")
+        .option("path", f"{out_dir}/pages_dedup")
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("day")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_agg_stream(
     spark: SparkSession,
     input_path: str,

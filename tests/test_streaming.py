@@ -71,3 +71,28 @@ def test_stream_restart_resumes_from_checkpoint(spark, pages_path, tmpdir_path):
     n2 = spark.read.parquet(f"{out}/http_like").count()
     assert n1 == n2 == 2000
     assert os.path.isdir(f"{ckpt}/offsets")
+
+
+def test_stream_dedup_first_occurrence_per_url(spark, pages_path, tmpdir_path):
+    """Streaming exact dedup: duplicated input (two ingests of the same
+    table in one availableNow batch) must emit each url once."""
+    import shutil
+
+    from log_analysis_spark.streaming.stream_job import start_dedup_stream
+
+    dup_path = f"{tmpdir_path}/pages_dup"
+    shutil.copytree(pages_path, dup_path)
+    # duplicate every file under a second name -> every url arrives twice
+    for root, _dirs, files in os.walk(dup_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(root, f), os.path.join(root, "dup_" + f))
+    q = start_dedup_stream(
+        spark, dup_path, f"{tmpdir_path}/dd_out", f"{tmpdir_path}/dd_ckpt"
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(f"{tmpdir_path}/dd_out/pages_dedup")
+    n_in = spark.read.parquet(dup_path).count()
+    assert n_in == 4000  # duplication happened
+    assert got.count() == 2000  # one row per url
+    assert got.select("url").distinct().count() == 2000
