@@ -348,6 +348,26 @@ def q_sample_mod(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """Point-in-time join: for each click, the value of the user's latest
+    purchase at-or-before the click. Verified against DuckDB's independent
+    native ASOF JOIN implementation."""
+    from log_analysis_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "event_id"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.unix_timestamp("ts").alias("sec"))
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(
+        clicks, purchases, on=["user_id"], ts_col="sec", value_cols=["purchase_value"]
+    ).select("event_id", "user_id", "sec", "purchase_value")
+
+
 # ---------------------------------------------------------------------------
 # typed Zeek record families (dns/ssl): TSV lines -> tokenize -> sentinel
 # NULLs -> typed cast -> aggregate, using the production parse path
@@ -690,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "intersect_users": q_intersect_users,
         "sample_mod": q_sample_mod,
+        "asof_join": q_asof_join,
         "dns_qtype_counts": q_dns_qtype_counts,
         "ssl_version_counts": q_ssl_version_counts,
         "regex_parse": q_regex_parse,
@@ -1033,6 +1054,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sample_mod": (
             "SELECT event_id, event_type, value FROM events WHERE event_id % 10 = 0"
+        ),
+        "asof_join": (
+            "WITH clicks AS (SELECT user_id, floor(epoch(ts))::BIGINT AS sec, event_id "
+            "FROM events WHERE event_type = 'click'), "
+            "purchases AS (SELECT user_id, floor(epoch(ts))::BIGINT AS sec, "
+            "max(value) AS purchase_value FROM events WHERE event_type = 'purchase' "
+            "GROUP BY user_id, floor(epoch(ts))::BIGINT) "
+            "SELECT c.event_id, c.user_id, c.sec, p.purchase_value "
+            "FROM clicks c ASOF LEFT JOIN purchases p "
+            "ON c.user_id = p.user_id AND c.sec >= p.sec"
         ),
         # dns/ssl oracles are INDEPENDENT derivations (no TSV round-trip):
         # they verify the typed parse path's end result, not its mechanics

@@ -1,0 +1,76 @@
+"""As-of (point-in-time) join — a custom operator Spark lacks natively.
+
+For every left row, attach the value columns of the LATEST right row with
+``right.ts <= left.ts`` for the same key (the standard instrument-price /
+state-at-event-time join). The reference has no joins beyond a broadcast
+lookup (SURVEY.md §2 "deliberately absent"); this supplies the classic
+temporal one.
+
+Implementation is the scalable single-shuffle form — NOT a range join:
+tag both inputs, union, hash-partition by key, sort by (ts, side) within
+the key, and carry right values forward with ``last(..., ignorenulls)``
+over an unbounded-preceding window. Cost is one exchange + one
+sort-per-key regardless of how many right rows precede each left row; a
+naive ``ON l.key = r.key AND r.ts <= l.ts`` join would expand to the full
+per-key cross product before aggregation. Right rows sort BEFORE left rows
+at equal ts, giving inclusive (<=) semantics.
+
+Verified against DuckDB's independent native ASOF JOIN implementation in
+the driver gate (__spark_entry__.oracle_sql) and against
+pandas.merge_asof in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Left as-of join: all left columns + ``value_cols`` from the latest
+    right row at-or-before the left row's ``ts_col`` per ``on`` key
+    (NULL when no right row precedes).
+
+    ``right`` must be unique per (on, ts) — pre-aggregate if it isn't
+    (duplicate right timestamps make "the" as-of row ambiguous in any
+    engine).
+    """
+    left_payload = [c for c in left.columns if c not in (*on, ts_col)]
+    l = left.select(
+        *on,
+        ts_col,
+        *left_payload,
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_r_{v}") for v in value_cols],
+        F.lit(1).alias("_side"),
+    )
+    r = right.select(
+        *on,
+        ts_col,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        *[F.col(v).alias(f"_r_{v}") for v in value_cols],
+        F.lit(0).alias("_side"),
+    )
+    combined = l.unionByName(r)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = combined.select(
+        *on,
+        ts_col,
+        *left_payload,
+        "_side",
+        *[
+            F.last(F.col(f"_r_{v}"), ignorenulls=True).over(w).alias(v)
+            for v in value_cols
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")

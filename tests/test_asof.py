@@ -1,0 +1,89 @@
+"""As-of join: equivalence with pandas.merge_asof (a third independent
+implementation besides the DuckDB ASOF JOIN oracle), inclusive-tie and
+no-match semantics, plan shape (single exchange, no range-join blowup)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from log_analysis_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame(
+        {
+            "key": rng.integers(0, 5, 200),
+            "ts": rng.integers(0, 1000, 200),
+            "lid": np.arange(200),
+        }
+    )
+    right = (
+        pd.DataFrame(
+            {
+                "key": rng.integers(0, 5, 80),
+                "ts": rng.integers(0, 1000, 80),
+                "val": rng.normal(size=80).round(3),
+            }
+        )
+        .groupby(["key", "ts"], as_index=False)  # unique per (key, ts)
+        .agg(val=("val", "max"))
+    )
+    return spark.createDataFrame(left), spark.createDataFrame(right), left, right
+
+
+def test_asof_matches_pandas_merge_asof(frames):
+    sl, sr, pl, pr = frames
+    got = (
+        asof_join(sl, sr, on=["key"], ts_col="ts", value_cols=["val"])
+        .orderBy("lid")
+        .toPandas()
+    )
+    want = pd.merge_asof(
+        pl.sort_values("ts", kind="mergesort"),
+        pr.sort_values("ts", kind="mergesort"),
+        on="ts",
+        by="key",
+        direction="backward",  # right.ts <= left.ts, inclusive — same contract
+    ).sort_values("lid")
+    got_map = dict(zip(got["lid"], got["val"]))
+    want_map = dict(zip(want["lid"], want["val"]))
+    assert set(got_map) == set(want_map)
+    for k in want_map:
+        gv, wv = got_map[k], want_map[k]
+        assert (pd.isna(gv) and pd.isna(wv)) or gv == wv
+
+
+def test_asof_inclusive_tie_and_no_match(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({"key": [1, 1, 2], "ts": [10, 5, 10], "lid": [0, 1, 2]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"key": [1, 1], "ts": [10, 3], "val": [9.0, 7.0]})
+    )
+    got = {
+        r["lid"]: r["val"]
+        for r in asof_join(left, right, ["key"], "ts", ["val"]).collect()
+    }
+    assert got[0] == 9.0  # equal ts is matched (inclusive)
+    assert got[1] == 7.0  # earlier right row carried forward
+    assert got[2] is None  # key with no right rows -> NULL
+
+
+def test_asof_plan_is_single_shuffle_no_range_join(frames):
+    import contextlib
+    import io
+
+    sl, sr, _pl, _pr = frames
+    df = asof_join(sl, sr, on=["key"], ts_col="ts", value_cols=["val"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the union-window form needs no join operator at all
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
