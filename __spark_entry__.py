@@ -348,6 +348,33 @@ def q_sample_mod(spark, sf_dir):
     )
 
 
+def q_range_join(spark, sf_dir):
+    """Point-in-interval join (bucketed equi-join, no inequality-only
+    join): clicks falling inside 30-minute post-purchase windows of the
+    same user, counted per click."""
+    from log_analysis_spark.operators.asof import range_join_points
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "event_id"
+    )
+    promos = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_timestamp("ts").alias("p_start"))
+        .distinct()
+        .withColumn("p_end", F.col("p_start") + 1800)
+    )
+    pairs = range_join_points(
+        clicks, promos, on=["user_id"], ts_col="sec",
+        start_col="p_start", end_col="p_end", bucket_width=1800,
+    )
+    return (
+        pairs.groupBy("event_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_windows"), F.min("p_start").alias("first_window"))
+        .orderBy("event_id")
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """Point-in-time join: for each click, the value of the user's latest
     purchase at-or-before the click. Verified against DuckDB's independent
@@ -711,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_users": q_intersect_users,
         "sample_mod": q_sample_mod,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "dns_qtype_counts": q_dns_qtype_counts,
         "ssl_version_counts": q_ssl_version_counts,
         "regex_parse": q_regex_parse,
@@ -1054,6 +1082,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sample_mod": (
             "SELECT event_id, event_type, value FROM events WHERE event_id % 10 = 0"
+        ),
+        "range_join": (
+            "WITH clicks AS (SELECT user_id, floor(epoch(ts))::BIGINT AS sec, event_id "
+            "FROM events WHERE event_type = 'click'), "
+            "promos AS (SELECT DISTINCT user_id, floor(epoch(ts))::BIGINT AS p_start "
+            "FROM events WHERE event_type = 'purchase') "
+            "SELECT c.event_id, c.user_id, count(*) AS n_windows, "
+            "min(p.p_start)::BIGINT AS first_window "
+            "FROM clicks c JOIN promos p ON c.user_id = p.user_id "
+            "AND p.p_start <= c.sec AND c.sec < p.p_start + 1800 "
+            "GROUP BY c.event_id, c.user_id ORDER BY c.event_id"
         ),
         "asof_join": (
             "WITH clicks AS (SELECT user_id, floor(epoch(ts))::BIGINT AS sec, event_id "

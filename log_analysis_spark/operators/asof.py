@@ -27,6 +27,49 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def range_join_points(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join: pairs every left row with each right interval
+    ``[start, end)`` containing its ``ts_col``, per key.
+
+    The naive formulation ``ON key AND start <= ts AND ts < end`` gives
+    Catalyst only inequality conjuncts beyond the key — per-key cross
+    product. Here intervals are EXPLODED over fixed-width buckets and
+    points land in exactly one bucket, so the join is a pure equi-join on
+    (key, bucket) followed by the exact containment filter. A point lies in
+    one bucket and an interval covers each of its buckets once, so no
+    dedup pass is needed. Shuffle volume is |left| + |right| x
+    ceil(interval/bucket_width) rows — choose ``bucket_width`` near the
+    typical interval length so the expansion factor stays ~1-2.
+    """
+    lb = left.withColumn("_bk", F.floor(F.col(ts_col) / bucket_width).cast("long"))
+    rb = right.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket_width).cast("long"),
+                F.floor((F.col(end_col) - 1) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    cond = [lb[c] == rb[c] for c in on] + [
+        lb["_bk"] == rb["_bk"],
+        rb[start_col] <= lb[ts_col],
+        lb[ts_col] < rb[end_col],
+    ]
+    right_payload = [c for c in right.columns if c not in on]
+    return lb.join(rb, cond).select(
+        *[lb[c] for c in left.columns], *[rb[c] for c in right_payload]
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

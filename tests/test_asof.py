@@ -87,3 +87,44 @@ def test_asof_plan_is_single_shuffle_no_range_join(frames):
     assert "BroadcastNestedLoopJoin" not in plan
     # the union-window form needs no join operator at all
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_range_join_matches_naive_and_plan_is_equi(spark):
+    from log_analysis_spark.operators.asof import range_join_points
+
+    rng = np.random.default_rng(9)
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {"key": rng.integers(0, 4, 150), "ts": rng.integers(0, 5000, 150),
+             "lid": np.arange(150)}
+        )
+    )
+    s = rng.integers(0, 5000, 40)
+    right_pd = pd.DataFrame(
+        {"key": rng.integers(0, 4, 40), "s": s, "e": s + rng.integers(1, 900, 40)}
+    ).drop_duplicates(["key", "s"])
+    right = spark.createDataFrame(right_pd)
+
+    got = range_join_points(
+        left, right, on=["key"], ts_col="ts", start_col="s", end_col="e",
+        bucket_width=250,
+    )
+    got_pairs = {(r["lid"], r["s"]) for r in got.collect()}
+    lp = left.toPandas()
+    want_pairs = {
+        (lr.lid, rr.s)
+        for lr in lp.itertuples()
+        for rr in right_pd.itertuples()
+        if lr.key == rr.key and rr.s <= lr.ts < rr.e
+    }
+    assert got_pairs == want_pairs and want_pairs
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # equi-join on (key, bucket)
