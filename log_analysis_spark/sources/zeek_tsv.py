@@ -176,6 +176,7 @@ def search(
     selected_date: str,
     proto_type: str | None = None,
     src_ip: str | None = None,
+    typed: bool = False,
 ) -> dict[str, DataFrame]:
     """The ZeekLog::search equivalent (zeek_log.rs:364-461).
 
@@ -184,14 +185,20 @@ def search(
     are plain composed Column filters — Catalyst fuses them into the scan,
     so no strategy dispatch table exists here.
     Returns {record_type: DataFrame}, deterministically ordered by type
-    (BTreeMap analog).
+    (BTreeMap analog). ``typed=True`` additionally applies the per-family
+    typed cast stage (``zeek_records``) to families that have one
+    (dns/ssl/weird); other families stay string-typed like the reference.
     """
+    from .zeek_records import FIELDS_BY_TYPE, cast_records
+
     by_proto = discover(path_prefix, selected_date)
     out: dict[str, DataFrame] = {}
     for proto in sorted(by_proto):
         if proto_type is not None and proto != proto_type.lower():
             continue
         df = read_proto(spark, by_proto[proto])
+        if typed and proto in FIELDS_BY_TYPE:
+            df = cast_records(df, proto)
         if src_ip is not None:
             preds = [
                 F.col(c) == src_ip

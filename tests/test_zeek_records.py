@@ -140,3 +140,16 @@ def test_parse_tsv_lines_short_line_nulls(spark):
     assert out["uid"] == "D1"
     assert out["id_orig_h"] == "10.0.0.1"
     assert out["qtype_name"] is None  # missing trailing fields -> NULL
+
+
+def test_search_typed_applies_family_casts(spark, tmpdir_path):
+    from pyspark.sql import types as T2
+
+    _dns_fixture(tmpdir_path)
+    _ssl_weird_fixture(tmpdir_path)
+    frames = zk.search(spark, tmpdir_path, "2024-07-02", typed=True)
+    sch = {f.name: f.dataType for f in frames["dns"].schema.fields}
+    assert sch["ts"] == T2.DoubleType() and sch["AA"] == T2.BooleanType()
+    assert {f.name: f.dataType for f in frames["ssl"].schema.fields}[
+        "established"
+    ] == T2.BooleanType()
