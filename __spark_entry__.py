@@ -220,6 +220,44 @@ def q_rollup_agg(spark, sf_dir):
     )
 
 
+def q_cube_agg(spark, sf_dir):
+    """CUBE aggregation (all grouping-set combinations), completing the
+    grouping-sets family next to rollup_agg."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    ).filter(F.col("day") <= "2024-01-03")
+    return (
+        ev.cube("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("etype"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n",
+        )
+    )
+
+
+def q_event_gaps(spark, sf_dir):
+    """lead/lag inter-event gap statistics per user (window family beyond
+    sessionize's running sum)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    gaps = ev.withColumn("gap", F.col("sec") - F.lag("sec").over(w)).filter(
+        F.col("gap").isNotNull()
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap").alias("min_gap"),
+            F.max("gap").alias("max_gap"),
+            F.sum("gap").alias("sum_gap"),
+        )
+    )
+
+
 def q_tpch_q1(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary; decimal-exact sums -> double."""
     l = _t(spark, sf_dir, "lineitem")
@@ -727,6 +765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_range_days": q_date_range_days,
         "window_topn": q_window_topn,
         "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
+        "event_gaps": q_event_gaps,
         "tpch_q1": q_tpch_q1,
         "membership_antijoin": q_membership_antijoin,
         "distinct_per_type": q_distinct_per_type,
@@ -1022,6 +1062,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT coalesce(o_orderstatus, 'ALL') AS status, "
             "coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n "
             "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+        ),
+        "cube_agg": (
+            "WITH ev AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day FROM events "
+            "WHERE strftime(ts, '%Y-%m-%d') <= '2024-01-03') "
+            "SELECT coalesce(event_type, 'ALL') AS etype, coalesce(day, 'ALL') AS day, "
+            "count(*) AS n FROM ev GROUP BY CUBE (event_type, day)"
+        ),
+        "event_gaps": (
+            "WITH ev AS (SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS sec "
+            "FROM events), "
+            "g AS (SELECT user_id, sec - lag(sec) OVER "
+            "(PARTITION BY user_id ORDER BY sec, event_id) AS gap FROM ev) "
+            "SELECT user_id, count(*) AS n_gaps, min(gap) AS min_gap, "
+            "max(gap) AS max_gap, sum(gap)::BIGINT AS sum_gap "
+            "FROM g WHERE gap IS NOT NULL GROUP BY user_id"
         ),
         "tpch_q1": (
             "SELECT l_returnflag, l_linestatus, "
