@@ -681,6 +681,28 @@ def q_dup_clusters(spark, sf_dir):
     )
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Full dedup resolution: pairs -> clusters -> ONE canonical doc per
+    cluster by quality score (ties to min id). The oracle replays cluster
+    resolution (recursive closure) + the same quality formula + the same
+    rank rule."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "blk",
+        F.concat_ws("_", "lang", F.floor(F.col("n_chars") / F.lit(64)).cast("long")),
+    )
+    pairs = DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", block_col="blk", n=3, threshold=JACCARD_T
+    )
+    clusters = DD.dup_clusters(d, "doc_id", pairs)
+    scored = d.select("doc_id", TS.quality_score(F.col("text")).alias("q"))
+    kept = DD.dedup_keep_best(scored, clusters, "doc_id", "q")
+    return kept.select(
+        F.col("_id").alias("doc_id"),
+        F.col("_label").alias("cluster_id"),
+        F.col("_keep").alias("is_kept"),
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     return DD.embedding_neardup_pairs(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
@@ -792,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
@@ -1269,6 +1292,29 @@ def oracle_sql() -> dict[str, str]:
             "comp AS (SELECT u, least(u, min(v)) AS cluster FROM reach GROUP BY u) "
             "SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster_id "
             "FROM documents d LEFT JOIN comp c ON d.doc_id = c.u"
+        ),
+        "dedup_keep_best": (
+            "WITH RECURSIVE tok AS (SELECT doc_id, lang || '_' || (n_chars // 64) AS blk, "
+            f"{_TOKENS.format(t='text')} AS w FROM documents), "
+            f"sh AS (SELECT doc_id, blk, CASE WHEN len(w) >= 3 THEN {_SQL_SHINGLES3} "
+            "ELSE [] END AS s FROM tok), "
+            "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id "
+            "WHERE len(list_distinct(a.s || b.s)) > 0 AND "
+            "len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE "
+            f">= {JACCARD_T}), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM pairs "
+            "UNION SELECT id_b AS u, id_a AS v FROM pairs), "
+            "reach AS (SELECT u, v FROM edges "
+            "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v != r.u), "
+            "comp AS (SELECT u, least(u, min(v)) AS cluster FROM reach GROUP BY u), "
+            "lab AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster_id "
+            "FROM documents d LEFT JOIN comp c ON d.doc_id = c.u), "
+            f"qs AS (SELECT doc_id, {_sql_quality('text')} AS q FROM documents), "
+            "r AS (SELECT l.doc_id, l.cluster_id, row_number() OVER "
+            "(PARTITION BY l.cluster_id ORDER BY qs.q DESC, l.doc_id ASC) AS rn "
+            "FROM lab l JOIN qs ON l.doc_id = qs.doc_id) "
+            "SELECT doc_id, cluster_id, (rn = 1) AS is_kept FROM r"
         ),
         "minhash_lsh": _sql_minhash_lsh(num_perm=64, bands=16, threshold=JACCARD_T),
         "simhash": _sql_simhash(max_hamming=6),
