@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     "sessionize",
     "percentiles",
     "semi_join",
+    "asof_join",
+    "range_join",
+    "quantized_topk",
+    "stratified_sample",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at
