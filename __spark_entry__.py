@@ -581,6 +581,22 @@ def q_fingerprints(spark, sf_dir):
     return d.select("doc_id", TS.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_top_terms(spark, sf_dir):
+    """Corpus vocabulary head: top-20 terms by total frequency with
+    document frequency (explode -> two-level aggregate -> bounded top-k)."""
+    d = _t(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(TS.tokens(F.col("text"))).alias("term"))
+    return (
+        ex.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(20)
+    )
+
+
 def q_bpe_tokens(spark, sf_dir):
     """BPE-ish pre-tokenization counts (letter runs / digit runs / symbols)."""
     d = _t(spark, sf_dir, "documents")
@@ -809,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fingerprints": q_fingerprints,
         "bpe_tokens": q_bpe_tokens,
+        "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
         "split_counts": q_split_counts,
         "exact_dedup": q_exact_dedup,
@@ -1246,6 +1263,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT lang, sum(nt)::BIGINT AS sum_bpe_tokens, count(*) AS n_docs "
             "FROM t GROUP BY lang ORDER BY lang"
+        ),
+        "top_terms": (
+            f"WITH ex AS (SELECT doc_id, unnest({_TOKENS.format(t='text')}) AS term "
+            "FROM documents) "
+            "SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df "
+            "FROM ex GROUP BY term ORDER BY tf DESC, term ASC LIMIT 20"
         ),
         "stratified_sample": (
             f"SELECT doc_id, lang FROM documents "
