@@ -581,6 +581,29 @@ def q_fingerprints(spark, sf_dir):
     return d.select("doc_id", TS.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrub stage: deterministic synthetic PII is appended per doc
+    (the corpus itself is PII-free), then counted and masked; the oracle
+    replays augmentation, counting, and redaction, and the redacted-text
+    md5 proves byte-identical masking."""
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1"),
+    )
+    n_emails, n_ips = TS.pii_counts(aug)
+    return d.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        F.md5(F.encode(TS.redact_pii(aug), "UTF-8")).alias("redacted_md5"),
+    )
+
+
 def q_top_terms(spark, sf_dir):
     """Corpus vocabulary head: top-20 terms by total frequency with
     document frequency (explode -> two-level aggregate -> bounded top-k)."""
@@ -826,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "bpe_tokens": q_bpe_tokens,
         "top_terms": q_top_terms,
+        "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
         "split_counts": q_split_counts,
         "exact_dedup": q_exact_dedup,
@@ -1263,6 +1287,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT lang, sum(nt)::BIGINT AS sum_bpe_tokens, count(*) AS n_docs "
             "FROM t GROUP BY lang ORDER BY lang"
+        ),
+        "pii_redact": (
+            "WITH a AS (SELECT doc_id, text || ' contact: user' || doc_id::VARCHAR || "
+            "'@example.com from 10.0.' || (doc_id % 256)::VARCHAR || '.1' AS aug "
+            "FROM documents) "
+            "SELECT doc_id, "
+            f"len(regexp_extract_all(aug, '{TS.EMAIL_RE}'))::BIGINT AS n_emails, "
+            f"len(regexp_extract_all(aug, '{TS.IPV4_RE}'))::BIGINT AS n_ips, "
+            f"md5(regexp_replace(regexp_replace(aug, '{TS.EMAIL_RE}', '<EMAIL>', 'g'), "
+            f"'{TS.IPV4_RE}', '<IP>', 'g')) AS redacted_md5 "
+            "FROM a"
         ),
         "top_terms": (
             f"WITH ex AS (SELECT doc_id, unnest({_TOKENS.format(t='text')}) AS term "

@@ -113,6 +113,30 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(bpe_ish_tokens(text))
 
 
+# PII patterns chosen for identical Java-regex / RE2 semantics (no
+# lookaround, no backrefs) so the DuckDB oracle replays them exactly
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_ipv4) occurrence counts — native regexp passes."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)).cast("long"),
+        F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), 0)).cast("long"),
+    )
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask emails then IPv4s with typed placeholder tokens — the standard
+    scrub stage before corpus publication. Order matters (an email can
+    contain digits-and-dots that would half-match the IP pattern after
+    partial masking); both replacements are single native regexp passes."""
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+    )
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles as strings; used by dedup (Jaccard / MinHash)."""
     toks = tokens(text)

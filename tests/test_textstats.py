@@ -100,3 +100,30 @@ def test_shingles(spark):
     assert got[0] == ["a b c", "b c d"]
     assert got[1] == []
     assert got[2] == []
+
+
+def test_redact_pii_masks_and_counts(spark):
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from log_analysis_spark.functions import textstats as TS
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "t": [
+                    "mail a.b+c@example.co.uk from 192.168.0.1 and 10.0.0.2",
+                    "no pii here",
+                ]
+            }
+        )
+    )
+    n_e, n_i = TS.pii_counts(F.col("t"))
+    rows = df.select(
+        n_e.alias("ne"), n_i.alias("ni"), TS.redact_pii(F.col("t")).alias("r")
+    ).collect()
+    assert rows[0]["ne"] == 1 and rows[0]["ni"] == 2
+    assert rows[0]["r"] == "mail <EMAIL> from <IP> and <IP>"
+    assert rows[1]["ne"] == 0 and rows[1]["ni"] == 0
+    assert rows[1]["r"] == "no pii here"
