@@ -58,6 +58,54 @@ def read_sink(spark: SparkSession, out_dir: str, record_type: str) -> DataFrame:
     )
 
 
+def compact_sink(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    partition_cols: tuple[str, ...] = ("record_type", "day"),
+) -> dict:
+    """Small-file compaction for a parquet sink: rewrite to ~target-size
+    files, preserving the partition layout.
+
+    Streaming/micro-batch sinks and per-day resume units accumulate many
+    small files (the classic operational pain at scale — file-listing and
+    task-scheduling costs grow with file count, not data size). One
+    coalesced rewrite per run: read, repartition to ceil(bytes/target) by
+    the partition columns (so each output partition directory gets its own
+    write tasks), overwrite atomically via a temp dir + rename. Returns
+    {files_before, files_after, bytes}.
+    """
+    import shutil
+
+    def _count_files(p: str) -> tuple[int, int]:
+        n = b = 0
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += 1
+                    b += os.path.getsize(os.path.join(root, f))
+        return n, b
+
+    before, total_bytes = _count_files(path)
+    n_out = max(1, -(-total_bytes // target_bytes))
+    df = spark.read.option("basePath", path).parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    part_cols = [c for c in partition_cols if c in df.columns]
+    writer = df.repartition(n_out, *part_cols) if part_cols else df.repartition(n_out)
+    w = writer.write.mode("overwrite")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    after, _ = _count_files(path)
+    return {"files_before": before, "files_after": after, "bytes": total_bytes}
+
+
 def routed_counts(df: DataFrame, types: list[str] | None = None) -> DataFrame:
     """Per-sink row counts without writing — used by correctness checks.
     Ordered by record_type like the reference's BTreeMap iteration (O1,

@@ -164,3 +164,19 @@ def test_pipeline_host_filter_membership(spark, tmpdir_path):
     day1 = http.filter(F.to_date("ts_bucket") == "2024-07-02").count()
     day2 = http.filter(F.to_date("ts_bucket") == "2024-07-03").count()
     assert day1 > 0 and day2 == 0
+
+
+def test_compact_sink_reduces_files_preserves_rows(spark, tmpdir_path):
+    """Compaction: a fragmented sink (many tiny files) rewrites to few
+    target-size files with identical rows and intact partition dirs."""
+    from log_analysis_spark.operators.route import compact_sink
+
+    conn = parse_conn_like(gen_pages(spark, 500)).repartition(24)  # fragment
+    sink = os.path.join(tmpdir_path, "frag_sink")
+    route_to_sinks(conn, sink)
+    before_rows = spark.read.option("basePath", sink).parquet(sink).count()
+    stats = compact_sink(spark, sink, target_bytes=64 * 1024 * 1024)
+    assert stats["files_after"] < stats["files_before"]
+    after = spark.read.option("basePath", sink).parquet(sink)
+    assert after.count() == before_rows
+    assert any(d.startswith("record_type=") for d in os.listdir(sink))
