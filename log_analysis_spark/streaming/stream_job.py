@@ -87,6 +87,52 @@ def start_pipeline_stream(
     )
 
 
+def read_zeek_family_stream(
+    spark: SparkSession,
+    path_glob: str,
+    record_type: str,
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """Continuous ingest of the reference's own on-disk format: a text
+    stream over ``{prefix}/*/{proto}.*.log(.gz)`` files, header/footer
+    lines dropped, tokenized by the family vocabulary and typed-cast —
+    the streaming twin of ``zeek_tsv.read_proto`` + ``zeek_records``.
+
+    The reference tails nothing (strictly batch per date dir); a live Zeek
+    deployment appends hourly .log.gz files, which is exactly the file
+    source's incremental-listing model.
+    """
+    from ..sources.zeek_records import parse_tsv_lines
+
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path_glob)
+    )
+    data = lines.filter(~F.col("value").startswith("#"))  # S6 analog
+    return parse_tsv_lines(data, record_type)
+
+
+def start_zeek_family_stream(
+    spark: SparkSession,
+    path_glob: str,
+    record_type: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 16,
+):
+    """Stream one typed family to its own parquet sink, exactly-once."""
+    typed = read_zeek_family_stream(spark, path_glob, record_type, max_files_per_trigger)
+    return (
+        typed.writeStream.format("parquet")
+        .option("path", f"{out_dir}/{record_type}")
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_exact_dedup(
     pages: DataFrame, watermark: str = "24 hours", key_cols: tuple[str, ...] = ("url",)
 ) -> DataFrame:

@@ -96,3 +96,49 @@ def test_stream_dedup_first_occurrence_per_url(spark, pages_path, tmpdir_path):
     assert n_in == 4000  # duplication happened
     assert got.count() == 2000  # one row per url
     assert got.select("url").distinct().count() == 2000
+
+
+def test_zeek_family_stream_typed_sink(spark, tmpdir_path):
+    """Streaming ingest of the reference's gzipped-TSV format: typed dns
+    rows land in the sink with casts applied; a second run after a new
+    file appears processes ONLY the new file (checkpointed incremental
+    listing)."""
+    from pyspark.sql import types as T
+
+    from log_analysis_spark.sources import zeek_tsv as zk
+    from log_analysis_spark.streaming.stream_job import start_zeek_family_stream
+
+    fields = ["ts", "uid", "id.orig_h", "id.orig_p", "id.resp_h", "id.resp_p",
+              "proto", "trans_id", "rtt", "query", "qclass", "qclass_name",
+              "qtype", "qtype_name", "rcode", "rcode_name", "AA", "TC", "RD",
+              "RA", "Z", "answers", "TTLs", "rejected"]
+    root = os.path.join(tmpdir_path, "zeek")
+    zk.write_zeek_fixture(
+        root, "2024-07-02", "dns", "00:00:00-01:00:00", fields,
+        [["1719878401.0", "D1", "10.0.0.1", "5353", "8.8.8.8", "53", "udp",
+          "1", "-", "a.example", "1", "C_INTERNET", "1", "A", "0", "NOERROR",
+          "F", "F", "T", "T", "0", "-", "-", "F"]],
+    )
+    glob = f"{root}/*/dns.*.log.gz"
+    out, ckpt = f"{tmpdir_path}/zs_out", f"{tmpdir_path}/zs_ckpt"
+    q = start_zeek_family_stream(spark, glob, "dns", out, ckpt)
+    q.awaitTermination(300)
+    got = spark.read.parquet(f"{out}/dns")
+    assert got.count() == 1
+    sch = {f.name: f.dataType for f in got.schema.fields}
+    assert sch["ts"] == T.DoubleType() and sch["qtype"] == T.LongType()
+    r = got.collect()[0]
+    assert r["qtype_name"] == "A" and r["RD"] is True and r["rtt"] is None
+
+    # a new hourly file appears -> incremental micro-batch picks up only it
+    zk.write_zeek_fixture(
+        root, "2024-07-02", "dns", "01:00:00-02:00:00", fields,
+        [["1719882001.0", "D2", "10.0.0.2", "5353", "8.8.4.4", "53", "udp",
+          "2", "-", "b.example", "1", "C_INTERNET", "28", "AAAA", "3",
+          "NXDOMAIN", "F", "F", "T", "F", "0", "-", "-", "T"]],
+    )
+    q2 = start_zeek_family_stream(spark, glob, "dns", out, ckpt)
+    q2.awaitTermination(300)
+    got2 = spark.read.parquet(f"{out}/dns")
+    assert got2.count() == 2
+    assert {r["uid"] for r in got2.collect()} == {"D1", "D2"}
