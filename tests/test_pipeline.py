@@ -180,3 +180,31 @@ def test_compact_sink_reduces_files_preserves_rows(spark, tmpdir_path):
     after = spark.read.option("basePath", sink).parquet(sink)
     assert after.count() == before_rows
     assert any(d.startswith("record_type=") for d in os.listdir(sink))
+
+
+def test_single_pass_and_resume_modes_produce_identical_sinks(spark, tmpdir_path):
+    """run_once (throughput mode) and run_pipeline (per-day resume mode)
+    must land the SAME routed rows — mode choice is an operational knob,
+    never a semantics change."""
+    from log_analysis_spark.plans.job import run_once
+
+    src = os.path.join(tmpdir_path, "pages")
+    write_pages(spark, 600, src)
+    out_a = os.path.join(tmpdir_path, "out_resume")
+    out_b = os.path.join(tmpdir_path, "out_single")
+    run_pipeline(spark, src, out_a)
+    run_once(spark, src, out_b)
+    for sink in ("sinks/http_like", "sinks/conn_like"):
+        a = spark.read.option("basePath", f"{out_a}/{sink}").parquet(f"{out_a}/{sink}")
+        b = spark.read.option("basePath", f"{out_b}/{sink}").parquet(f"{out_b}/{sink}")
+        cols = sorted(set(a.columns) & set(b.columns))
+        assert a.count() == b.count() > 0, sink
+        assert a.select(cols).exceptAll(b.select(cols)).count() == 0, sink
+        assert b.select(cols).exceptAll(a.select(cols)).count() == 0, sink
+
+
+def test_public_api_surface_importable():
+    import log_analysis_spark as la
+
+    assert callable(la.asof_join) and callable(la.dup_clusters)
+    assert callable(la.run_pipeline) and callable(la.sample_stratified)
