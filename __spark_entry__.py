@@ -581,6 +581,32 @@ def q_fingerprints(spark, sf_dir):
     return d.select("doc_id", TS.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 characteristic terms by tf x rarity. Rarity is
+    the LINEAR weight N/df rather than ln(N/df): ln is monotonic in N/df
+    (identical ranking for fixed N) but transcendental libm results are not
+    guaranteed bit-identical across engines, while int-derived division
+    and multiplication are."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    ex = d.select("doc_id", F.explode(TS.tokens(F.col("text"))).alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = ex.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_, "term").withColumn(
+        "score",
+        F.col("tf").cast("double")
+        * (F.lit(float(n_docs)) / F.col("df").cast("double")),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter((F.col("rk") <= 3) & (F.col("doc_id") < 50))
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrub stage: deterministic synthetic PII is appended per doc
     (the corpus itself is PII-free), then counted and masked; the oracle
@@ -849,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "bpe_tokens": q_bpe_tokens,
         "top_terms": q_top_terms,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
         "split_counts": q_split_counts,
@@ -1287,6 +1314,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT lang, sum(nt)::BIGINT AS sum_bpe_tokens, count(*) AS n_docs "
             "FROM t GROUP BY lang ORDER BY lang"
+        ),
+        "tfidf_top_terms": (
+            f"WITH ex AS (SELECT doc_id, unnest({_TOKENS.format(t='text')}) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term), "
+            "dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM ex GROUP BY term), "
+            "n AS (SELECT count(*)::DOUBLE AS nd FROM documents), "
+            "s AS (SELECT tf.doc_id, tf.term, tf.tf, dfr.df, "
+            "tf.tf::DOUBLE * (n.nd / dfr.df::DOUBLE) AS score "
+            "FROM tf JOIN dfr USING (term), n), "
+            "r AS (SELECT *, (row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, term ASC))::BIGINT AS rk FROM s) "
+            "SELECT doc_id, term, tf, df, score, rk FROM r "
+            "WHERE rk <= 3 AND doc_id < 50"
         ),
         "pii_redact": (
             "WITH a AS (SELECT doc_id, text || ' contact: user' || doc_id::VARCHAR || "
