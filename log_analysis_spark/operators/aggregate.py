@@ -104,3 +104,31 @@ def salted_group_count(
         .agg(F.count(F.lit(1)).alias("_partial"))
     )
     return partial.groupBy(key_col).agg(F.sum("_partial").alias(agg_col_name))
+
+
+def salted_join(
+    big: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    n_salt: int = N_SALT,
+) -> DataFrame:
+    """Skew-proof equi-join of a big skewed fact against a dim too large to
+    broadcast: the big side gets a random-but-deterministic salt, the dim is
+    REPLICATED n_salt times with every salt value, and the join runs on
+    (key, salt) — a hot key's rows spread over n_salt reducers instead of
+    one straggler. Semantically identical to ``big.join(dim, key)``.
+
+    AQE's skew-join split handles sort-merge stragglers at runtime; this
+    explicit form is for engines/paths where AQE cannot help (e.g. a
+    skewed key feeding a downstream keyed aggregation in the same stage)
+    and as the verifiable template. Cost: dim shuffle inflates n_salt x —
+    use only when dim << big and the key histogram is known-skewed.
+    """
+    salt = F.pmod(
+        F.xxhash64(F.col(key_col), F.monotonically_increasing_id()), F.lit(n_salt)
+    )
+    b = big.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    return b.join(d, on=[key_col, "_salt"]).drop("_salt")

@@ -208,3 +208,22 @@ def test_public_api_surface_importable():
 
     assert callable(la.asof_join) and callable(la.dup_clusters)
     assert callable(la.run_pipeline) and callable(la.sample_stratified)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Explicit salted join must be row-identical to the plain equi-join
+    (skew template: hot key spread across n_salt reducers)."""
+    import pandas as pd
+
+    from log_analysis_spark.operators.aggregate import salted_join
+
+    big = spark.createDataFrame(
+        pd.DataFrame({"k": [1] * 500 + [2] * 10 + [3] * 5, "v": range(515)})
+    )
+    dim = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 4], "name": ["a", "b", "d"]}))
+    got = salted_join(big, dim, "k")
+    want = big.join(dim, "k")
+    assert got.count() == want.count() == 510
+    cols = sorted(got.columns)
+    assert got.select(cols).exceptAll(want.select(cols)).count() == 0
+    assert want.select(cols).exceptAll(got.select(cols)).count() == 0
