@@ -220,6 +220,36 @@ def q_rollup_agg(spark, sf_dir):
     )
 
 
+def q_funnel_steps(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase): per user, the first view,
+    the first click at-or-after it, and the first purchase at-or-after that
+    — conditional-min aggregation after two bounded joins, no window over
+    the full event stream."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("sec").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .groupBy("user_id")
+        .agg(F.min(F.when(F.col("sec") >= F.col("t_view"), F.col("sec"))).alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.filter(F.col("t_click").isNotNull()), "user_id")
+        .groupBy("user_id")
+        .agg(F.min(F.when(F.col("sec") >= F.col("t_click"), F.col("sec"))).alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase")
+    )
+
+
 def q_cube_agg(spark, sf_dir):
     """CUBE aggregation (all grouping-set combinations), completing the
     grouping-sets family next to rollup_agg."""
@@ -853,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topn": q_window_topn,
         "rollup_agg": q_rollup_agg,
         "cube_agg": q_cube_agg,
+        "funnel_steps": q_funnel_steps,
         "event_gaps": q_event_gaps,
         "tpch_q1": q_tpch_q1,
         "membership_antijoin": q_membership_antijoin,
@@ -1153,6 +1184,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT coalesce(o_orderstatus, 'ALL') AS status, "
             "coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n "
             "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+        ),
+        "funnel_steps": (
+            "WITH ev AS (SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS sec "
+            "FROM events), "
+            "v AS (SELECT user_id, min(sec) AS t_view FROM ev "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "c AS (SELECT e.user_id, min(CASE WHEN e.sec >= v.t_view THEN e.sec END) AS t_click "
+            "FROM ev e JOIN v ON e.user_id = v.user_id "
+            "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+            "p AS (SELECT e.user_id, min(CASE WHEN e.sec >= c.t_click THEN e.sec END) AS t_purchase "
+            "FROM ev e JOIN c ON e.user_id = c.user_id "
+            "WHERE e.event_type = 'purchase' AND c.t_click IS NOT NULL GROUP BY e.user_id) "
+            "SELECT v.user_id, v.t_view, c.t_click, p.t_purchase "
+            "FROM v LEFT JOIN c ON v.user_id = c.user_id "
+            "LEFT JOIN p ON v.user_id = p.user_id"
         ),
         "cube_agg": (
             "WITH ev AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day FROM events "
