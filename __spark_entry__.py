@@ -220,6 +220,43 @@ def q_rollup_agg(spark, sf_dir):
     )
 
 
+def q_sliding_windows(spark, sf_dir):
+    """Sliding event-time windows in batch (1h length, 30min slide): each
+    event lands in exactly two epoch-aligned windows — the batch twin of
+    the streaming windowed aggregate. The oracle derives the same window
+    membership arithmetically (two unnested starts per event)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("w_start"),
+            "n_events",
+        )
+        .orderBy("w_start")
+    )
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    by how many weeks later they were active (the standard retention
+    triangle). Weeks = epoch-day // 7 (engine-neutral integer arithmetic —
+    no calendar-week functions, whose week-start conventions differ)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.floor(F.unix_timestamp("ts") / 86400) / 7).cast("long").alias("wk"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ev.join(first, "user_id")
+        .select("user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("wk_offset"))
+        .distinct()
+        .groupBy("cohort_wk", "wk_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_wk", "wk_offset")
+    )
+
+
 def q_funnel_steps(spark, sf_dir):
     """Ordered funnel (view -> click -> purchase): per user, the first view,
     the first click at-or-after it, and the first purchase at-or-after that
@@ -884,6 +921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "cube_agg": q_cube_agg,
         "funnel_steps": q_funnel_steps,
+        "cohort_retention": q_cohort_retention,
+        "sliding_windows": q_sliding_windows,
         "event_gaps": q_event_gaps,
         "tpch_q1": q_tpch_q1,
         "membership_antijoin": q_membership_antijoin,
@@ -1184,6 +1223,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT coalesce(o_orderstatus, 'ALL') AS status, "
             "coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n "
             "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+        ),
+        "sliding_windows": (
+            "WITH ev AS (SELECT floor(epoch(ts))::BIGINT AS sec FROM events), "
+            "w AS (SELECT unnest([(sec // 1800) * 1800, (sec // 1800) * 1800 - 1800]) AS s "
+            "FROM ev) "
+            "SELECT strftime(to_timestamp(s), '%Y-%m-%d %H:%M') AS w_start, "
+            "count(*) AS n_events FROM w GROUP BY s ORDER BY w_start"
+        ),
+        "cohort_retention": (
+            "WITH ev AS (SELECT user_id, "
+            "(floor(epoch(ts))::BIGINT // 86400) // 7 AS wk FROM events), "
+            "f AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id), "
+            "a AS (SELECT DISTINCT ev.user_id, f.cohort_wk, ev.wk - f.cohort_wk AS wk_offset "
+            "FROM ev JOIN f ON ev.user_id = f.user_id) "
+            "SELECT cohort_wk, wk_offset, count(*) AS n_users FROM a "
+            "GROUP BY cohort_wk, wk_offset ORDER BY cohort_wk, wk_offset"
         ),
         "funnel_steps": (
             "WITH ev AS (SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS sec "
