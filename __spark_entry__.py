@@ -633,6 +633,21 @@ def q_quality_scores(spark, sf_dir):
     return d.select("doc_id", TS.quality_score(F.col("text")).alias("quality"))
 
 
+def q_quality_filter(spark, sf_dir):
+    """Data curation: keep documents at-or-above their language's median
+    quality — the standard percentile-threshold corpus filter, exact
+    (interpolated percentile, proven bit-identical cross-engine)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", TS.quality_score(F.col("text")).alias("quality")
+    )
+    med = d.groupBy("lang").agg(F.expr("percentile(quality, 0.5)").alias("p50"))
+    return (
+        d.join(F.broadcast(med), "lang")
+        .filter(F.col("quality") >= F.col("p50"))
+        .select("doc_id", "lang", "quality")
+    )
+
+
 def q_langid(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -941,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_parse": q_regex_parse,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
+        "quality_filter": q_quality_filter,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
         "bpe_tokens": q_bpe_tokens,
@@ -1395,6 +1411,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "quality_scores": (
             f"SELECT doc_id, {_sql_quality('text')} AS quality FROM documents"
+        ),
+        "quality_filter": (
+            f"WITH q AS (SELECT doc_id, lang, {_sql_quality('text')} AS quality "
+            "FROM documents), "
+            "m AS (SELECT lang, quantile_cont(quality, 0.5) AS p50 FROM q GROUP BY lang) "
+            "SELECT q.doc_id, q.lang, q.quality FROM q JOIN m ON q.lang = m.lang "
+            "WHERE q.quality >= m.p50"
         ),
         "langid": (
             f"WITH p AS (SELECT lang AS lang_declared, {_sql_langid('text')} AS lang_pred "
