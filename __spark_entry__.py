@@ -220,6 +220,45 @@ def q_rollup_agg(spark, sf_dir):
     )
 
 
+def q_anomaly_hours(spark, sf_dir):
+    """Volume anomaly detection: flag (event_type, hour) buckets whose
+    count deviates from the trailing-24h mean by more than 2 sigma.
+    Variance is computed MANUALLY from windowed integer sums
+    ((sumsq - sum^2/n)/n) — builtin stddev implementations differ
+    numerically across engines, while int-derived sums and IEEE division/
+    multiplication are bit-identical; sqrt is avoided by comparing squares.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.floor(F.unix_timestamp("ts") / 3600)).cast("long") * 3600).alias("hr"),
+    )
+    hourly = ev.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-24, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hr",
+        "n",
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("ss"),
+        F.count("n").over(w).alias("c"),
+    ).filter(F.col("c") >= 12)
+    mean = F.col("s").cast("double") / F.col("c").cast("double")
+    var = (
+        F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s").cast("double") / F.col("c").cast("double")
+    ) / F.col("c").cast("double")
+    dev2 = (F.col("n").cast("double") - mean) * (F.col("n").cast("double") - mean)
+    return (
+        stats.withColumn("mean", mean)
+        .withColumn("var", var)
+        .filter(dev2 > F.lit(4.0) * F.col("var"))
+        .select("event_type", "hr", "n", "mean", "var")
+    )
+
+
 def q_sliding_windows(spark, sf_dir):
     """Sliding event-time windows in batch (1h length, 30min slide): each
     event lands in exactly two epoch-aligned windows — the batch twin of
@@ -938,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,
         "sliding_windows": q_sliding_windows,
+        "anomaly_hours": q_anomaly_hours,
         "event_gaps": q_event_gaps,
         "tpch_q1": q_tpch_q1,
         "membership_antijoin": q_membership_antijoin,
@@ -1239,6 +1279,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT coalesce(o_orderstatus, 'ALL') AS status, "
             "coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n "
             "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+        ),
+        "anomaly_hours": (
+            "WITH ev AS (SELECT event_type, "
+            "(floor(epoch(ts))::BIGINT // 3600) * 3600 AS hr FROM events), "
+            "h AS (SELECT event_type, hr, count(*) AS n FROM ev GROUP BY event_type, hr), "
+            "st AS (SELECT event_type, hr, n, "
+            "sum(n) OVER w AS s, sum(n*n) OVER w AS ss, count(n) OVER w AS c FROM h "
+            "WINDOW w AS (PARTITION BY event_type ORDER BY hr "
+            "ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)), "
+            "f AS (SELECT event_type, hr, n, "
+            "s::DOUBLE / c::DOUBLE AS mean, "
+            "(ss::DOUBLE - s::DOUBLE * s::DOUBLE / c::DOUBLE) / c::DOUBLE AS var "
+            "FROM st WHERE c >= 12) "
+            "SELECT event_type, hr, n, mean, var FROM f "
+            "WHERE (n::DOUBLE - mean) * (n::DOUBLE - mean) > 4.0 * var"
         ),
         "sliding_windows": (
             "WITH ev AS (SELECT floor(epoch(ts))::BIGINT AS sec FROM events), "
