@@ -20,7 +20,8 @@ kernels saturate memory bandwidth; >16 threads regress ~20%).
 
 Env knobs:
   SPARK_GRAFT_SF_DIR      testdata dir (default /root/testdata/sf0.1)
-  SPARK_GRAFT_CPUS        cores for the query bench (default 32)
+  SPARK_GRAFT_CPUS        cores for the query bench (default 16 — the
+                          measured optimum on this 32-core host)
   SPARK_GRAFT_BENCH_ROWS  pages rows for pipeline+scaling (default 4000000)
   SPARK_GRAFT_SKIP_SCALING=1   only the local[16] headline pipeline run
 """
@@ -134,7 +135,9 @@ def main() -> None:
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # default 16: measured optimum on this 32-core host (memory-bandwidth
+    # bound past 16 JVM task threads — BASELINE.md); env overrides
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
     n_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "4000000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
 
