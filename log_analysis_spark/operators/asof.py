@@ -49,24 +49,29 @@ def range_join_points(
     ceil(interval/bucket_width) rows — choose ``bucket_width`` near the
     typical interval length so the expansion factor stays ~1-2.
     """
+    # Rename every right-side column up front: when left and right descend
+    # from the same parent DataFrame (self-join), `lb[c] == rb[c]` hits
+    # Spark's dataset-id disambiguation heuristic ("trivially true equals
+    # predicate" warning). Distinct names make the equi-join unambiguous by
+    # construction.
     lb = left.withColumn("_bk", F.floor(F.col(ts_col) / bucket_width).cast("long"))
-    rb = right.withColumn(
-        "_bk",
+    rb = right.select([F.col(c).alias(f"_r_{c}") for c in right.columns]).withColumn(
+        "_r_bk",
         F.explode(
             F.sequence(
-                F.floor(F.col(start_col) / bucket_width).cast("long"),
-                F.floor((F.col(end_col) - 1) / bucket_width).cast("long"),
+                F.floor(F.col(f"_r_{start_col}") / bucket_width).cast("long"),
+                F.floor((F.col(f"_r_{end_col}") - 1) / bucket_width).cast("long"),
             )
         ),
     )
-    cond = [lb[c] == rb[c] for c in on] + [
-        lb["_bk"] == rb["_bk"],
-        rb[start_col] <= lb[ts_col],
-        lb[ts_col] < rb[end_col],
+    cond = [F.col(c) == F.col(f"_r_{c}") for c in on] + [
+        F.col("_bk") == F.col("_r_bk"),
+        F.col(f"_r_{start_col}") <= F.col(ts_col),
+        F.col(ts_col) < F.col(f"_r_{end_col}"),
     ]
     right_payload = [c for c in right.columns if c not in on]
     return lb.join(rb, cond).select(
-        *[lb[c] for c in left.columns], *[rb[c] for c in right_payload]
+        *left.columns, *[F.col(f"_r_{c}").alias(c) for c in right_payload]
     )
 
 
@@ -84,20 +89,32 @@ def asof_join(
     ``right`` must be unique per (on, ts) — pre-aggregate if it isn't
     (duplicate right timestamps make "the" as-of row ambiguous in any
     engine).
+
+    All value columns ride in ONE struct through ``last(ignorenulls)``: the
+    struct is non-NULL for every right row even when its members are NULL,
+    so the latest preceding right row wins atomically and its (possibly
+    NULL) values attach as-is. Per-column ignorenulls would instead
+    forward-fill a NULL member from an EARLIER right row — and with several
+    value columns could even mix values from different right rows —
+    diverging from ASOF JOIN semantics.
     """
     left_payload = [c for c in left.columns if c not in (*on, ts_col)]
+    rstruct_t = (
+        right.select(F.struct(*[F.col(v) for v in value_cols]).alias("_rv"))
+        .schema["_rv"].dataType
+    )
     l = left.select(
         *on,
         ts_col,
         *left_payload,
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_r_{v}") for v in value_cols],
+        F.lit(None).cast(rstruct_t).alias("_rv"),
         F.lit(1).alias("_side"),
     )
     r = right.select(
         *on,
         ts_col,
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
-        *[F.col(v).alias(f"_r_{v}") for v in value_cols],
+        F.struct(*[F.col(v) for v in value_cols]).alias("_rv"),
         F.lit(0).alias("_side"),
     )
     combined = l.unionByName(r)
@@ -111,9 +128,14 @@ def asof_join(
         ts_col,
         *left_payload,
         "_side",
-        *[
-            F.last(F.col(f"_r_{v}"), ignorenulls=True).over(w).alias(v)
-            for v in value_cols
-        ],
+        F.last(F.col("_rv"), ignorenulls=True).over(w).alias("_rv"),
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select(
+            *on,
+            ts_col,
+            *left_payload,
+            *[F.col("_rv").getField(v).alias(v) for v in value_cols],
+        )
+    )

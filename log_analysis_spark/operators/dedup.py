@@ -273,6 +273,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     max_bucket: int | None = None,
     hash_fn: str = "xxhash64",
+    unpersist_handles: list | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-verified.
 
@@ -285,7 +286,12 @@ def minhash_lsh_pairs(
     The shingle-hash sets are computed ONCE and ``persist()``-ed — both the
     signature/banding stage and the exact-verify stage read the same cached
     relation, so the raw text is tokenized a single time (at cluster scale
-    the same role is played by materializing the set table).
+    the same role is played by materializing the set table). The returned
+    DataFrame is lazy, so there is no safe unpersist point inside this
+    function — pass ``unpersist_handles=[]`` and the persisted relation is
+    appended to it; long-lived sessions should ``h.unpersist()`` each handle
+    once the result is materialized (otherwise the cache lives until
+    executor storage evicts it).
 
     ``hash_fn='md5'`` swaps the shingle base hash for the cross-engine
     ``md5_hash60`` so a DuckDB oracle can replay the whole pipeline
@@ -300,6 +306,8 @@ def minhash_lsh_pairs(
     assert num_perm % bands == 0
     r = num_perm // bands
     sh = _hashed_shingle_sets(df, id_col, text_col, n, hash_fn=hash_fn).persist()
+    if unpersist_handles is not None:
+        unpersist_handles.append(sh)
     sig = _signatures_from_sets(sh, num_perm)
     # band key = band index + the band's signature slice; hashing it narrows
     # the shuffle key to 8 bytes (equality semantics are identical)
@@ -475,6 +483,7 @@ def dup_clusters(
         .persist()
     )
     labels = ids.select("_id", F.col("_id").alias("_label")).persist()
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["_v"] == labels["_id"])
@@ -502,6 +511,18 @@ def dup_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    if changed > 0:
+        # exiting non-converged silently would return SPLIT clusters (a
+        # chain deeper than max_iter keeps distinct labels) with no signal
+        import warnings
+
+        warnings.warn(
+            f"dup_clusters: hit max_iter={max_iter} with {changed} labels "
+            "still changing — cluster labels are NOT converged; raise "
+            "max_iter or use dup_clusters_star (O(log n) rounds)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
@@ -531,6 +552,7 @@ def dup_clusters_star(
         .distinct()
         .persist()
     )
+    converged = False
     for _ in range(max_iter):
         # large-star: m(u) = min(u, min N(u)); emit (v, m) for v in N(u), v > u
         m_large = edges.groupBy("_u").agg(
@@ -571,6 +593,15 @@ def dup_clusters_star(
         edges = new_edges
         if converged:
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"dup_clusters_star: hit max_iter={max_iter} before the edge "
+            "set stabilized — cluster labels may be split; raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # stars: every node's label = min(self, min neighbor); singletons self
     roots = edges.groupBy("_u").agg(F.least(F.min("_v"), F.first("_u")).alias("_label"))
     out = ids.join(roots, ids["_id"] == roots["_u"], "left").select(

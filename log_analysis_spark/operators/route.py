@@ -72,8 +72,17 @@ def compact_sink(
     task-scheduling costs grow with file count, not data size). One
     coalesced rewrite per run: read, repartition to ceil(bytes/target) by
     the partition columns (so each output partition directory gets its own
-    write tasks), overwrite atomically via a temp dir + rename. Returns
+    write tasks), then swap the compacted temp dir into place. Returns
     {files_before, files_after, bytes}.
+
+    The swap is two renames (path -> ._compact_old, tmp -> path), NOT one
+    atomic operation: there is a window in which ``path`` does not exist,
+    and a reader racing the swap can see an absent directory. Run
+    compaction when the sink is quiesced. A crash inside the window is
+    recoverable: the old data is intact in ``._compact_old`` and this
+    function rolls it back on failure (on a real deployment the same swap
+    is an Iceberg snapshot commit, which IS atomic — see
+    plans/bucketing.py).
     """
     import shutil
 
@@ -85,6 +94,12 @@ def compact_sink(
                     n += 1
                     b += os.path.getsize(os.path.join(root, f))
         return n, b
+
+    # recover from a prior run that crashed inside the swap window: the
+    # data would be stranded in ._compact_old with `path` absent
+    stale_old = path.rstrip("/") + "._compact_old"
+    if not os.path.exists(path) and os.path.exists(stale_old):
+        os.rename(stale_old, path)
 
     before, total_bytes = _count_files(path)
     n_out = max(1, -(-total_bytes // target_bytes))
@@ -100,7 +115,12 @@ def compact_sink(
     old = path.rstrip("/") + "._compact_old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # roll the original back instead of stranding it in ._compact_old
+        os.rename(old, path)
+        raise
     shutil.rmtree(old, ignore_errors=True)
     after, _ = _count_files(path)
     return {"files_before": before, "files_after": after, "bytes": total_bytes}

@@ -422,17 +422,17 @@ def knn_join(
         left = left.withColumn(block_col, hyperplane_bucket(F.col(vec_col), planes))
         right = right.withColumn(block_col, hyperplane_bucket(F.col(vec_col), planes))
 
+    # block_col is always set past this point (auto-derived above when the
+    # caller gave none) — there is deliberately no unblocked fallback, so no
+    # refactor can resurrect a |L|x|R| broadcast nested-loop join here.
     extras = [block_col]
     l = normalized_vectors(left, left_id, vec_col, extra_cols=extras)
     l = l.select(F.col("_id").alias("qid"), F.col("_nv").alias("qv"),
-                 *([F.col(block_col).alias("_blk")] if block_col else []))
+                 F.col(block_col).alias("_blk"))
     r = normalized_vectors(right, right_id, vec_col, extra_cols=extras)
     r = r.select(F.col("_id").alias("nid"), F.col("_nv").alias("nv"),
-                 *([F.col(block_col).alias("_blk2")] if block_col else []))
-    if block_col:
-        joined = l.join(r, on=[F.col("_blk") == F.col("_blk2"), F.col("qid") != F.col("nid")])
-    else:
-        joined = l.join(F.broadcast(r), on=[F.col("qid") != F.col("nid")])
+                 F.col(block_col).alias("_blk2"))
+    joined = l.join(r, on=[F.col("_blk") == F.col("_blk2"), F.col("qid") != F.col("nid")])
     scored = joined.select(
         "qid", "nid", dot_product(F.col("qv"), F.col("nv")).alias("cos_sim")
     )

@@ -73,6 +73,32 @@ def test_asof_inclusive_tie_and_no_match(spark):
     assert got[2] is None  # key with no right rows -> NULL
 
 
+def test_asof_null_right_value_not_forward_filled(spark):
+    """A matched right row whose value is legitimately NULL must attach
+    NULL — not silently forward-fill an earlier right row's value (and with
+    several value columns, all must come from the SAME right row). This is
+    DuckDB/pandas ASOF semantics; per-column last(ignorenulls) violates it."""
+    left = spark.createDataFrame(
+        pd.DataFrame({"key": [1, 1], "ts": [6, 3], "lid": [0, 1]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "key": [1, 1],
+                "ts": [2, 5],
+                "val": [7.0, None],
+                "tag": ["a", "b"],
+            }
+        )
+    )
+    got = {
+        r["lid"]: (r["val"], r["tag"])
+        for r in asof_join(left, right, ["key"], "ts", ["val", "tag"]).collect()
+    }
+    assert got[0] == (None, "b")  # ts=6 matches ts=5 row: NULL val, tag b
+    assert got[1] == (7.0, "a")  # ts=3 matches ts=2 row
+
+
 def test_asof_plan_is_single_shuffle_no_range_join(frames):
     import contextlib
     import io
