@@ -103,6 +103,67 @@ def pipeline_run_mode(args) -> None:
     print(json.dumps({"wall_s": best}))
 
 
+def _png_decode_rate() -> dict:
+    """Single-core PNG decode throughput on a deterministic worst-case
+    512x512 RGB fixture cycling ALL five scanline filters (Average/Paeth
+    rows are the sequential hot path — multimodal._png_unfilter). Pure
+    driver-side numpy; no Spark session involved."""
+    import struct
+    import time
+    import zlib
+
+    import numpy as np
+
+    from log_analysis_spark.functions.multimodal import _decode_png
+
+    h = w = 512
+    nch = 3
+    stride = w * nch
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (h, stride), dtype=np.int16)
+    z = np.zeros(nch, dtype=np.int16)
+    lines, prev = [], np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        ft, cur = y % 5, img[y]
+        left = np.concatenate([z, cur[:-nch]])
+        ul = np.concatenate([z, prev[:-nch]])
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = cur - left
+        elif ft == 2:
+            enc = cur - prev
+        elif ft == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            enc = cur - pred
+        lines.append(bytes([ft]) + (enc % 256).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert _decode_png(png).shape == (h, w, nch)
+    best = min(
+        (lambda t0: (_decode_png(png), time.monotonic() - t0)[1])(time.monotonic())
+        for _ in range(3)
+    )
+    return {
+        "fixture": "512x512 RGB, filters 0-4 cycling",
+        "ms": round(best * 1000, 1),
+        "mpix_per_sec": round(h * w / best / 1e6, 2),
+    }
+
+
 def _gen_pages_cached(n_rows: int) -> str:
     """Deterministic synth corpus, cached across bench invocations."""
     path = f"/tmp/bench_pages_{n_rows}"
@@ -213,6 +274,7 @@ def main() -> None:
         "sf": sf,
         "pipeline": {"rows": n_rows, **(headline or {"failed": True})},
         "scaling": scaling,
+        "png_decode": _png_decode_rate(),
     }
     if errors:
         result["query_errors"] = errors

@@ -4,7 +4,7 @@ The reference routes 28 record types (/root/reference/src/zeek/
 zeek_log_proto.rs:5-37) but keeps every value an untyped string, ignoring
 the ``#types`` header line (/root/reference/src/zeek/zeek_log.rs:147-149).
 The rebuild supplies what a real Zeek user hits immediately: typed parsers
-for the most common families beyond conn/http — **dns**, **ssl**, and
+for the most common families — **conn**, **http**, **dns**, **ssl**, and
 **weird** — with field vocabularies from the public Zeek log documentation
 (docs.zeek.org log-files reference) and Zeek's value conventions:
 
@@ -46,6 +46,22 @@ WEIRD_FIELDS = [
     "ts", "uid", *CONN_ID_FIELDS, "name", "addl", "notice", "peer",
 ]
 
+CONN_FIELDS = [
+    "ts", "uid", *CONN_ID_FIELDS, "proto", "service", "duration",
+    "orig_bytes", "resp_bytes", "conn_state", "local_orig", "local_resp",
+    "missed_bytes", "history", "orig_pkts", "orig_ip_bytes",
+    "resp_pkts", "resp_ip_bytes", "tunnel_parents",
+]
+
+HTTP_FIELDS = [
+    "ts", "uid", *CONN_ID_FIELDS, "trans_depth", "method", "host", "uri",
+    "referrer", "version", "user_agent", "origin",
+    "request_body_len", "response_body_len", "status_code", "status_msg",
+    "info_code", "info_msg", "tags", "username", "password", "proxied",
+    "orig_fuids", "orig_filenames", "orig_mime_types",
+    "resp_fuids", "resp_filenames", "resp_mime_types",
+]
+
 # cast kinds: time | interval | port | count | bool | vector | (default str)
 _CASTS: dict[str, dict[str, str]] = {
     "dns": {
@@ -63,12 +79,34 @@ _CASTS: dict[str, dict[str, str]] = {
         "ts": "time", "id_orig_p": "port", "id_resp_p": "port",
         "notice": "bool",
     },
+    "conn": {
+        "ts": "time", "id_orig_p": "port", "id_resp_p": "port",
+        "duration": "interval",
+        "orig_bytes": "count", "resp_bytes": "count", "missed_bytes": "count",
+        "local_orig": "bool", "local_resp": "bool",
+        "orig_pkts": "count", "orig_ip_bytes": "count",
+        "resp_pkts": "count", "resp_ip_bytes": "count",
+        "tunnel_parents": "vector",
+    },
+    "http": {
+        "ts": "time", "id_orig_p": "port", "id_resp_p": "port",
+        "trans_depth": "count",
+        "request_body_len": "count", "response_body_len": "count",
+        "status_code": "count", "info_code": "count",
+        "tags": "vector", "proxied": "vector",
+        "orig_fuids": "vector", "orig_filenames": "vector",
+        "orig_mime_types": "vector",
+        "resp_fuids": "vector", "resp_filenames": "vector",
+        "resp_mime_types": "vector",
+    },
 }
 
 FIELDS_BY_TYPE: dict[str, list[str]] = {
     "dns": DNS_FIELDS,
     "ssl": SSL_FIELDS,
     "weird": WEIRD_FIELDS,
+    "conn": CONN_FIELDS,
+    "http": HTTP_FIELDS,
 }
 
 
@@ -99,7 +137,7 @@ def cast_records(df: DataFrame, record_type: str) -> DataFrame:
     if casts is None:
         raise ValueError(
             f"no typed schema for record type {record_type!r} "
-            f"(have: {sorted(_CASTS)}; conn/http are parsed by functions.parse)"
+            f"(have: {sorted(_CASTS)})"
         )
     cols = [
         _cast_col(F.col(name), casts[name]).alias(name) if name in casts else F.col(name)

@@ -59,6 +59,43 @@ def _ssl_weird_fixture(root: str) -> None:
     )
 
 
+def _conn_http_fixture(root: str) -> None:
+    conn_fields = ["ts", "uid", "id.orig_h", "id.orig_p", "id.resp_h",
+                   "id.resp_p", "proto", "service", "duration", "orig_bytes",
+                   "resp_bytes", "conn_state", "local_orig", "local_resp",
+                   "missed_bytes", "history", "orig_pkts", "orig_ip_bytes",
+                   "resp_pkts", "resp_ip_bytes", "tunnel_parents"]
+    zk.write_zeek_fixture(
+        root, "2024-07-02", "conn", "00:00:00-01:00:00", conn_fields,
+        [
+            ["1719878401.5", "C1", "10.0.0.1", "50001", "93.184.216.34", "443",
+             "tcp", "ssl", "12.345", "4521", "98340", "SF", "T", "F",
+             "0", "ShADadFf", "25", "5821", "40", "100460", "-"],
+            ["1719878402.0", "C2", "10.0.0.2", "50002", "8.8.8.8", "53",
+             "udp", "dns", "-", "-", "120", "S0", "-", "-",
+             "0", "D", "1", "68", "0", "0", "T1,T2"],
+        ],
+    )
+    http_fields = ["ts", "uid", "id.orig_h", "id.orig_p", "id.resp_h",
+                   "id.resp_p", "trans_depth", "method", "host", "uri",
+                   "referrer", "version", "user_agent", "origin",
+                   "request_body_len", "response_body_len", "status_code",
+                   "status_msg", "info_code", "info_msg", "tags", "username",
+                   "password", "proxied", "orig_fuids", "orig_filenames",
+                   "orig_mime_types", "resp_fuids", "resp_filenames",
+                   "resp_mime_types"]
+    zk.write_zeek_fixture(
+        root, "2024-07-02", "http", "00:00:00-01:00:00", http_fields,
+        [
+            ["1719878403.25", "H1", "10.0.0.1", "50003", "198.51.100.7", "80",
+             "1", "GET", "example.com", "/index.html", "-", "1.1",
+             "curl/8.0", "-", "0", "5120", "200", "OK", "-", "-",
+             "(empty)", "-", "-", "-", "-", "-", "-",
+             "FakeFuid1,FakeFuid2", "-", "text/html,text/plain"],
+        ],
+    )
+
+
 def test_dns_typed_cast(spark, tmpdir_path):
     _dns_fixture(tmpdir_path)
     files = zk.discover(tmpdir_path, "2024-07-02")
@@ -104,6 +141,44 @@ def test_ssl_weird_typed_and_routed_counts(spark, tmpdir_path):
     assert ssl["S2"]["server_name"] is None    # '(empty)'
     weird = zr.read_proto_typed(spark, files["weird"], "weird").collect()[0]
     assert weird["name"] == "bad_HTTP_request" and weird["notice"] is False
+
+
+def test_conn_http_typed_cast(spark, tmpdir_path):
+    """conn/http typed vocabularies on the real TSV file path (fields per
+    public Zeek conn.log/http.log docs): interval/count/bool/vector casts,
+    '-' unset sentinels -> typed NULLs."""
+    _conn_http_fixture(tmpdir_path)
+    files = zk.discover(tmpdir_path, "2024-07-02")
+
+    conn = {r["uid"]: r for r in zr.read_proto_typed(spark, files["conn"], "conn").collect()}
+    sch = {f.name: f.dataType for f in zr.read_proto_typed(spark, files["conn"], "conn").schema.fields}
+    assert sch["duration"] == T.DoubleType()
+    assert sch["orig_bytes"] == T.LongType()
+    assert sch["local_orig"] == T.BooleanType()
+    c1, c2 = conn["C1"], conn["C2"]
+    assert c1["duration"] == pytest.approx(12.345)
+    assert c1["orig_bytes"] == 4521 and c1["resp_ip_bytes"] == 100460
+    assert c1["local_orig"] is True and c1["local_resp"] is False
+    assert c1["tunnel_parents"] is None  # '-' unset set[string]
+    assert c2["duration"] is None and c2["orig_bytes"] is None
+    assert c2["local_orig"] is None
+    assert c2["tunnel_parents"] == ["T1", "T2"]
+
+    http = zr.read_proto_typed(spark, files["http"], "http").collect()[0]
+    assert http["trans_depth"] == 1 and http["status_code"] == 200
+    assert http["response_body_len"] == 5120
+    assert http["referrer"] is None and http["tags"] is None  # '-'/'(empty)'
+    assert http["resp_fuids"] == ["FakeFuid1", "FakeFuid2"]
+    assert http["resp_mime_types"] == ["text/html", "text/plain"]
+
+    # search(typed=True) dispatches the new families automatically
+    frames = zk.search(spark, tmpdir_path, "2024-07-02", typed=True)
+    assert {f.name: f.dataType for f in frames["conn"].schema.fields}[
+        "resp_bytes"
+    ] == T.LongType()
+    assert {f.name: f.dataType for f in frames["http"].schema.fields}[
+        "status_code"
+    ] == T.LongType()
 
 
 def test_unknown_family_raises(spark):
