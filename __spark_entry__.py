@@ -1134,6 +1134,17 @@ def q_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(e, _query_vec(spark, sf_dir), cents, k=10, n_probe=2)
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jegou et al. 2011): m=4 subspaces x 8
+    codes over dim-64 vectors -> 4-byte codes (64x scan reduction), ranked
+    by asymmetric distance (ADC). Codebooks are the deterministic stride
+    seeds and every lut entry / fold is left-to-right double arithmetic,
+    so the DuckDB oracle replays codes AND distances bit-exactly."""
+    e = _t(spark, sf_dir, "embeddings")
+    books = SIM.pq_codebooks(e, m=4, n_codes=8)
+    return SIM.pq_topk(e, _query_vec(spark, sf_dir), books, k=10)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (binary payload metadata; kernel stubbed, see module)
 # ---------------------------------------------------------------------------
@@ -1217,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_meta": q_binary_meta,
         # ---- entries past the driver's 50-row window: variants whose
         # family already has a green representative above ----
+        "pq_topk": q_pq_topk,
         "lsh_topk": q_lsh_topk,
         "quantized_topk": q_quantized_topk,
         "anomaly_hours": q_anomaly_hours,
@@ -1401,6 +1413,41 @@ def _sql_ivf_topk(k: int = 10, n_centroids: int = 8, n_probe: int = 2) -> str:
         f"SELECT a.vec_id, {_sql_cos('a.embedding', 'q.qv')} AS cos_sim "
         f"FROM assign a JOIN qprobe p ON a.cidx = p.cidx, q "
         f"ORDER BY cos_sim DESC, a.vec_id ASC LIMIT {k}"
+    )
+
+
+def _sql_pq_topk(k: int = 10, m: int = 4, n_codes: int = 8, d_sub: int = 16) -> str:
+    """PQ/ADC replay: stride-seed codebooks sliced per subspace, per-(vec,
+    subspace) nearest-code assignment (c.c - 2 v.c, lowest-index tiebreak),
+    query lut per (subspace, code), and the ADC sum as an s-ordered
+    left fold — mirrors similarity.pq_codebooks/pq_encode/pq_topk."""
+    dcc = _sql_dot("c.cs", "c.cs")
+    return (
+        f"WITH st AS (SELECT greatest(count(*) // {n_codes}, 1) AS st FROM embeddings), "
+        f"cents AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, "
+        f"embedding AS cv FROM embeddings, st "
+        f"WHERE vec_id % st = 0 AND vec_id // st < {n_codes}), "
+        f"csub AS MATERIALIZED (SELECT c.cidx, t.s, "
+        f"list_slice(c.cv, t.s * {d_sub} + 1, t.s * {d_sub} + {d_sub}) AS cs "
+        f"FROM cents c, range({m}) t(s)), "
+        f"ccn AS MATERIALIZED (SELECT c.cidx, c.s, c.cs, {dcc} AS cc FROM csub c), "
+        f"sub AS (SELECT e.vec_id, t.s, "
+        f"list_slice(e.embedding, t.s * {d_sub} + 1, t.s * {d_sub} + {d_sub}) AS ev "
+        f"FROM embeddings e, range({m}) t(s)), "
+        f"assign AS (SELECT vec_id, s, cidx FROM (SELECT sub.vec_id, sub.s, c.cidx, "
+        f"row_number() OVER (PARTITION BY sub.vec_id, sub.s "
+        f"ORDER BY c.cc - 2 * {_sql_dot('sub.ev', 'c.cs')}, c.cidx) AS rn "
+        f"FROM sub JOIN ccn c ON sub.s = c.s) WHERE rn = 1), "
+        f"q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+        f"qsub AS (SELECT t.s, list_slice(q.qv, t.s * {d_sub} + 1, t.s * {d_sub} + {d_sub}) AS qs "
+        f"FROM q, range({m}) t(s)), "
+        f"lut AS (SELECT c.s, c.cidx, c.cc - 2 * {_sql_dot('qsub.qs', 'c.cs')} AS lv "
+        f"FROM ccn c JOIN qsub ON qsub.s = c.s), "
+        f"terms AS (SELECT a.vec_id, a.s, l.lv FROM assign a "
+        f"JOIN lut l ON a.s = l.s AND a.cidx = l.cidx) "
+        f"SELECT vec_id, list_reduce(list_prepend(0.0::DOUBLE, list(lv ORDER BY s)), "
+        f"(acc, v) -> acc + v) AS adc_dist "
+        f"FROM terms GROUP BY vec_id ORDER BY adc_dist ASC, vec_id ASC LIMIT {k}"
     )
 
 
@@ -1862,6 +1909,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _sql_simhash(max_hamming=6),
         "lsh_topk": _sql_lsh_topk(k=10, n_planes=8),
         "ivf_topk": _sql_ivf_topk(k=10, n_centroids=8, n_probe=2),
+        "pq_topk": _sql_pq_topk(k=10, m=4, n_codes=8, d_sub=16),
         "embedding_neardup": (
             f"WITH nv AS (SELECT vec_id, label, {_sql_normvec('embedding')} AS v "
             "FROM embeddings) "

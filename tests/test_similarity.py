@@ -200,3 +200,35 @@ def test_hyperplane_bucket_deterministic(emb):
     b = {r["vec_id"]: r["b"] for r in b1.collect()}
     assert a == b
     assert all(0 <= v < 256 for v in a.values())
+
+
+def test_pq_encode_shapes_and_determinism(emb):
+    books = SIM.pq_codebooks(emb, m=4, n_codes=8)
+    assert books.shape == (4, 8, 16)
+    enc = SIM.pq_encode(emb, books)
+    rows = {r["vec_id"]: r["_codes"] for r in enc.collect()}
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in rows.values())
+    rows2 = {r["vec_id"]: r["_codes"] for r in SIM.pq_encode(emb, books).collect()}
+    assert rows == rows2
+    # a codebook seed vector reconstructs to itself: its codes must point
+    # at its own slices (distance 0 beats every other code, ties by index)
+    n = emb.count()
+    stride = max(n // 8, 1)
+    assert rows[0] == [0, 0, 0, 0]  # vec 0 is seed 0
+    assert rows[stride * 3] == [3, 3, 3, 3]
+
+
+def test_pq_topk_self_nearest_and_recall(emb, emb_np):
+    """ADC ranking: the query (a database vector) must rank itself first
+    with approx distance equal to sum of its own-code luts; top-10 should
+    substantially overlap the exact cosine top-10 at m=4, k=8 on dim 64."""
+    books = SIM.pq_codebooks(emb, m=4, n_codes=8)
+    q = [float(x) for x in emb_np[0]]
+    got = SIM.pq_topk(emb, q, books, k=10).collect()
+    assert len(got) == 10
+    assert got[0]["vec_id"] == 0  # seed 0 quantizes losslessly -> dist is minimal
+    dists = [r["adc_dist"] for r in got]
+    assert dists == sorted(dists)
+    # ADC is coarse (8 codes/subspace) — demand overlap, not equality
+    exact = set(_exact_topk(emb_np, q, 20))
+    assert len({r["vec_id"] for r in got} & exact) >= 5

@@ -142,3 +142,32 @@ def test_zeek_family_stream_typed_sink(spark, tmpdir_path):
     got2 = spark.read.parquet(f"{out}/dns")
     assert got2.count() == 2
     assert {r["uid"] for r in got2.collect()} == {"D1", "D2"}
+
+
+def test_stream_router_matches_batch_sinks(spark, pages_path, tmpdir_path):
+    """Streaming multi-sink router: per-type routed row sets must equal the
+    batch router's over the same input, and the sink layout must be the
+    same record_type=<t>/day=<d> partitioning (read_sink-compatible)."""
+    from log_analysis_spark.functions.parse import parse_conn_like
+    from log_analysis_spark.operators.route import read_sink, routed_counts
+    from log_analysis_spark.streaming.stream_job import start_router_stream
+
+    q = start_router_stream(
+        spark, pages_path, f"{tmpdir_path}/out", f"{tmpdir_path}/ckpt_router"
+    )
+    q.awaitTermination(300)
+    out = f"{tmpdir_path}/out/conn_like"
+    got_counts = {
+        r["record_type"]: r["n_rows"]
+        for r in routed_counts(spark.read.parquet(out)).collect()
+    }
+    batch = parse_conn_like(spark.read.parquet(pages_path).drop("day"))
+    want_counts = {
+        r["record_type"]: r["n_rows"] for r in routed_counts(batch).collect()
+    }
+    assert got_counts == want_counts and got_counts
+    # read_sink works unchanged over the streaming layout
+    one_type = next(iter(want_counts))
+    sink = read_sink(spark, out, one_type)
+    assert sink.count() == want_counts[one_type]
+    assert set(sink.select("record_type").distinct().toPandas()["record_type"]) == {one_type}
