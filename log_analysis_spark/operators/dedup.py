@@ -485,27 +485,31 @@ def dup_clusters(
     labels = ids.select("_id", F.col("_id").alias("_label")).persist()
     changed = 0
     for _ in range(max_iter):
+        from pyspark.sql import Observation
+
         nbr_min = (
             edges.join(labels, edges["_v"] == labels["_id"])
             .groupBy("_u")
             .agg(F.min("_label").alias("_nl"))
         )
         # localCheckpoint (not persist): truncates lineage so the logical
-        # plan stays O(1) per iteration instead of growing every round
+        # plan stays O(1) per iteration instead of growing every round.
+        # The changed-count rides the SAME job as an Observation metric —
+        # one keyed join + one action per iteration, not two (the old
+        # new-vs-old re-join doubled the per-iteration shuffle count).
+        obs = Observation()
         new_labels = (
             labels.join(nbr_min, labels["_id"] == nbr_min["_u"], "left")
             .select(
                 labels["_id"],
                 F.least(F.col("_label"), F.coalesce(F.col("_nl"), F.col("_label"))).alias("_label"),
+                (F.coalesce(F.col("_nl"), F.col("_label")) < F.col("_label")).alias("_chg"),
             )
+            .observe(obs, F.sum(F.col("_chg").cast("long")).alias("n_changed"))
+            .select("_id", "_label")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n._id") == F.col("o._id"))
-            .filter(F.col("n._label") != F.col("o._label"))
-            .count()
-        )
+        changed = int(obs.get["n_changed"] or 0)
         labels.unpersist()
         labels = new_labels
         if changed == 0:
@@ -553,7 +557,7 @@ def dup_clusters_star(
         .persist()
     )
     converged = False
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         # large-star: m(u) = min(u, min N(u)); emit (v, m) for v in N(u), v > u
         m_large = edges.groupBy("_u").agg(
             F.least(F.min("_v"), F.first("_u")).alias("_m")
@@ -585,10 +589,17 @@ def dup_clusters_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # set-equality check in one cheap map-side agg + one anti-join that
+        # only runs when the cardinalities already agree: both sides are
+        # DISTINCT sets, so |new| == |old| and new \ old == {} imply
+        # equality. (The old form ran two exceptAll joins every round.)
+        n_new = new_edges.count()
+        n_old = edges.count() if _round == 0 else n_prev
         converged = (
-            new_edges.exceptAll(edges).limit(1).count() == 0
-            and edges.exceptAll(new_edges).limit(1).count() == 0
+            n_new == n_old
+            and new_edges.exceptAll(edges).limit(1).count() == 0
         )
+        n_prev = n_new
         edges.unpersist()
         edges = new_edges
         if converged:
