@@ -1145,6 +1145,18 @@ def q_pq_topk(spark, sf_dir):
     return SIM.pq_topk(e, _query_vec(spark, sf_dir), books, k=10)
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composition: coarse cells prune the scan (probe 2 of 8),
+    PQ/ADC ranks within. Coarse centroids and PQ codebooks share the same
+    deterministic stride-seed set, so the whole two-stage search — probe
+    set, cell assignment, codes, ADC distances — replays bit-exactly in
+    the DuckDB oracle."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = SIM.ivf_centroids(e, n_centroids=8, lloyd_iters=0)
+    books = SIM.pq_codebooks(e, m=4, n_codes=8)
+    return SIM.ivfpq_topk(e, _query_vec(spark, sf_dir), cents, books, k=10, n_probe=2)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (binary payload metadata; kernel stubbed, see module)
 # ---------------------------------------------------------------------------
@@ -1229,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- entries past the driver's 50-row window: variants whose
         # family already has a green representative above ----
         "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "lsh_topk": q_lsh_topk,
         "quantized_topk": q_quantized_topk,
         "anomaly_hours": q_anomaly_hours,
@@ -1439,6 +1452,57 @@ def _sql_pq_topk(k: int = 10, m: int = 4, n_codes: int = 8, d_sub: int = 16) -> 
         f"ORDER BY c.cc - 2 * {_sql_dot('sub.ev', 'c.cs')}, c.cidx) AS rn "
         f"FROM sub JOIN ccn c ON sub.s = c.s) WHERE rn = 1), "
         f"q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+        f"qsub AS (SELECT t.s, list_slice(q.qv, t.s * {d_sub} + 1, t.s * {d_sub} + {d_sub}) AS qs "
+        f"FROM q, range({m}) t(s)), "
+        f"lut AS (SELECT c.s, c.cidx, c.cc - 2 * {_sql_dot('qsub.qs', 'c.cs')} AS lv "
+        f"FROM ccn c JOIN qsub ON qsub.s = c.s), "
+        f"terms AS (SELECT a.vec_id, a.s, l.lv FROM assign a "
+        f"JOIN lut l ON a.s = l.s AND a.cidx = l.cidx) "
+        f"SELECT vec_id, list_reduce(list_prepend(0.0::DOUBLE, list(lv ORDER BY s)), "
+        f"(acc, v) -> acc + v) AS adc_dist "
+        f"FROM terms GROUP BY vec_id ORDER BY adc_dist ASC, vec_id ASC LIMIT {k}"
+    )
+
+
+def _sql_ivfpq_topk(
+    k: int = 10, n_cells: int = 8, n_probe: int = 2,
+    m: int = 4, n_codes: int = 8, d_sub: int = 16,
+) -> str:
+    """IVF-PQ replay: the coarse stage is _sql_ivf_topk's cells/probe/assign
+    (stride seeds, c.c - 2 v.c, lowest-index tiebreak); the ranking stage
+    is _sql_pq_topk's code/lut/ADC machinery restricted to probed cells.
+    Coarse centroids and PQ codebooks share one seed CTE (n_cells ==
+    n_codes with the same stride), mirroring q_ivfpq_topk."""
+    assert n_cells == n_codes  # shared seed set, as in the Spark query
+    ccfull = _sql_dot("c.cv", "c.cv")
+    dcc = _sql_dot("c.cs", "c.cs")
+    return (
+        f"WITH st AS (SELECT greatest(count(*) // {n_codes}, 1) AS st FROM embeddings), "
+        f"cents AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, "
+        f"embedding AS cv FROM embeddings, st "
+        f"WHERE vec_id % st = 0 AND vec_id // st < {n_codes}), "
+        f"ccoarse AS MATERIALIZED (SELECT c.cidx, c.cv, {ccfull} AS cc FROM cents c), "
+        f"q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+        f"qprobe AS (SELECT cidx FROM (SELECT c.cidx, row_number() OVER "
+        f"(ORDER BY c.cc - 2 * {_sql_dot('q.qv', 'c.cv')}, c.cidx) AS rn "
+        f"FROM ccoarse c, q) WHERE rn <= {n_probe}), "
+        f"cellassign AS (SELECT vec_id, embedding, cidx FROM (SELECT e.vec_id, e.embedding, c.cidx, "
+        f"row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY c.cc - 2 * {_sql_dot('e.embedding', 'c.cv')}, c.cidx) AS rn "
+        f"FROM embeddings e, ccoarse c) WHERE rn = 1), "
+        f"probed AS (SELECT a.vec_id, a.embedding FROM cellassign a "
+        f"JOIN qprobe p ON a.cidx = p.cidx), "
+        f"csub AS MATERIALIZED (SELECT c.cidx, t.s, "
+        f"list_slice(c.cv, t.s * {d_sub} + 1, t.s * {d_sub} + {d_sub}) AS cs "
+        f"FROM cents c, range({m}) t(s)), "
+        f"ccn AS MATERIALIZED (SELECT c.cidx, c.s, c.cs, {dcc} AS cc FROM csub c), "
+        f"sub AS (SELECT e.vec_id, t.s, "
+        f"list_slice(e.embedding, t.s * {d_sub} + 1, t.s * {d_sub} + {d_sub}) AS ev "
+        f"FROM probed e, range({m}) t(s)), "
+        f"assign AS (SELECT vec_id, s, cidx FROM (SELECT sub.vec_id, sub.s, c.cidx, "
+        f"row_number() OVER (PARTITION BY sub.vec_id, sub.s "
+        f"ORDER BY c.cc - 2 * {_sql_dot('sub.ev', 'c.cs')}, c.cidx) AS rn "
+        f"FROM sub JOIN ccn c ON sub.s = c.s) WHERE rn = 1), "
         f"qsub AS (SELECT t.s, list_slice(q.qv, t.s * {d_sub} + 1, t.s * {d_sub} + {d_sub}) AS qs "
         f"FROM q, range({m}) t(s)), "
         f"lut AS (SELECT c.s, c.cidx, c.cc - 2 * {_sql_dot('qsub.qs', 'c.cs')} AS lv "
@@ -1910,6 +1974,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk": _sql_lsh_topk(k=10, n_planes=8),
         "ivf_topk": _sql_ivf_topk(k=10, n_centroids=8, n_probe=2),
         "pq_topk": _sql_pq_topk(k=10, m=4, n_codes=8, d_sub=16),
+        "ivfpq_topk": _sql_ivfpq_topk(k=10, n_cells=8, n_probe=2, m=4, n_codes=8, d_sub=16),
         "embedding_neardup": (
             f"WITH nv AS (SELECT vec_id, label, {_sql_normvec('embedding')} AS v "
             "FROM embeddings) "

@@ -546,3 +546,38 @@ def pq_topk(
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_vec,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the standard trillion-scale ANN layout — the IVF coarse
+    quantizer prunes the search to ``n_probe`` cells, PQ/ADC ranks inside
+    them. Non-residual variant (codes quantize the raw vectors, not the
+    per-cell residuals — the ``by_residual=False`` configuration in public
+    PQ literature/implementations), which keeps one global code table and
+    lets the oracle replay every step.
+
+    At scale: vectors live partitioned by cell (``write_ivf_index``) with
+    the m-byte PQ code column materialized at write time (``pq_encode``);
+    a query then reads only the CODE column of n_probe partitions —
+    partition pruning x 64x column-byte reduction multiply. Probe ranking,
+    cell assignment, code assignment, and the ADC sum all use the same
+    fold-deterministic double arithmetic as ``ivf_topk``/``pq_topk``.
+    """
+    scores = [
+        (_fold_dot(c, c) - 2.0 * _fold_dot(query_vec, c), ci)
+        for ci, c in enumerate(centroids)
+    ]
+    probe = [ci for _s, ci in sorted(scores)[:n_probe]]
+    probed = df.withColumn("_c", nearest_centroid(F.col(vec_col), centroids)).filter(
+        F.col("_c").isin(probe)
+    )
+    return pq_topk(probed, query_vec, codebooks, k=k, id_col=id_col, vec_col=vec_col)

@@ -232,3 +232,29 @@ def test_pq_topk_self_nearest_and_recall(emb, emb_np):
     # ADC is coarse (8 codes/subspace) — demand overlap, not equality
     exact = set(_exact_topk(emb_np, q, 20))
     assert len({r["vec_id"] for r in got} & exact) >= 5
+
+
+def test_ivfpq_topk_subset_of_probed_cells(emb, emb_np):
+    """IVF-PQ results must come only from probed cells, rank by ADC, and
+    keep reasonable recall vs exact cosine on this corpus."""
+    cents = SIM.ivf_centroids(emb, n_centroids=8, lloyd_iters=0)
+    books = SIM.pq_codebooks(emb, m=4, n_codes=8)
+    q = [float(x) for x in emb_np[0]]
+    got = SIM.ivfpq_topk(emb, q, cents, books, k=10, n_probe=2).collect()
+    assert 0 < len(got) <= 10
+    dists = [r["adc_dist"] for r in got]
+    assert dists == sorted(dists)
+    # membership: every hit's coarse cell is in the probe set
+    scores = [
+        (SIM._fold_dot(c, c) - 2.0 * SIM._fold_dot(q, c), ci)
+        for ci, c in enumerate(cents)
+    ]
+    probe = {ci for _s, ci in sorted(scores)[:2]}
+    assigned = {
+        r["vec_id"]: r["_c"]
+        for r in emb.withColumn(
+            "_c", SIM.nearest_centroid(F.col("embedding"), cents)
+        ).collect()
+    }
+    assert all(assigned[r["vec_id"]] in probe for r in got)
+    assert got[0]["vec_id"] == 0  # query is a seed: its own cell is probed first
