@@ -1057,6 +1057,38 @@ def q_dup_clusters_star(spark, sf_dir):
     )
 
 
+def q_corpus_curation(spark, sf_dir):
+    """The full LLM training-data curation flow as ONE composed query:
+    near-dup pairs -> connected-component clusters -> keep the best-quality
+    doc per cluster -> deterministic hash split -> per-split doc/token
+    budget. Every stage is an operator the gate already verifies
+    individually; this pins that the COMPOSITION stays oracle-exact
+    (per-split counts and token sums replayed end-to-end by DuckDB)."""
+    from log_analysis_spark.operators.sampling import split_by_hash
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "blk",
+        F.concat_ws("_", "lang", F.floor(F.col("n_chars") / F.lit(64)).cast("long")),
+    )
+    pairs = DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", block_col="blk", n=3, threshold=JACCARD_T
+    )
+    clusters = DD.dup_clusters(d, "doc_id", pairs)
+    scored = d.select("doc_id", TS.quality_score(F.col("text")).alias("q"))
+    kept = (
+        DD.dedup_keep_best(scored, clusters, "doc_id", "q")
+        .filter(F.col("_keep"))
+        .select(F.col("_id").alias("doc_id"))
+    )
+    toks = d.select("doc_id", TS.token_count(F.col("text")).cast("long").alias("nt"))
+    return (
+        split_by_hash(kept.join(toks, "doc_id"), "doc_id", 0.1, 0.1)
+        .groupBy("_split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("sum_tokens"))
+        .orderBy("_split")
+    )
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Full dedup resolution: pairs -> clusters -> ONE canonical doc per
     cluster by quality score (ties to min id). The oracle replays cluster
@@ -1242,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family already has a green representative above ----
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
+        "corpus_curation": q_corpus_curation,
         "lsh_topk": q_lsh_topk,
         "quantized_topk": q_quantized_topk,
         "anomaly_hours": q_anomaly_hours,
@@ -1968,6 +2001,35 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY l.cluster_id ORDER BY qs.q DESC, l.doc_id ASC) AS rn "
             "FROM lab l JOIN qs ON l.doc_id = qs.doc_id) "
             "SELECT doc_id, cluster_id, (rn = 1) AS is_kept FROM r"
+        ),
+        "corpus_curation": (
+            "WITH RECURSIVE tok AS (SELECT doc_id, lang || '_' || (n_chars // 64) AS blk, "
+            f"{_TOKENS.format(t='text')} AS w FROM documents), "
+            f"sh AS (SELECT doc_id, blk, CASE WHEN len(w) >= 3 THEN {_SQL_SHINGLES3} "
+            "ELSE [] END AS s FROM tok), "
+            "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id "
+            "WHERE len(list_distinct(a.s || b.s)) > 0 AND "
+            "len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE "
+            f">= {JACCARD_T}), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM pairs "
+            "UNION SELECT id_b AS u, id_a AS v FROM pairs), "
+            "reach AS (SELECT u, v FROM edges "
+            "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v != r.u), "
+            "comp AS (SELECT u, least(u, min(v)) AS cluster FROM reach GROUP BY u), "
+            "lab AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster_id "
+            "FROM documents d LEFT JOIN comp c ON d.doc_id = c.u), "
+            f"qs AS (SELECT doc_id, {_sql_quality('text')} AS q FROM documents), "
+            "r AS (SELECT l.doc_id, row_number() OVER "
+            "(PARTITION BY l.cluster_id ORDER BY qs.q DESC, l.doc_id ASC) AS rn "
+            "FROM lab l JOIN qs ON l.doc_id = qs.doc_id), "
+            "kept AS (SELECT doc_id FROM r WHERE rn = 1), "
+            f"tk AS (SELECT doc_id, len({_TOKENS.format(t='text')})::BIGINT AS nt FROM documents), "
+            f"b AS (SELECT k.doc_id, {_sql_h60('k.doc_id::VARCHAR')} % 10000 AS bk, tk.nt "
+            "FROM kept k JOIN tk ON k.doc_id = tk.doc_id) "
+            "SELECT CASE WHEN bk < 1000 THEN 'test' WHEN bk < 2000 THEN 'valid' "
+            "ELSE 'train' END AS _split, count(*) AS n_docs, sum(nt)::BIGINT AS sum_tokens "
+            "FROM b GROUP BY _split ORDER BY _split"
         ),
         "minhash_lsh": _sql_minhash_lsh(num_perm=64, bands=16, threshold=JACCARD_T),
         "simhash": _sql_simhash(max_hamming=6),
