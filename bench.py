@@ -65,6 +65,10 @@ BENCH_QUERIES = [
     "range_join",
     "quantized_topk",
     "stratified_sample",
+    "conn_bytes_stats",
+    "pq_topk",
+    "ivfpq_topk",
+    "corpus_curation",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at
