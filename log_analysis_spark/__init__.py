@@ -46,7 +46,9 @@ def __getattr__(name):
         "split_by_hash": ("log_analysis_spark.operators.sampling", "split_by_hash"),
         "pq_codebooks": ("log_analysis_spark.operators.similarity", "pq_codebooks"),
         "pq_encode": ("log_analysis_spark.operators.similarity", "pq_encode"),
+        "pq_encode_arrow": ("log_analysis_spark.operators.similarity", "pq_encode_arrow"),
         "pq_topk": ("log_analysis_spark.operators.similarity", "pq_topk"),
+        "ivfpq_topk": ("log_analysis_spark.operators.similarity", "ivfpq_topk"),
         "register_views": ("log_analysis_spark.sources.views", "register_views"),
         "register_pages": ("log_analysis_spark.sources.views", "register_pages"),
     }

@@ -598,3 +598,53 @@ def ivfpq_topk(
         F.col("_c").isin(probe)
     )
     return pq_topk(probed, query_vec, codebooks, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def pq_encode_arrow(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, _codes) PQ encoding via one Arrow-batched BLAS pass — the
+    write-path scale form of ``pq_encode`` for large m*n_codes, exactly as
+    ``assign_centroids_arrow`` is to ``nearest_centroid``: per batch, one
+    (rows*m, d_sub) x (d_sub, n_codes) multiply + argmin per subspace
+    instead of m*n_codes codegen folds per row. np.argmin keeps the
+    first/lowest-index minimum, matching the expression path's tiebreak
+    (BLAS summation may differ from the fold in the last ulp on exact
+    ties — asserted equal on separated data in tests; the gate query stays
+    on the fold-exact ``pq_encode``)."""
+    import pyarrow as pa
+
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)  # (m, k, d)
+    m, _k, d_sub = books.shape
+    cc = (books * books).sum(axis=2)  # (m, k)
+
+    def _encode(batches):
+        for batch in batches:
+            tbl = pa.table(batch)
+            ids = tbl[id_col]
+            mat = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in tbl[vec_col].to_pylist()]
+            )  # (n, dim)
+            n = mat.shape[0]
+            sub = mat.reshape(n, m, d_sub)  # (n, m, d)
+            # scores[n, m, k] = cc[m, k] - 2 * sub @ books^T per subspace
+            scores = cc[None, :, :] - 2.0 * np.einsum("nmd,mkd->nmk", sub, books)
+            codes = np.argmin(scores, axis=2).astype(np.int32)  # (n, m)
+            yield pa.record_batch(
+                [ids.combine_chunks(), pa.array(list(codes))],
+                names=[id_col, "_codes"],
+            )
+
+    import pyspark.sql.types as T
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, True),
+            T.StructField("_codes", T.ArrayType(T.IntegerType(), False), True),
+        ]
+    )
+    return df.select(id_col, vec_col).mapInArrow(_encode, schema=out_schema)

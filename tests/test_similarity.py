@@ -258,3 +258,10 @@ def test_ivfpq_topk_subset_of_probed_cells(emb, emb_np):
     }
     assert all(assigned[r["vec_id"]] in probe for r in got)
     assert got[0]["vec_id"] == 0  # query is a seed: its own cell is probed first
+
+
+def test_pq_encode_arrow_matches_expression_path(emb):
+    books = SIM.pq_codebooks(emb, m=4, n_codes=8)
+    expr = {r["vec_id"]: list(r["_codes"]) for r in SIM.pq_encode(emb, books).collect()}
+    arrow = {r["vec_id"]: list(r["_codes"]) for r in SIM.pq_encode_arrow(emb, books).collect()}
+    assert expr == arrow
