@@ -227,3 +227,36 @@ def test_salted_join_equals_plain_join(spark):
     cols = sorted(got.columns)
     assert got.select(cols).exceptAll(want.select(cols)).count() == 0
     assert want.select(cols).exceptAll(got.select(cols)).count() == 0
+
+
+def test_torn_sink_write_without_manifest_is_healed(spark, tmpdir_path):
+    """Crash-mid-write simulation (north_rule resumability, the sharp
+    case): a day's sink directory holds a TORN write (files deleted, junk
+    added) and its manifest entry is gone — exactly the state a kill
+    between sink write and manifest commit leaves (checkpoint.py's
+    documented commit order). The rerun must reprocess ONLY that day via
+    dynamic partition overwrite and restore exact counts, junk gone."""
+    import glob
+    import os as _os
+
+    inp = os.path.join(tmpdir_path, "pages2")
+    out = os.path.join(tmpdir_path, "out2")
+    write_pages(spark, 600, inp, partitions=4)
+    m1 = run_pipeline(spark, inp, out)
+    assert len(m1["days_processed"]) == 3
+    sink = os.path.join(out, "sinks", "http_like")
+    total1 = spark.read.parquet(sink).count()
+    assert total1 == 600
+
+    day_dir = os.path.join(sink, "day=2024-07-03")
+    parts = glob.glob(os.path.join(day_dir, "*.parquet"))
+    assert parts
+    _os.remove(parts[0])  # torn: half-written output lost a file
+    with open(os.path.join(day_dir, "part-junk.parquet.tmp"), "w") as f:
+        f.write("garbage")  # torn: stray temp file survived the crash
+    _os.remove(os.path.join(out, "_manifest", "pipeline__2024-07-03.json"))
+
+    m2 = run_pipeline(spark, inp, out)
+    assert m2["days_processed"] == ["2024-07-03"]
+    assert spark.read.parquet(sink).count() == total1
+    assert not glob.glob(os.path.join(day_dir, "*.tmp"))
