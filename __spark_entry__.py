@@ -1089,6 +1089,16 @@ def q_corpus_curation(spark, sf_dir):
     )
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """Winnowing-fingerprint near-dup pairs (Schleimer et al. 2003): every
+    shared >= k+w-1-token substring contributes a shared selected hash, so
+    block-level copying surfaces even when whole-doc Jaccard is diluted.
+    md5-based hashes let the oracle replay selection and pair counts
+    bit-exactly."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.winnow_pairs(d, "doc_id", "text", k=3, w=4, min_shared=2, hash_fn="md5")
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Full dedup resolution: pairs -> clusters -> ONE canonical doc per
     cluster by quality score (ties to min id). The oracle replays cluster
@@ -1275,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "corpus_curation": q_corpus_curation,
+        "winnow_pairs": q_winnow_pairs,
         "lsh_topk": q_lsh_topk,
         "quantized_topk": q_quantized_topk,
         "anomaly_hours": q_anomaly_hours,
@@ -2030,6 +2041,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CASE WHEN bk < 1000 THEN 'test' WHEN bk < 2000 THEN 'valid' "
             "ELSE 'train' END AS _split, count(*) AS n_docs, sum(nt)::BIGINT AS sum_tokens "
             "FROM b GROUP BY _split ORDER BY _split"
+        ),
+        "winnow_pairs": (
+            f"WITH tok AS (SELECT doc_id, {_TOKENS.format(t='text')} AS w FROM documents), "
+            "kg AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
+            "[w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)] "
+            "ELSE [] END AS s FROM tok), "
+            f"kh AS (SELECT doc_id, list_transform(s, x -> {_sql_h60('x')}) AS kh FROM kg), "
+            "sel AS (SELECT doc_id, CASE WHEN len(kh) >= 4 THEN "
+            "list_transform(range(1, len(kh) - 2), i -> list_min(kh[i:i+3])) "
+            "ELSE [] END AS sel FROM kh), "
+            "fps AS (SELECT doc_id, unnest(list_distinct(sel)) AS fp FROM sel) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared "
+            "FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+            "GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2"
         ),
         "minhash_lsh": _sql_minhash_lsh(num_perm=64, bands=16, threshold=JACCARD_T),
         "simhash": _sql_simhash(max_hamming=6),

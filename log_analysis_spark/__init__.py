@@ -37,6 +37,8 @@ def __getattr__(name):
         "dup_clusters": ("log_analysis_spark.operators.dedup", "dup_clusters"),
         "dup_clusters_star": ("log_analysis_spark.operators.dedup", "dup_clusters_star"),
         "dedup_keep_best": ("log_analysis_spark.operators.dedup", "dedup_keep_best"),
+        "winnowed_fingerprints": ("log_analysis_spark.operators.dedup", "winnowed_fingerprints"),
+        "winnow_pairs": ("log_analysis_spark.operators.dedup", "winnow_pairs"),
         "brute_force_topk": ("log_analysis_spark.operators.similarity", "brute_force_topk"),
         "lsh_topk": ("log_analysis_spark.operators.similarity", "lsh_topk"),
         "ivf_topk": ("log_analysis_spark.operators.similarity", "ivf_topk"),

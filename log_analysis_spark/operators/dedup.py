@@ -723,3 +723,73 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# --- winnowing fingerprints -------------------------------------------------
+def winnowed_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(_id, _fps: array<long>) — winnowing document fingerprints
+    (Schleimer, Wilkerson, Aiken, "Winnowing: Local Algorithms for
+    Document Fingerprinting", SIGMOD 2003): hash every word k-gram, slide
+    a window of ``w`` consecutive k-gram hashes, record each window's
+    minimum; the selected values (sorted, distinct) are the document's
+    fingerprint set. Guarantees every shared substring of at least
+    k + w - 1 tokens contributes a shared fingerprint — the position-
+    robust dedup signal MOSS uses for code plagiarism.
+
+    The k-gram hash array is materialized through an aggregation barrier
+    before the window-min pass: the per-window lambda references the
+    array once per window, and without the barrier projection collapse
+    would re-inline the whole tokenize+hash expression into every window
+    (the dedup-module trap, see _hashed_shingle_sets).
+
+    Docs shorter than k + w - 1 tokens yield an empty fingerprint array
+    (standard winnowing domain; use exact/minhash dedup for tiny docs).
+    """
+    kh = F.transform(shingles(F.col(text_col), k), lambda s: _base_hash(s, hash_fn))
+    proj = df.select(F.col(id_col).alias("_id"), kh.alias("_kh"))
+    mat = proj.groupBy("_id").agg(F.first("_kh").alias("_kh"))  # barrier
+    nw = F.size(F.col("_kh")) - (w - 1)
+    sel = F.when(
+        nw > 0,
+        F.transform(
+            F.sequence(F.lit(1), nw),
+            lambda i: F.array_min(F.slice(F.col("_kh"), i, w)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return mat.select("_id", F.array_sort(F.array_distinct(sel)).alias("_fps"))
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints:
+    (id_a, id_b, n_shared) for pairs sharing >= ``min_shared`` selected
+    hashes. Candidate generation is a fingerprint equi-join (keyed hash
+    shuffle on the fingerprint value — never a cross join); a shared
+    fingerprint witnesses a shared >= k+w-1-token substring, so this
+    catches block-level copying that whole-document Jaccard dilutes."""
+    fps = winnowed_fingerprints(df, id_col, text_col, k, w, hash_fn=hash_fn)
+    flat = fps.select("_id", F.explode("_fps").alias("_fp"))
+    a, b = flat.alias("a"), flat.alias("b")
+    return (
+        a.join(
+            b,
+            on=[F.col("a._fp") == F.col("b._fp"), F.col("a._id") < F.col("b._id")],
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -199,3 +199,39 @@ def test_dup_clusters_star_matches_plain_and_handles_deep_chains(spark):
         r["_id"]: r["_label"] for r in DD.dup_clusters(ids, "doc_id", pairs, max_iter=60).collect()
     }
     assert star == plain
+
+
+def test_winnowing_guarantee_and_short_doc_domain(spark):
+    """Winnowing's defining property (Schleimer 2003): any shared run of
+    >= k+w-1 tokens produces at least one shared selected fingerprint.
+    Docs shorter than k+w-1 tokens have an empty fingerprint set."""
+    import pandas as pd
+
+    from log_analysis_spark.operators.dedup import (
+        winnow_pairs,
+        winnowed_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = k+w-1
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    f"one unrelated prefix {shared} tail tokens here",
+                    f"{shared} totally different suffix material now",
+                    "no overlap with anything else at all whatsoever",
+                    "tiny doc",  # < k+w-1 tokens -> empty fingerprint set
+                ],
+            }
+        )
+    )
+    fps = {r["_id"]: list(r["_fps"]) for r in winnowed_fingerprints(df, "doc_id", "text").collect()}
+    assert fps[4] == []
+    assert set(fps[1]) & set(fps[2])  # the guarantee
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_pairs(df, "doc_id", "text", min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p and 4 not in p for p in pairs)
