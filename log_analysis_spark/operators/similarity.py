@@ -75,6 +75,31 @@ def hyperplane_bucket(vec: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def lsh_probe_set(query_vec, planes: np.ndarray, probe_hamming: int = 1) -> list[int]:
+    """Bucket ids within ``probe_hamming`` bit flips of the query's sign-LSH
+    bucket — the multi-probe recall knob (probe count grows as sum of
+    C(n_planes, h) for h <= probe_hamming: 1, 1+n, 1+n+n(n-1)/2, ...).
+    Sign decisions are driver-side left folds, so the probe set is
+    replayable by an oracle."""
+    n_planes = len(planes)
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if _fold_dot(query_vec, p) > 0:
+            qbucket |= 1 << i
+    probe = [qbucket]
+    if probe_hamming >= 1:
+        probe += [qbucket ^ (1 << i) for i in range(n_planes)]
+    if probe_hamming >= 2:
+        probe += [
+            qbucket ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    if probe_hamming >= 3:
+        raise ValueError("probe_hamming > 2 not supported (probe set explodes)")
+    return probe
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec,
@@ -86,18 +111,15 @@ def lsh_topk(
     probe_hamming: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only vectors whose LSH bucket is within
-    ``probe_hamming`` bits of the query's bucket.
+    ``probe_hamming`` bits of the query's bucket (``lsh_probe_set`` — the
+    measured recall-vs-probes curve lives in tests/test_similarity.py).
 
     At 10^12 vectors the bucketed table is written partitioned by bucket id
     (partition pruning turns the probe into reading ~(1+n_planes) buckets);
     here the same pruning is a filter that Catalyst pushes to the scan.
     """
     planes = hyperplanes(len(query_vec), n_planes, seed)
-    qbucket = 0
-    for i, p in enumerate(planes):
-        if _fold_dot(query_vec, p) > 0:
-            qbucket |= 1 << i
-    probe = [qbucket] + [qbucket ^ (1 << i) for i in range(n_planes)] if probe_hamming >= 1 else [qbucket]
+    probe = lsh_probe_set(query_vec, planes, probe_hamming)
     bucketed = df.withColumn("_bucket", hyperplane_bucket(F.col(vec_col), planes))
     return (
         bucketed.filter(F.col("_bucket").isin(probe))
@@ -143,15 +165,11 @@ def lsh_topk_indexed(
 ) -> DataFrame:
     """Approximate top-k over the materialized LSH index with partition
     pruning: the ``_bucket IN (probe set)`` filter is a partition filter —
-    only the probed bucket directories are listed and scanned."""
+    only the probed bucket directories are listed and scanned.
+    ``probe_hamming`` (0-2) widens the probe set for recall at the cost of
+    proportionally more bucket directories read."""
     planes = hyperplanes(len(query_vec), n_planes, seed)
-    qbucket = 0
-    for i, p in enumerate(planes):
-        if _fold_dot(query_vec, p) > 0:
-            qbucket |= 1 << i
-    probe = [qbucket]
-    if probe_hamming >= 1:
-        probe += [qbucket ^ (1 << i) for i in range(n_planes)]
+    probe = lsh_probe_set(query_vec, planes, probe_hamming)
     return (
         spark.read.parquet(index_path)
         .filter(F.col("_bucket").isin(probe))
@@ -186,11 +204,7 @@ def ivf_topk_indexed(
 ) -> DataFrame:
     """IVF search over the materialized cell-partitioned index (partition
     pruning on ``_c``), same probe ranking as ``ivf_topk``."""
-    scores = [
-        (_fold_dot(c, c) - 2.0 * _fold_dot(query_vec, c), ci)
-        for ci, c in enumerate(centroids)
-    ]
-    probe = [ci for _s, ci in sorted(scores)[:n_probe]]
+    probe = probe_cells(query_vec, centroids, n_probe)
     return (
         spark.read.parquet(index_path)
         .filter(F.col("_c").isin(probe))
@@ -252,7 +266,15 @@ def nearest_centroid(vec: Column, centroids: np.ndarray) -> Column:
     change alone; same projection-collapse class as dedup's shingle
     barrier). Strict ``<`` in the fold keeps the FIRST minimal score, i.e.
     the lowest centroid index — identical tiebreak to the when-chain form
-    and to the SQL oracle's row_number ordering."""
+    and to the SQL oracle's row_number ordering.
+
+    NULL vectors assign to NULL (not the -1 init sentinel): a NULL
+    embedding folds every score to NULL, the fold keeps the init struct,
+    and -1 would then flow into downstream 1-based ``element_at`` lookups
+    as index 0 — a runtime error. Propagating NULL instead means NULL
+    embeddings drop out of ``isin(probe)`` filters and PQ lut sums turn
+    NULL, never raise; callers wanting them gone entirely filter
+    ``vec IS NOT NULL`` before assignment."""
     pairs = F.array(*[
         F.struct(
             (
@@ -274,7 +296,9 @@ def nearest_centroid(vec: Column, centroids: np.ndarray) -> Column:
     best = F.aggregate(
         pairs, init, lambda acc, p: F.when(p["s"] < acc["s"], p).otherwise(acc)
     )
-    return best["i"]
+    # best["i"] >= 0 also catches all-NaN vectors (every NaN score loses the
+    # `<` comparison, leaving the -1 init) — mapped to NULL, same as NULL vecs
+    return F.when(vec.isNotNull() & (best["i"] >= 0), best["i"])
 
 
 def assign_centroids_arrow(
@@ -336,11 +360,7 @@ def ivf_topk(
     Probe ranking uses the same c.c - 2 q.c score (q.q drops out) with the
     same fold arithmetic and index tiebreak as ``nearest_centroid``, so an
     oracle can reproduce the probe set exactly."""
-    scores = [
-        (_fold_dot(c, c) - 2.0 * _fold_dot(query_vec, c), ci)
-        for ci, c in enumerate(centroids)
-    ]
-    probe = [ci for _s, ci in sorted(scores)[:n_probe]]
+    probe = probe_cells(query_vec, centroids, n_probe)
     assigned = df.withColumn("_c", nearest_centroid(F.col(vec_col), centroids))
     return (
         assigned.filter(F.col("_c").isin(probe))
@@ -431,6 +451,17 @@ def knn_join(
     from .dedup import dot_product, normalized_vectors
 
     if block_col is None:
+        # contract note: this makes the result APPROXIMATE kNN (true
+        # neighbors hashed into other buckets are missed). Callers who had
+        # relied on an exact unblocked path get a visible one-time signal.
+        import warnings
+
+        warnings.warn(
+            "knn_join: block_col=None auto-derives a sign-LSH block — the "
+            "result is approximate kNN (neighbors outside the shared bucket "
+            "are missed). Pass an explicit block_col to silence this.",
+            stacklevel=2,
+        )
         dim_row = left.select(F.size(vec_col)).first()
         if dim_row is None:
             raise ValueError("knn_join: left side is empty; cannot derive LSH block")
@@ -505,23 +536,62 @@ def pq_codebooks(
     )
 
 
+def pq_encode_expr(vec: Column, codebooks: np.ndarray) -> Column:
+    """``array<int>`` of per-subspace nearest-code assignments, all native
+    Column folds (same c.c - 2 v.c expansion and lowest-index tiebreak as
+    ``nearest_centroid``, per subspace slice); the m * n_codes folds stay
+    inside whole-stage codegen."""
+    m, _n_codes, d_sub = codebooks.shape
+    return F.array(*[
+        nearest_centroid(F.slice(vec, s * d_sub + 1, d_sub), codebooks[s])
+        for s in range(m)
+    ])
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, _codes: array<int>) — per-subspace nearest-code assignment,
-    all native Column folds (same c.c - 2 v.c expansion and lowest-index
-    tiebreak as ``nearest_centroid``, per subspace slice). At scale this
-    is the write-path projection that materializes the code table; the
-    m * n_codes folds stay inside whole-stage codegen."""
+    """(id, _codes: array<int>) — ``pq_encode_expr`` as a projection. At
+    scale this is the write-path stage that materializes the code table."""
+    return df.select(
+        F.col(id_col), pq_encode_expr(F.col(vec_col), codebooks).alias("_codes")
+    )
+
+
+def adc_distance(query_vec, codebooks: np.ndarray, codes_col: str = "_codes") -> Column:
+    """ADC distance expression over a PQ code column: sum of m lookup-table
+    entries lut[s][code_s], where lut[s][j] = c_j.c_j - 2 q_s.c_j (the
+    constant q.q drops out of the ranking). The luts are tiny driver-side
+    constants shipped as literals; evaluation reads ONLY the code column.
+
+    Determinism contract: lut entries are driver-side left folds
+    (``_fold_dot``) and the m-term sum accumulates left-to-right from 0.0,
+    so DuckDB replays the exact doubles (list_reduce over the same order).
+
+    The lut index is NULL-guarded BEFORE element_at: in Spark 4.1.2,
+    ``element_at(arr, idx)`` with a runtime-NULL idx (e.g. ``CASE WHEN ...
+    THEN 2 END`` falling through) returns a garbage element instead of
+    NULL — only a literal NULL idx behaves (verified this build; the
+    when() guard keeps element_at from evaluating on NULL codes at all).
+    NULL codes (from NULL embeddings) therefore yield NULL distance."""
     m, _n_codes, d_sub = codebooks.shape
-    codes = [
-        nearest_centroid(F.slice(F.col(vec_col), s * d_sub + 1, d_sub), codebooks[s])
-        for s in range(m)
-    ]
-    return df.select(F.col(id_col), F.array(*codes).alias("_codes"))
+    qv = [float(x) for x in query_vec]
+    dist = F.lit(0.0).cast("double")
+    for s in range(m):
+        qs = qv[s * d_sub : (s + 1) * d_sub]
+        lut = [
+            _fold_dot(c, c) - 2.0 * _fold_dot(qs, c) for c in codebooks[s]
+        ]
+        idx = F.get(F.col(codes_col), s)
+        term = F.when(
+            idx.isNotNull(),
+            F.element_at(F.array(*[F.lit(v).cast("double") for v in lut]), idx + 1),
+        )
+        dist = dist + term
+    return dist
 
 
 def pq_topk(
@@ -533,33 +603,13 @@ def pq_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """PQ top-k by asymmetric distance (ADC): the query stays unquantized;
-    each row's approximate squared L2 distance is a sum of m lookup-table
-    entries lut[s][code_s], where lut[s][j] = c_j.c_j - 2 q_s.c_j (the
-    constant q.q drops out of the ranking). The scan reads only the m-byte
-    code column — no float vectors move — which is the PQ scale win: at
-    10^12 rows the 64x smaller code table is what gets scanned, with the
-    codebooks broadcast as literals.
-
-    Determinism contract: lut entries are driver-side left folds
-    (``_fold_dot``) and the m-term sum accumulates left-to-right from 0.0,
-    so DuckDB replays the exact doubles (list_reduce over the same order).
-    Ties break to the lowest vec_id."""
-    m, n_codes, d_sub = codebooks.shape
+    rows rank by ``adc_distance`` over their codes. The scan reads only the
+    m-byte code column — no float vectors move — which is the PQ scale win:
+    at 10^12 rows the 64x smaller code table is what gets scanned, with the
+    codebooks broadcast as literals. Ties break to the lowest vec_id."""
     enc = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
-    qv = [float(x) for x in query_vec]
-    dist = F.lit(0.0).cast("double")
-    for s in range(m):
-        qs = qv[s * d_sub : (s + 1) * d_sub]
-        lut = [
-            _fold_dot(c, c) - 2.0 * _fold_dot(qs, c) for c in codebooks[s]
-        ]
-        term = F.element_at(
-            F.array(*[F.lit(v).cast("double") for v in lut]),
-            F.get(F.col("_codes"), s) + 1,
-        )
-        dist = dist + term
     return (
-        enc.select(F.col(id_col), dist.alias("adc_dist"))
+        enc.select(F.col(id_col), adc_distance(query_vec, codebooks).alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )
@@ -582,22 +632,100 @@ def ivfpq_topk(
     PQ literature/implementations), which keeps one global code table and
     lets the oracle replay every step.
 
-    At scale: vectors live partitioned by cell (``write_ivf_index``) with
-    the m-byte PQ code column materialized at write time (``pq_encode``);
-    a query then reads only the CODE column of n_probe partitions —
-    partition pruning x 64x column-byte reduction multiply. Probe ranking,
-    cell assignment, code assignment, and the ADC sum all use the same
-    fold-deterministic double arithmetic as ``ivf_topk``/``pq_topk``.
+    This in-plan form computes the cell assignment over every row (the
+    oracle-replayable exactness witness — fine at gate scale, a full scan
+    at 10^12 rows). The scale path is the MATERIALIZED index:
+    ``write_ivfpq_index`` + ``ivfpq_topk_indexed`` read only the code
+    column of n_probe cell partitions — partition pruning x 64x
+    column-byte reduction multiply. Probe ranking, cell assignment, code
+    assignment, and the ADC sum all use the same fold-deterministic double
+    arithmetic as ``ivf_topk``/``pq_topk``.
     """
-    scores = [
-        (_fold_dot(c, c) - 2.0 * _fold_dot(query_vec, c), ci)
-        for ci, c in enumerate(centroids)
-    ]
-    probe = [ci for _s, ci in sorted(scores)[:n_probe]]
+    probe = probe_cells(query_vec, centroids, n_probe)
     probed = df.withColumn("_c", nearest_centroid(F.col(vec_col), centroids)).filter(
         F.col("_c").isin(probe)
     )
     return pq_topk(probed, query_vec, codebooks, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def probe_cells(query_vec, centroids: np.ndarray, n_probe: int) -> list[int]:
+    """The n_probe coarse cells nearest the query, ranked by the same
+    c.c - 2 q.c fold score (q.q drops out) and lowest-index tiebreak as
+    ``nearest_centroid`` — so an oracle reproduces the probe set exactly."""
+    scores = [
+        (_fold_dot(c, c) - 2.0 * _fold_dot(query_vec, c), ci)
+        for ci, c in enumerate(centroids)
+    ]
+    return [ci for _s, ci in sorted(scores)[:n_probe]]
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    arrow: bool = False,
+) -> None:
+    """Materialize the IVF-PQ index: rows land PARTITIONED BY their coarse
+    cell ``_c`` carrying ONLY (id, _codes) — the trillion-scale layout the
+    ad-hoc ``ivfpq_topk`` only simulates. A query then (a) prunes to
+    n_probe cell directories at file-listing time and (b) reads just the
+    m-byte code column — the partition-pruning x 64x column-byte reduction
+    multiply. Full vectors deliberately do NOT ride along: re-ranking
+    against exact vectors is a separate join back to the primary table by
+    id (top-k ids only — bounded), keeping index bytes minimal.
+
+    ``arrow=True`` switches cell assignment + encoding to the BLAS
+    mapInArrow kernels (the write path for large n_centroids * n_codes);
+    default stays on the fold-exact Column expressions so the index
+    reproduces ``ivfpq_topk`` bit-for-bit (the two differ only on exact
+    score ties — see ``assign_centroids_arrow``).
+
+    One shuffle-free pass: assignment and encoding are both projections
+    over the same scan, and ``partitionBy`` splits files per cell within
+    each task (no repartition; at 10^12 rows insert a
+    ``repartition(n_cells, "_c")`` first if small-files pressure matters
+    more than the extra shuffle, or compact after — operators.route
+    ``compact_sink``)."""
+    if arrow:
+        assigned = assign_centroids_arrow(df, centroids, id_col, vec_col)
+        codes = pq_encode_arrow(df, codebooks, id_col, vec_col)
+        out = assigned.join(codes, id_col)
+    else:
+        out = df.select(
+            F.col(id_col),
+            nearest_centroid(F.col(vec_col), centroids).alias("_c"),
+            pq_encode_expr(F.col(vec_col), codebooks).alias("_codes"),
+        )
+    out.select(id_col, "_codes", "_c").write.mode("overwrite").partitionBy("_c").parquet(path)
+
+
+def ivfpq_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ search over the materialized index: ``_c IN (probe set)`` is
+    a partition filter (unprobed cell directories are never listed or
+    read) and ranking touches only the code column — the scan's ReadSchema
+    contains no embedding at all. Same probe ranking, ADC arithmetic, and
+    lowest-id tiebreak as ``ivfpq_topk``; identical results on an index
+    written with the default fold-exact path."""
+    probe = probe_cells(query_vec, centroids, n_probe)
+    return (
+        spark.read.parquet(index_path)
+        .filter(F.col("_c").isin(probe))
+        .select(F.col(id_col), adc_distance(query_vec, codebooks).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def pq_encode_arrow(

@@ -182,6 +182,59 @@ def test_compact_sink_reduces_files_preserves_rows(spark, tmpdir_path):
     assert any(d.startswith("record_type=") for d in os.listdir(sink))
 
 
+def test_compact_sink_recovers_from_crash_in_swap_window(spark, tmpdir_path):
+    """Crash-recovery: a compaction that died INSIDE the swap window (old
+    data renamed to ._compact_old, `path` absent) must heal on rerun — the
+    stale ._compact_old restores at entry and the rerun completes with
+    identical rows. Mirrors the torn-sink-write healing test (ADVICE r3:
+    the recovery branches were untested)."""
+    import shutil
+
+    import pytest
+
+    from log_analysis_spark.operators.route import compact_sink
+
+    conn = parse_conn_like(gen_pages(spark, 500)).repartition(24)
+    sink = os.path.join(tmpdir_path, "crash_sink")
+    route_to_sinks(conn, sink)
+    before_rows = spark.read.option("basePath", sink).parquet(sink).count()
+
+    # simulate the crash: the swap's first rename happened (path ->
+    # ._compact_old), the second (tmp -> path) never did, tmp is garbage
+    os.rename(sink, sink + "._compact_old")
+    os.makedirs(os.path.join(sink + "._compact_tmp", "halfwritten"), exist_ok=True)
+    assert not os.path.exists(sink)
+
+    stats = compact_sink(spark, sink, target_bytes=64 * 1024 * 1024)
+    after = spark.read.option("basePath", sink).parquet(sink)
+    assert after.count() == before_rows
+    assert stats["files_after"] < stats["files_before"]
+    assert not os.path.exists(sink + "._compact_old")
+    assert not os.path.exists(sink + "._compact_tmp")
+
+    # rollback branch: if the tmp -> path rename fails, the original data
+    # must come back from ._compact_old instead of being stranded
+    orig_rename = os.rename
+    calls = {"n": 0}
+
+    def failing_rename(src, dst):
+        if dst == sink and src.endswith("._compact_tmp"):
+            calls["n"] += 1
+            raise OSError("injected rename failure")
+        return orig_rename(src, dst)
+
+    os.rename = failing_rename
+    try:
+        with pytest.raises(OSError, match="injected"):
+            compact_sink(spark, sink, target_bytes=64 * 1024 * 1024)
+    finally:
+        os.rename = orig_rename
+    assert calls["n"] == 1
+    restored = spark.read.option("basePath", sink).parquet(sink)
+    assert restored.count() == before_rows
+    shutil.rmtree(sink + "._compact_tmp", ignore_errors=True)
+
+
 def test_single_pass_and_resume_modes_produce_identical_sinks(spark, tmpdir_path):
     """run_once (throughput mode) and run_pipeline (per-day resume mode)
     must land the SAME routed rows — mode choice is an operational knob,
