@@ -18,6 +18,12 @@ The headline pipeline number additionally runs at local[16] — measured the
 fastest level on this host (32 cores, but 16 JVM task threads + Arrow
 kernels saturate memory bandwidth; >16 threads regress ~20%).
 
+Queries run best-of-2 in one warmed session (after an untimed warm-up
+query), caches cleared between reps; reps differing >2x are reported in
+"query_noise" so a host-contended run flags itself instead of reading as
+a code regression (the r3 driver artifact's 2.24x query-wall swing was
+exactly that).
+
 Env knobs:
   SPARK_GRAFT_SF_DIR      testdata dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS        cores for the query bench (default 16 — the
@@ -217,20 +223,52 @@ def main() -> None:
     import __spark_entry__ as E
     from log_analysis_spark.session import get_spark
 
-    spark = get_spark("bench", master=f"local[{cpus}]")
+    # faulthandler in the QUERY session too (r3 lesson: a silently-died
+    # Python worker blocks its executor task forever — the query phase is
+    # exactly where that would poison 31 measurements). Deliberately NOT
+    # the full BENCH_CONF: the split-size/codec knobs would change query
+    # split counts and break r2/r3 comparability.
+    spark = get_spark(
+        "bench", master=f"local[{cpus}]",
+        extra_conf={"spark.python.worker.faulthandler.enabled": "true"},
+    )
     spark.range(1).count()
     qs = E.queries()
+    # untimed warm-up: absorbs parquet-reader/codegen/AQE first-use costs
+    # so rep-1 of the first real query isn't charged session warm-up
+    qs["topk_users"](spark, sf_dir).count()
+    spark.catalog.clearCache()
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
+    noise: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        try:
-            n = qs[name](spark, sf_dir).count()
-        except Exception as ex:  # noqa: BLE001 - one bad query must not lose the bench
-            errors[name] = str(ex)[:500]
-            print(f"  {name}: FAILED: {ex}", file=sys.stderr)
+        # best-of-2 within the warmed session: rep 1 pays any residual
+        # JIT/codegen for this query's operators, rep 2 is the steady-state
+        # number. A large rep spread flags external host contention (the
+        # r3 driver artifact regressed 2.24x purely from co-tenant noise,
+        # and a single-shot number can't show that by itself).
+        reps: list[float] = []
+        for _rep in range(2):
+            t0 = time.monotonic()
+            try:
+                n = qs[name](spark, sf_dir).count()
+            except Exception as ex:  # noqa: BLE001 - one bad query must not lose the bench
+                errors[name] = str(ex)[:500]
+                print(f"  {name}: FAILED: {ex}", file=sys.stderr)
+                break
+            reps.append(time.monotonic() - t0)
+            # release caches a query persist()ed (e.g. minhash's shingle
+            # relation) so no query's cache rides executor storage into
+            # the next measurement
+            spark.catalog.clearCache()
+        if not reps:
             continue
-        times[name] = round(time.monotonic() - t0, 3)
+        times[name] = round(min(reps), 3)
+        # 2x: first-use operator codegen alone measures up to ~1.8x on the
+        # heavy sketches; genuine host contention shows 2-5x (BENCH_r03)
+        if len(reps) == 2 and max(reps) / max(min(reps), 1e-9) > 2.0 and max(reps) - min(reps) > 1.0:
+            noise[name] = [round(r, 3) for r in reps]
+            print(f"  {name}: NOISY reps {noise[name]} (host contention?)", file=sys.stderr)
         print(f"  {name}: {times[name]:.2f}s ({n} rows)", file=sys.stderr)
     spark.stop()
 
@@ -300,6 +338,10 @@ def main() -> None:
         "scaling": scaling,
         "png_decode": _png_decode_rate(),
     }
+    if noise:
+        # queries whose two reps differed >2x — a contaminated run shows
+        # itself here instead of masquerading as a code regression
+        result["query_noise"] = noise
     if errors:
         result["query_errors"] = errors
     print(json.dumps(result))
