@@ -4,11 +4,13 @@ The reference routes 28 record types (/root/reference/src/zeek/
 zeek_log_proto.rs:5-37) but keeps every value an untyped string, ignoring
 the ``#types`` header line (/root/reference/src/zeek/zeek_log.rs:147-149).
 The rebuild supplies what a real Zeek user hits immediately: typed parsers
-for the most common families — **conn**, **http**, **dns**, **ssl**, and
-**weird** — with field vocabularies from the public Zeek log documentation
-(docs.zeek.org log-files reference) and Zeek's value conventions:
+for the most common families — **conn**, **http**, **dns**, **ssl**,
+**weird**, **files**, **ssh**, **smtp**, and **notice** — with field
+vocabularies from the public Zeek log documentation (docs.zeek.org
+log-files reference) and Zeek's value conventions:
 
 - ``time``/``interval``  -> double (epoch seconds / seconds)
+- ``double``             -> double (e.g. notice remote_location lat/lon)
 - ``port``/``count``     -> int / long
 - ``bool``               -> Zeek 'T'/'F' letters -> BooleanType
 - ``vector[...]``        -> comma-separated -> array<string>
@@ -51,6 +53,39 @@ CONN_FIELDS = [
     "orig_bytes", "resp_bytes", "conn_state", "local_orig", "local_resp",
     "missed_bytes", "history", "orig_pkts", "orig_ip_bytes",
     "resp_pkts", "resp_ip_bytes", "tunnel_parents",
+]
+
+# files.log (Files::Info, Zeek 5+ layout with uid/id): the file-analysis
+# framework's record — per public Zeek files.log docs
+FILES_FIELDS = [
+    "ts", "fuid", "uid", *CONN_ID_FIELDS, "source", "depth", "analyzers",
+    "mime_type", "filename", "duration", "local_orig", "is_orig",
+    "seen_bytes", "total_bytes", "missing_bytes", "overflow_bytes",
+    "timedout", "parent_fuid", "md5", "sha1", "sha256",
+    "extracted", "extracted_cutoff", "extracted_size",
+]
+
+SSH_FIELDS = [
+    "ts", "uid", *CONN_ID_FIELDS, "version", "auth_success", "auth_attempts",
+    "direction", "client", "server", "cipher_alg", "mac_alg",
+    "compression_alg", "kex_alg", "host_key_alg", "host_key",
+]
+
+SMTP_FIELDS = [
+    "ts", "uid", *CONN_ID_FIELDS, "trans_depth", "helo", "mailfrom",
+    "rcptto", "date", "from", "to", "cc", "reply_to", "msg_id",
+    "in_reply_to", "subject", "x_originating_ip", "first_received",
+    "second_received", "last_reply", "path", "user_agent", "tls",
+    "fuids", "is_webmail",
+]
+
+NOTICE_FIELDS = [
+    "ts", "uid", *CONN_ID_FIELDS, "fuid", "file_mime_type", "file_desc",
+    "proto", "note", "msg", "sub", "src", "dst", "p", "n", "peer_descr",
+    "actions", "email_dest", "suppress_for",
+    "remote_location.country_code", "remote_location.region",
+    "remote_location.city", "remote_location.latitude",
+    "remote_location.longitude",
 ]
 
 HTTP_FIELDS = [
@@ -99,6 +134,32 @@ _CASTS: dict[str, dict[str, str]] = {
         "resp_fuids": "vector", "resp_filenames": "vector",
         "resp_mime_types": "vector",
     },
+    "files": {
+        "ts": "time", "id_orig_p": "port", "id_resp_p": "port",
+        "depth": "count", "analyzers": "vector", "duration": "interval",
+        "local_orig": "bool", "is_orig": "bool",
+        "seen_bytes": "count", "total_bytes": "count",
+        "missing_bytes": "count",
+        "overflow_bytes": "count", "timedout": "bool",
+        "extracted_cutoff": "bool", "extracted_size": "count",
+    },
+    "ssh": {
+        "ts": "time", "id_orig_p": "port", "id_resp_p": "port",
+        "version": "count", "auth_success": "bool", "auth_attempts": "count",
+    },
+    "smtp": {
+        "ts": "time", "id_orig_p": "port", "id_resp_p": "port",
+        "trans_depth": "count", "rcptto": "vector", "to": "vector",
+        "cc": "vector", "path": "vector", "tls": "bool",
+        "fuids": "vector", "is_webmail": "bool",
+    },
+    "notice": {
+        "ts": "time", "id_orig_p": "port", "id_resp_p": "port",
+        "p": "port", "n": "count", "actions": "vector",
+        "email_dest": "vector", "suppress_for": "interval",
+        "remote_location_latitude": "double",
+        "remote_location_longitude": "double",
+    },
 }
 
 FIELDS_BY_TYPE: dict[str, list[str]] = {
@@ -107,11 +168,15 @@ FIELDS_BY_TYPE: dict[str, list[str]] = {
     "weird": WEIRD_FIELDS,
     "conn": CONN_FIELDS,
     "http": HTTP_FIELDS,
+    "files": FILES_FIELDS,
+    "ssh": SSH_FIELDS,
+    "smtp": SMTP_FIELDS,
+    "notice": NOTICE_FIELDS,
 }
 
 
 def _cast_col(c: F.Column, kind: str) -> F.Column:
-    if kind in ("time", "interval"):
+    if kind in ("time", "interval", "double"):
         return c.cast("double")
     if kind == "port":
         return c.cast("int")
@@ -147,7 +212,11 @@ def cast_records(df: DataFrame, record_type: str) -> DataFrame:
 
 
 def parse_tsv_lines(
-    df: DataFrame, record_type: str, value_col: str = "value", sep: str = "\t"
+    df: DataFrame,
+    record_type: str,
+    value_col: str = "value",
+    sep: str = "\t",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Tokenize raw TSV lines by a family's field vocabulary and cast.
 
@@ -156,6 +225,8 @@ def parse_tsv_lines(
     plumbing — used by the driver-gate queries and reusable for lines
     arriving via any transport (files, Kafka values, events). Lines shorter
     than the vocabulary yield NULL for the missing trailing fields.
+    ``keep_cols`` ride through untouched (e.g. routing/partition columns
+    derived from the file path in the streaming router).
     """
     import re as _re
 
@@ -169,7 +240,9 @@ def parse_tsv_lines(
         _null_sentinels(F.get(parts, i)).alias(name.replace(".", "_"))
         for i, name in enumerate(fields)
     ]
-    return cast_records(df.select(*cols), record_type)
+    return cast_records(
+        df.select(*cols, *[F.col(c) for c in keep_cols]), record_type
+    )
 
 
 def read_proto_typed(spark, files: list[str], record_type: str) -> DataFrame:

@@ -187,8 +187,8 @@ def search(
     Returns {record_type: DataFrame}, deterministically ordered by type
     (BTreeMap analog). ``typed=True`` additionally applies the per-family
     typed cast stage (``zeek_records``) to families that have one
-    (conn/http/dns/ssl/weird); other families stay string-typed like the
-    reference.
+    (conn/http/dns/ssl/weird/files/ssh/smtp/notice); other families stay
+    string-typed like the reference.
     """
     from .zeek_records import FIELDS_BY_TYPE, cast_records
 

@@ -144,6 +144,75 @@ def test_zeek_family_stream_typed_sink(spark, tmpdir_path):
     assert {r["uid"] for r in got2.collect()} == {"D1", "D2"}
 
 
+def test_zeek_typed_router_stream_matches_batch(spark, tmpdir_path):
+    """ONE streaming job over a MIXED-family fixture tree (conn + dns +
+    files across two dates): ingest -> per-family typed cast -> per-family
+    sinks, row-sets equal to the batch path (search(typed=True)) per
+    family. Extends test_stream_router_matches_batch_sinks through the
+    typed cast stage (round-3 verdict ask #5)."""
+    from pyspark.sql import types as T
+
+    from log_analysis_spark.sources import zeek_tsv as zk
+    from log_analysis_spark.streaming.stream_job import (
+        start_zeek_typed_router_stream,
+    )
+    from tests.test_zeek_records import (
+        _conn_http_fixture,
+        _dns_fixture,
+        _files_ssh_smtp_notice_fixture,
+    )
+
+    root = os.path.join(tmpdir_path, "zeek")
+    _dns_fixture(root)            # dns on 2024-07-02
+    _conn_http_fixture(root)      # conn + http on 2024-07-02
+    _files_ssh_smtp_notice_fixture(root)  # files/ssh/smtp/notice 2024-07-02
+    # second date: another dns file (cross-date union in one stream)
+    dns_fields = ["ts", "uid", "id.orig_h", "id.orig_p", "id.resp_h",
+                  "id.resp_p", "proto", "trans_id", "rtt", "query", "qclass",
+                  "qclass_name", "qtype", "qtype_name", "rcode", "rcode_name",
+                  "AA", "TC", "RD", "RA", "Z", "answers", "TTLs", "rejected"]
+    zk.write_zeek_fixture(
+        root, "2024-07-03", "dns", "00:00:00-01:00:00", dns_fields,
+        [["1719964801.0", "D9", "10.0.0.9", "5353", "9.9.9.9", "53", "udp",
+          "9", "-", "c.example", "1", "C_INTERNET", "1", "A", "0", "NOERROR",
+          "F", "F", "T", "T", "0", "-", "-", "F"]],
+    )
+
+    out, ckpt = f"{tmpdir_path}/tr_out", f"{tmpdir_path}/tr_ckpt"
+    q = start_zeek_typed_router_stream(spark, f"{root}/*/*.log.gz", out, ckpt)
+    q.awaitTermination(300)
+
+    # per-family row-set equality vs the batch typed path, across dates
+    for fam in ("conn", "dns", "http", "files", "ssh", "smtp", "notice"):
+        got = spark.read.parquet(f"{out}/{fam}")
+        batches = []
+        for date in ("2024-07-02", "2024-07-03"):
+            try:
+                frames = zk.search(spark, root, date, typed=True)
+            except Exception:
+                continue
+            if fam in frames:
+                batches.append(frames[fam].drop("record_type", "hour_bucket"))
+        want = batches[0]
+        for b in batches[1:]:
+            want = want.unionByName(b)
+        cols = sorted(want.columns)
+        g, w = got.select(*cols), want.select(*cols)
+        assert g.count() == w.count() > 0, fam
+        assert g.exceptAll(w).count() == 0 and w.exceptAll(g).count() == 0, fam
+
+    # the typed cast reached the sink: files seen_bytes is a long, notice
+    # lat is a double, and the day partition column came from the date dir
+    files_sch = {f.name: f.dataType for f in spark.read.parquet(f"{out}/files").schema.fields}
+    assert files_sch["seen_bytes"] == T.LongType()
+    assert files_sch["timedout"] == T.BooleanType()
+    dns_days = {
+        str(r["day"])  # hive partition discovery types day=... as DATE
+        for r in spark.read.parquet(f"{out}/dns").select("day").distinct().collect()
+    }
+    assert dns_days == {"2024-07-02", "2024-07-03"}
+
+
 def test_stream_router_matches_batch_sinks(spark, pages_path, tmpdir_path):
     """Streaming multi-sink router: per-type routed row sets must equal the
     batch router's over the same input, and the sink layout must be the

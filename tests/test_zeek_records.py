@@ -181,6 +181,116 @@ def test_conn_http_typed_cast(spark, tmpdir_path):
     ] == T.LongType()
 
 
+def _files_ssh_smtp_notice_fixture(root: str) -> None:
+    files_fields = ["ts", "fuid", "uid", "id.orig_h", "id.orig_p",
+                    "id.resp_h", "id.resp_p", "source", "depth", "analyzers",
+                    "mime_type", "filename", "duration", "local_orig",
+                    "is_orig", "seen_bytes", "total_bytes", "missing_bytes",
+                    "overflow_bytes", "timedout", "parent_fuid", "md5",
+                    "sha1", "sha256", "extracted", "extracted_cutoff",
+                    "extracted_size"]
+    zk.write_zeek_fixture(
+        root, "2024-07-02", "files", "00:00:00-01:00:00", files_fields,
+        [
+            ["1719878406.0", "F1", "C1", "10.0.0.1", "50001", "203.0.113.9",
+             "80", "HTTP", "0", "MD5,SHA1", "text/html", "index.html",
+             "0.25", "T", "F", "5120", "5120", "0", "0", "F", "-",
+             "d41d8cd98f00b204e9800998ecf8427e", "-", "-", "-", "F", "-"],
+            ["1719878407.0", "F2", "C2", "10.0.0.2", "50002", "203.0.113.9",
+             "80", "HTTP", "0", "-", "application/pdf", "-",
+             "-", "-", "T", "800", "-", "0", "0", "T", "-",
+             "-", "-", "-", "-", "-", "-"],
+        ],
+    )
+    ssh_fields = ["ts", "uid", "id.orig_h", "id.orig_p", "id.resp_h",
+                  "id.resp_p", "version", "auth_success", "auth_attempts",
+                  "direction", "client", "server", "cipher_alg", "mac_alg",
+                  "compression_alg", "kex_alg", "host_key_alg", "host_key"]
+    zk.write_zeek_fixture(
+        root, "2024-07-02", "ssh", "00:00:00-01:00:00", ssh_fields,
+        [["1719878408.0", "SH1", "10.0.0.5", "40000", "198.51.100.22", "22",
+          "2", "T", "3", "INBOUND", "SSH-2.0-OpenSSH_9.6",
+          "SSH-2.0-OpenSSH_8.9", "chacha20-poly1305@openssh.com",
+          "umac-64-etm@openssh.com", "none", "curve25519-sha256",
+          "ssh-ed25519", "SHA256:deadbeef"]],
+    )
+    smtp_fields = ["ts", "uid", "id.orig_h", "id.orig_p", "id.resp_h",
+                   "id.resp_p", "trans_depth", "helo", "mailfrom", "rcptto",
+                   "date", "from", "to", "cc", "reply_to", "msg_id",
+                   "in_reply_to", "subject", "x_originating_ip",
+                   "first_received", "second_received", "last_reply", "path",
+                   "user_agent", "tls", "fuids", "is_webmail"]
+    zk.write_zeek_fixture(
+        root, "2024-07-02", "smtp", "00:00:00-01:00:00", smtp_fields,
+        [["1719878409.0", "M1", "10.0.0.6", "40001", "192.0.2.25", "25",
+          "1", "mail.example.com", "a@example.com", "b@example.org,c@example.org",
+          "-", "a@example.com", "b@example.org", "-", "-", "<m1@example.com>",
+          "-", "hello", "-", "-", "-", "250 OK", "192.0.2.25,192.0.2.26",
+          "smtpclient/1.0", "T", "-", "F"]],
+    )
+    notice_fields = ["ts", "uid", "id.orig_h", "id.orig_p", "id.resp_h",
+                     "id.resp_p", "fuid", "file_mime_type", "file_desc",
+                     "proto", "note", "msg", "sub", "src", "dst", "p", "n",
+                     "peer_descr", "actions", "email_dest", "suppress_for",
+                     "remote_location.country_code", "remote_location.region",
+                     "remote_location.city", "remote_location.latitude",
+                     "remote_location.longitude"]
+    zk.write_zeek_fixture(
+        root, "2024-07-02", "notice", "00:00:00-01:00:00", notice_fields,
+        [["1719878410.0", "N1", "10.0.0.7", "40002", "198.51.100.1", "22",
+          "-", "-", "-", "tcp", "SSH::Password_Guessing", "guessing", "-",
+          "10.0.0.7", "198.51.100.1", "22", "8", "-",
+          "Notice::ACTION_LOG,Notice::ACTION_EMAIL", "-", "3600.0",
+          "US", "-", "-", "37.75", "-122.45"]],
+    )
+
+
+def test_files_ssh_smtp_notice_typed_cast(spark, tmpdir_path):
+    """files/ssh/smtp/notice typed vocabularies on the real TSV file path
+    (fields per public Zeek docs; round-3 verdict ask #3): count/interval/
+    bool/vector/double casts, '-' unset sentinels -> typed NULLs, and
+    search(typed=True) dispatching all four automatically."""
+    _files_ssh_smtp_notice_fixture(tmpdir_path)
+    files = zk.discover(tmpdir_path, "2024-07-02")
+
+    fl = {r["fuid"]: r for r in zr.read_proto_typed(spark, files["files"], "files").collect()}
+    f1, f2 = fl["F1"], fl["F2"]
+    assert f1["seen_bytes"] == 5120 and f1["depth"] == 0
+    assert f1["analyzers"] == ["MD5", "SHA1"]
+    assert f1["duration"] == pytest.approx(0.25)
+    assert f1["local_orig"] is True and f1["timedout"] is False
+    assert f1["extracted_cutoff"] is False
+    assert f2["total_bytes"] is None and f2["md5"] is None
+    assert f2["analyzers"] is None and f2["duration"] is None
+    assert f2["timedout"] is True
+
+    ssh = zr.read_proto_typed(spark, files["ssh"], "ssh").collect()[0]
+    assert ssh["version"] == 2 and ssh["auth_attempts"] == 3
+    assert ssh["auth_success"] is True and ssh["direction"] == "INBOUND"
+
+    smtp = zr.read_proto_typed(spark, files["smtp"], "smtp").collect()[0]
+    assert smtp["trans_depth"] == 1 and smtp["tls"] is True
+    assert smtp["rcptto"] == ["b@example.org", "c@example.org"]
+    assert smtp["path"] == ["192.0.2.25", "192.0.2.26"]
+    assert smtp["cc"] is None and smtp["is_webmail"] is False
+
+    notice = zr.read_proto_typed(spark, files["notice"], "notice").collect()[0]
+    assert notice["p"] == 22 and notice["n"] == 8
+    assert notice["actions"] == ["Notice::ACTION_LOG", "Notice::ACTION_EMAIL"]
+    assert notice["suppress_for"] == pytest.approx(3600.0)
+    assert notice["remote_location_latitude"] == pytest.approx(37.75)
+    assert notice["remote_location_longitude"] == pytest.approx(-122.45)
+    assert notice["email_dest"] is None
+
+    frames = zk.search(spark, tmpdir_path, "2024-07-02", typed=True)
+    assert set(frames) == {"files", "ssh", "smtp", "notice"}
+    sch = {f.name: f.dataType for f in frames["files"].schema.fields}
+    assert sch["seen_bytes"] == T.LongType() and sch["timedout"] == T.BooleanType()
+    assert {f.name: f.dataType for f in frames["notice"].schema.fields}[
+        "remote_location_latitude"
+    ] == T.DoubleType()
+
+
 def test_unknown_family_raises(spark):
     with pytest.raises(ValueError, match="no typed schema"):
         zr.cast_records(spark.range(1), "quic")
