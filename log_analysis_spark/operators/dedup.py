@@ -21,6 +21,16 @@ Scale design: every candidate-generation step is a hash-partitioned
 bucket join (shuffle on bucket key, never a cross join); verification only
 touches candidate pairs. ANSI-safe arithmetic throughout (inputs reduced
 mod 2^31-1 before multiply so products stay < 2^62).
+
+Projection-collapse lesson (why signatures are DataFrame-shaped, not a
+single Column): an expensive Column expression (tokenize -> hash -> 64
+affine mins) gets RE-INLINED by Catalyst's CollapseProject into every
+downstream reference — a signature Column referenced by 16 band keys
+re-tokenizes 16 times. The fix is an aggregation/shuffle barrier: hash the
+shingles once into a materialized (persisted) relation
+(``_hashed_shingle_sets``) and derive signatures from it
+(``_signatures_from_sets``). A round-2 ``minhash_signature(text)`` Column
+API existed and was deleted for exactly this trap.
 """
 
 from __future__ import annotations
@@ -188,37 +198,6 @@ def _perm_coeffs(num_perm: int, seed: int = 7) -> list[tuple[int, int]]:
         b = (s >> 33) % MERSENNE
         out.append((a, b))
     return out
-
-
-def minhash_signature(text: Column, num_perm: int = 64, n: int = 3) -> Column:
-    """array<long> MinHash signature of the word-n-gram shingle set.
-
-    Base hash = xxhash64 reduced mod 2^31-1 (keeps a*h+b < 2^62, ANSI-safe);
-    each permutation is an affine map; min over shingles. All native
-    ``transform``/``array_min`` — JVM-side, one pass over the shingles.
-    Empty shingle set -> signature of MERSENNE sentinels (joins with nothing).
-
-    NOTE: as a single Column expression this gets re-inlined wherever it is
-    referenced (projection collapse); for the LSH pipeline use
-    ``minhash_signatures`` which computes each hash exactly once.
-    """
-    sh = F.array_distinct(shingles(text, n))
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE)))
-    coeffs = _perm_coeffs(num_perm)
-
-    def _perm(a: int, b: int):
-        # closure factory (a plain `lambda h, a=a: ...` would read to Spark
-        # as a 3-arg lambda and fail higher-order-function binding)
-        return lambda h: F.pmod(a * h + b, F.lit(MERSENNE))
-
-    mins = [
-        F.coalesce(
-            F.array_min(F.transform(base, _perm(a, b))),
-            F.lit(MERSENNE).cast("long"),
-        )
-        for a, b in coeffs
-    ]
-    return F.array(*mins)
 
 
 def _signatures_from_sets(sh: DataFrame, num_perm: int) -> DataFrame:

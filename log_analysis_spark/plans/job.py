@@ -221,8 +221,8 @@ def run_pipeline(
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True, help="pages table path")
-    ap.add_argument("--out", required=True, help="output root")
+    ap.add_argument("--input", help="pages table path (required unless --compact)")
+    ap.add_argument("--out", help="output root (required unless --compact)")
     ap.add_argument("--start-date")
     ap.add_argument("--end-date")
     ap.add_argument("--host", help="host filter (src_ip analog)")
@@ -234,11 +234,34 @@ def main() -> None:
         help="one date-range scan, no per-day resume units (throughput mode)",
     )
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--compact",
+        metavar="SINK_PATH",
+        help="compact a fragmented parquet sink to ~target-size files "
+        "(operators.route.compact_sink) instead of running the pipeline; "
+        "run when the sink is quiesced",
+    )
+    ap.add_argument(
+        "--compact-target-mb",
+        type=int,
+        default=128,
+        help="target output file size for --compact (MiB)",
+    )
     args = ap.parse_args()
+    if not args.compact and (not args.input or not args.out):
+        ap.error("--input and --out are required unless --compact is given")
 
     from ..session import get_spark
 
     spark = get_spark("log-analysis-job", master=args.master)
+    if args.compact:
+        from ..operators.route import compact_sink
+
+        stats = compact_sink(
+            spark, args.compact, target_bytes=args.compact_target_mb * 1024 * 1024
+        )
+        print(json.dumps(stats))
+        return
     if args.single_pass:
         metrics = run_once(
             spark, args.input, args.out, args.start_date, args.end_date

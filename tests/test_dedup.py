@@ -72,12 +72,10 @@ def test_minhash_lsh_recall_and_precision(spark, docs):
         assert len(lsh & exact) / len(exact) >= 0.9
 
 
-def test_minhash_signature_deterministic(spark, docs):
-    sig = docs.select(
-        "doc_id", DD.minhash_signature(F.col("text"), num_perm=16).alias("s")
-    )
-    a = {r["doc_id"]: r["s"] for r in sig.collect()}
-    b = {r["doc_id"]: r["s"] for r in sig.collect()}
+def test_minhash_signatures_deterministic(spark, docs):
+    sig = DD.minhash_signatures(docs, "doc_id", "text", num_perm=16)
+    a = {r["_id"]: r["_sig"] for r in sig.collect()}
+    b = {r["_id"]: r["_sig"] for r in sig.collect()}
     assert a == b
     assert all(len(v) == 16 for v in a.values())
 
