@@ -1365,6 +1365,30 @@ def q_dedup_keep_best(spark, sf_dir):
     )
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality metrics per document (Rae et al.
+    2021 Appendix A): duplicate-line fractions + top-2-gram /
+    duplicated-5-gram character fractions. All counts are integers and
+    each fraction is one correctly-rounded double division, so the DuckDB
+    oracle replays every value bit-exactly (tie on the top gram breaks to
+    the lexicographically smallest — same rule both engines)."""
+    from log_analysis_spark.operators.quality import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_char_bigram_scores(spark, sf_dir):
+    """CCNet-style LM quality signal: average add-one-smoothed char-bigram
+    probability under a per-language model trained on the corpus itself.
+    Average PROBABILITY, not log-perplexity, by design: IEEE mandates
+    correctly-rounded division but NOT ln(), so a log-based score could
+    differ across engines in the last ulp; the per-document sum is an
+    ordered position fold — the oracle replays the exact doubles."""
+    from log_analysis_spark.operators.quality import char_bigram_scores
+
+    return char_bigram_scores(_t(spark, sf_dir, "documents"))
+
+
 def q_embedding_neardup(spark, sf_dir):
     return DD.embedding_neardup_pairs(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
@@ -1527,6 +1551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- entries past the driver's 50-row window: variants whose
         # family already has a green representative above ----
         "dup_clusters_star": q_dup_clusters_star,
+        "repetition_stats": q_repetition_stats,
+        "char_bigram_scores": q_char_bigram_scores,
         "ssh_auth_stats": q_ssh_auth_stats,
         "smtp_tls_stats": q_smtp_tls_stats,
         "notice_action_counts": q_notice_action_counts,
@@ -2167,6 +2193,62 @@ def oracle_sql() -> dict[str, str]:
             "sum(CASE WHEN null_subject THEN 1 ELSE 0 END)::BIGINT AS n_null_subject, "
             "min(sec)::DOUBLE AS min_ts "
             "FROM m GROUP BY tls ORDER BY tls"
+        ),
+        "repetition_stats": (
+            "WITH d AS (SELECT doc_id, text, length(text)::BIGINT AS len, "
+            "string_split(text, chr(10)) AS lines, "
+            f"{_TOKENS.format(t='text')} AS w FROM documents), "
+            "lnc AS (SELECT doc_id, line, count(*) AS c FROM "
+            "(SELECT doc_id, unnest(lines) AS line FROM d) GROUP BY doc_id, line), "
+            "lns AS (SELECT doc_id, sum(c)::BIGINT AS n_lines, "
+            "count(*)::BIGINT AS n_distinct, "
+            "sum(length(line) * c)::BIGINT AS line_chars, "
+            "sum(CASE WHEN c > 1 THEN length(line) * c ELSE 0 END)::BIGINT AS dup_line_chars "
+            "FROM lnc GROUP BY doc_id), "
+            "g2c AS (SELECT doc_id, g, count(*) AS c FROM "
+            "(SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g "
+            "FROM d) GROUP BY doc_id, g), "
+            "top2 AS (SELECT doc_id, (c * length(g))::BIGINT AS top_chars FROM "
+            "(SELECT doc_id, g, c, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM g2c) WHERE rn = 1), "
+            "g5c AS (SELECT doc_id, g, count(*) AS c FROM "
+            "(SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' "
+            "|| w[i+3] || ' ' || w[i+4] for i in range(1, len(w) - 3)]) AS g "
+            "FROM d) GROUP BY doc_id, g), "
+            "dup5 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c * length(g) "
+            "ELSE 0 END)::BIGINT AS dup_gram_chars FROM g5c GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(lns.n_lines, 0)::BIGINT AS n_lines, "
+            "CASE WHEN lns.n_lines > 0 THEN (lns.n_lines - lns.n_distinct)::DOUBLE "
+            "/ lns.n_lines::DOUBLE ELSE 0.0::DOUBLE END AS dup_line_frac, "
+            "CASE WHEN lns.line_chars > 0 THEN lns.dup_line_chars::DOUBLE "
+            "/ lns.line_chars::DOUBLE ELSE 0.0::DOUBLE END AS dup_line_char_frac, "
+            "CASE WHEN d.len > 0 THEN coalesce(top2.top_chars, 0)::DOUBLE "
+            "/ d.len::DOUBLE ELSE 0.0::DOUBLE END AS top2gram_char_frac, "
+            "CASE WHEN d.len > 0 THEN coalesce(dup5.dup_gram_chars, 0)::DOUBLE "
+            "/ d.len::DOUBLE ELSE 0.0::DOUBLE END AS dup5gram_char_frac "
+            "FROM d LEFT JOIN lns USING (doc_id) LEFT JOIN top2 USING (doc_id) "
+            "LEFT JOIN dup5 USING (doc_id)"
+        ),
+        "char_bigram_scores": (
+            "WITH norm AS (SELECT doc_id, lang, "
+            "regexp_replace(lower(text), '[^a-z ]', '', 'g') AS s FROM documents), "
+            "ex AS (SELECT doc_id, lang, u['pos'] AS pos, u['b'] AS b FROM "
+            "(SELECT doc_id, lang, unnest([{'pos': i, 'b': substring(s, i, 2)} "
+            "for i in range(1, length(s))]) AS u FROM norm)), "
+            "model AS (SELECT lang, b, count(*) AS c FROM ex GROUP BY lang, b), "
+            "tot AS (SELECT lang, sum(c)::BIGINT AS total FROM model GROUP BY lang), "
+            "probs AS (SELECT ex.doc_id, ex.lang, ex.pos, "
+            "(coalesce(model.c, 0) + 1)::DOUBLE / (tot.total + 729)::DOUBLE AS p "
+            "FROM ex LEFT JOIN model ON ex.lang = model.lang AND ex.b = model.b "
+            "JOIN tot ON ex.lang = tot.lang), "
+            "folded AS (SELECT doc_id, lang, list(p ORDER BY pos) AS ps "
+            "FROM probs GROUP BY doc_id, lang) "
+            "SELECT documents.doc_id, documents.lang, "
+            "coalesce(len(folded.ps), 0)::BIGINT AS n_bigrams, "
+            "coalesce(list_reduce(list_prepend(0.0::DOUBLE, folded.ps), "
+            "(a, x) -> a + x) / len(folded.ps)::DOUBLE, 0.0::DOUBLE) AS familiarity "
+            "FROM documents LEFT JOIN folded ON documents.doc_id = folded.doc_id "
+            "AND documents.lang = folded.lang"
         ),
         "notice_action_counts": (
             "WITH n AS (SELECT "

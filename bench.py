@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "pq_topk",
     "ivfpq_topk",
     "corpus_curation",
+    "files_mime_counts",
+    "repetition_stats",
+    "char_bigram_scores",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at

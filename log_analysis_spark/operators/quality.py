@@ -1,0 +1,251 @@
+"""Corpus-quality operators beyond per-row scoring: repetition filters and
+a corpus-trained character-n-gram familiarity signal.
+
+The reference has no document-quality concept (it analyzes network logs);
+these supply the standard LLM training-data gates a 100 TB curation
+pipeline runs after dedup:
+
+- ``repetition_stats`` — the repetition family of Gopher's quality rules
+  (Rae et al., "Scaling Language Models: ... Gopher", 2021, Appendix A):
+  duplicate-line fraction, fraction of characters in duplicated lines,
+  fraction of characters in the most common word 2-gram, fraction of
+  characters in duplicated word 5-grams. High values mean boilerplate /
+  spam / generator loops.
+- ``char_bigram_scores`` — a CCNet-style LM quality signal (Wenzek et al.
+  2020 score with a Wikipedia-trained LM; here the model is trained on
+  the corpus itself per language, which still separates gibberish from
+  well-formed text). Scores are add-one-smoothed character-bigram
+  probabilities AVERAGED per document, not log-perplexity: IEEE requires
+  division to be correctly rounded but NOT ln(), so a log-based score
+  could differ between the JVM and another engine in the last ulp and
+  break bit-exact replay. The average-probability score is order-exact:
+  every per-bigram division is identically rounded everywhere and the
+  per-document sum is an ordered left fold.
+
+Scale design: everything is explode -> hash-keyed aggregate (linear, one
+shuffle per stat family, map-side partial aggregation collapses repeated
+grams); the bigram MODEL is at most n_langs * 27^2 rows and broadcasts.
+No within-row O(len^2) loops — a 10 MB document costs O(len) like any
+other row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.textstats import shingles
+
+# alphabet after the [a-z ] normalization (27 symbols) -> add-one smoothing
+# denominator for bigrams
+CHAR_BIGRAM_VOCAB = 27 * 27
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Per-document repetition metrics (Gopher Appendix A family).
+
+    Returns (id, n_lines, dup_line_frac, dup_line_char_frac,
+    top{top_n}gram_char_frac, dup{dup_n}gram_char_frac):
+
+    - dup_line_frac: (lines - distinct lines) / lines. 0 for single-line
+      documents (the driver's synthetic corpus has no newlines; the rule
+      still matters for real web text and is exercised over multi-line
+      fixtures in pytest).
+    - dup_line_char_frac: chars in lines occurring more than once / total
+      line chars.
+    - top-n-gram char fraction: occurrences_of_most_common_n-gram *
+      len(that n-gram) / len(text). Ties on count break to the
+      lexicographically smallest gram (deterministic, SQL-replayable).
+    - dup-n-gram char fraction: sum over n-grams occurring more than once
+      of count * len(gram) / len(text). Overlapping grams can push this
+      above 1 — it is a filter signal, not a measure.
+
+    All counts/lengths are integers; each final fraction is ONE double
+    division — bit-exact across engines. One explode + keyed aggregate
+    per family; no cross joins, no within-row quadratic scans.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        F.length(text_col).cast("long").alias("_len"),
+    )
+
+    # --- line family -----------------------------------------------------
+    lines = base.select(
+        "_id", F.explode(F.split("_text", "\n")).alias("_line")
+    )
+    per_line = lines.groupBy("_id", "_line").agg(F.count(F.lit(1)).alias("_c"))
+    line_stats = per_line.groupBy("_id").agg(
+        F.sum("_c").alias("_n_lines"),
+        F.count(F.lit(1)).alias("_n_distinct"),
+        F.sum(F.length("_line") * F.col("_c")).alias("_line_chars"),
+        F.sum(
+            F.when(F.col("_c") > 1, F.length("_line") * F.col("_c")).otherwise(F.lit(0))
+        ).alias("_dup_line_chars"),
+    )
+
+    def _gram_counts(n: int):
+        g = base.select("_id", F.explode(shingles(F.col("_text"), n)).alias("_g"))
+        return g.groupBy("_id", "_g").agg(F.count(F.lit(1)).alias("_c"))
+
+    # --- top-n-gram ------------------------------------------------------
+    w = Window.partitionBy("_id").orderBy(F.desc("_c"), F.asc("_g"))
+    top_gram = (
+        _gram_counts(top_n)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_id", (F.col("_c") * F.length("_g")).alias("_top_chars"))
+    )
+
+    # --- duplicated-n-gram ----------------------------------------------
+    dup_gram = (
+        _gram_counts(dup_n)
+        .groupBy("_id")
+        .agg(
+            F.sum(
+                F.when(F.col("_c") > 1, F.col("_c") * F.length("_g")).otherwise(F.lit(0))
+            ).alias("_dup_gram_chars")
+        )
+    )
+
+    def _frac(num, den):
+        return F.when(
+            den > 0, num.cast("double") / den.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    out = (
+        base.select("_id", "_len")
+        .join(line_stats, "_id", "left")
+        .join(top_gram, "_id", "left")
+        .join(dup_gram, "_id", "left")
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.coalesce("_n_lines", F.lit(0)).cast("long").alias("n_lines"),
+        _frac(F.col("_n_lines") - F.col("_n_distinct"), F.col("_n_lines")).alias(
+            "dup_line_frac"
+        ),
+        _frac(F.col("_dup_line_chars"), F.col("_line_chars")).alias(
+            "dup_line_char_frac"
+        ),
+        _frac(F.coalesce("_top_chars", F.lit(0)), F.col("_len")).alias(
+            f"top{top_n}gram_char_frac"
+        ),
+        _frac(F.coalesce("_dup_gram_chars", F.lit(0)), F.col("_len")).alias(
+            f"dup{dup_n}gram_char_frac"
+        ),
+    )
+
+
+def _char_bigrams(norm):
+    """Ordered character bigrams of an already-normalized string."""
+    return F.when(
+        F.length(norm) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - 1),
+            lambda i: F.substring(norm, i, 2),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_bigram_model(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(lang, bigram, c, total) — corpus-trained character-bigram counts
+    per language over the [a-z ]-normalized text. At most
+    n_langs * 27^2 rows: broadcasts to every executor."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z ]", "")
+    bg = df.select(
+        F.col(lang_col).alias("_lang"), F.explode(_char_bigrams(norm)).alias("_bg")
+    )
+    counts = bg.groupBy("_lang", "_bg").agg(F.count(F.lit(1)).alias("_c"))
+    totals = counts.groupBy("_lang").agg(F.sum("_c").alias("_total"))
+    return counts.join(totals, "_lang")
+
+
+def char_bigram_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """(id, lang, n_bigrams, familiarity) — average add-one-smoothed
+    bigram probability of each document under its language's model:
+
+        familiarity = (1/n) * sum_i (c(bg_i) + 1) / (total_lang + 729)
+
+    trained on ``model`` (default: the corpus itself — a real pipeline
+    passes a model trained on a held-out reference corpus, CCNet-style).
+    Gibberish (unseen bigrams) scores near 1/(total+729); fluent text
+    near the language's average bigram frequency — typically two orders
+    of magnitude apart.
+
+    Determinism: each probability is one correctly-rounded double
+    division; the per-document sum folds left-to-right in BIGRAM POSITION
+    order (collect -> sort_array by pos -> ordered fold), so another
+    engine replays the exact double (same reason ln/log-perplexity is
+    deliberately NOT used — ln is not required to be correctly rounded
+    and differs across libm implementations).
+
+    Scale: the model join is an explicit ``broadcast`` (<= langs * 729
+    rows); the only shuffle is the per-document regroup, whose payload is
+    one (pos, prob) pair per bigram — the same order of bytes as the
+    tokenized text itself.
+    """
+    if model is None:
+        model = char_bigram_model(df, id_col, text_col, lang_col)
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z ]", "")
+    docs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(lang_col).alias("_lang"),
+        _char_bigrams(norm).alias("_bgs"),
+    )
+    exploded = docs.select(
+        "_id", "_lang", F.posexplode("_bgs").alias("_pos", "_bg")
+    )
+    joined = exploded.join(F.broadcast(model), ["_lang", "_bg"], "left")
+    # every (lang) group of the model shares one _total; rows whose lang
+    # has no model at all (or empty docs) keep NULL and score 0 below
+    totals = model.select("_lang", "_total").distinct()
+    joined = joined.drop("_total").join(F.broadcast(totals), "_lang", "left")
+    prob = (
+        (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.col("_total") + F.lit(CHAR_BIGRAM_VOCAB)).cast("double")
+    )
+    per_doc = (
+        joined.select("_id", "_lang", "_pos", prob.alias("_p"))
+        .groupBy("_id", "_lang")
+        .agg(F.sort_array(F.collect_list(F.struct("_pos", "_p"))).alias("_pp"))
+    )
+    fold = F.aggregate(
+        F.transform("_pp", lambda s: s["_p"]),
+        F.lit(0.0).cast("double"),
+        lambda acc, p: acc + p,
+    )
+    scored = per_doc.select(
+        "_id",
+        "_lang",
+        F.size("_pp").cast("long").alias("n_bigrams"),
+        (fold / F.size("_pp").cast("double")).alias("familiarity"),
+    )
+    # documents with <2 normalized chars never reach the explode: restore
+    # them with familiarity 0 so the output covers every input row
+    return (
+        df.select(F.col(id_col).alias("_id"), F.col(lang_col).alias("_lang"))
+        .join(scored, ["_id", "_lang"], "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_lang").alias(lang_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("familiarity", F.lit(0.0)).alias("familiarity"),
+        )
+    )
