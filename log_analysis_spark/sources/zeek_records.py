@@ -3,11 +3,13 @@
 The reference routes 28 record types (/root/reference/src/zeek/
 zeek_log_proto.rs:5-37) but keeps every value an untyped string, ignoring
 the ``#types`` header line (/root/reference/src/zeek/zeek_log.rs:147-149).
-The rebuild supplies what a real Zeek user hits immediately: typed parsers
-for the most common families — **conn**, **http**, **dns**, **ssl**,
-**weird**, **files**, **ssh**, **smtp**, and **notice** — with field
-vocabularies from the public Zeek log documentation (docs.zeek.org
-log-files reference) and Zeek's value conventions:
+The rebuild supplies typed parsers for EVERY record type in the
+reference's router enum — all 28 of zeek_log_proto.rs:5-37 (conn, dns,
+http, files, ftp, ssl, x509, smtp, snmp, ssh, pe, dhcp, ntp, smb, irc,
+rdp, ldap, quic, traceroute, tunnel, dpd, known, software, weird, notice,
+capture_loss, reporter, sip) — with field vocabularies from the public
+Zeek log documentation (docs.zeek.org log-files reference) and Zeek's
+value conventions:
 
 - ``time``/``interval``  -> double (epoch seconds / seconds)
 - ``double``             -> double (e.g. notice remote_location lat/lon)
@@ -88,6 +90,115 @@ NOTICE_FIELDS = [
     "remote_location.longitude",
 ]
 
+# --- the long tail: every remaining record type of the reference's router
+# enum (zeek_log_proto.rs:5-37), fields per the corresponding public Zeek
+# log documentation --------------------------------------------------------
+FTP_FIELDS = [
+    "ts", "uid", *CONN_ID_FIELDS, "user", "password", "command", "arg",
+    "mime_type", "file_size", "reply_code", "reply_msg",
+    "data_channel.passive", "data_channel.orig_h", "data_channel.resp_h",
+    "data_channel.resp_p", "fuid",
+]
+
+X509_FIELDS = [  # x509.log, Zeek 4+ layout (fingerprint keyed)
+    "ts", "fingerprint", "certificate.version", "certificate.serial",
+    "certificate.subject", "certificate.issuer",
+    "certificate.not_valid_before", "certificate.not_valid_after",
+    "certificate.key_alg", "certificate.sig_alg", "certificate.key_type",
+    "certificate.key_length", "certificate.exponent", "certificate.curve",
+    "san.dns", "san.uri", "san.email", "san.ip",
+    "basic_constraints.ca", "basic_constraints.path_len",
+]
+
+SNMP_FIELDS = [
+    "ts", "uid", *CONN_ID_FIELDS, "duration", "version", "community",
+    "get_requests", "get_bulk_requests", "get_responses", "set_requests",
+    "display_string", "up_since",
+]
+
+PE_FIELDS = [
+    "ts", "id", "machine", "compile_ts", "os", "subsystem", "is_exe",
+    "is_64bit", "uses_aslr", "uses_dep", "uses_code_integrity", "uses_seh",
+    "has_import_table", "has_export_table", "has_cert_table",
+    "has_debug_data", "section_names",
+]
+
+DHCP_FIELDS = [  # dhcp.log aggregates a whole exchange: uids is a set
+    "ts", "uids", "client_addr", "server_addr", "mac", "host_name",
+    "client_fqdn", "domain", "requested_addr", "assigned_addr",
+    "lease_time", "client_message", "server_message", "msg_types",
+    "duration",
+]
+
+NTP_FIELDS = [
+    "ts", "uid", *CONN_ID_FIELDS, "version", "mode", "stratum", "poll",
+    "precision", "root_delay", "root_disp", "ref_id", "ref_time",
+    "org_time", "rec_time", "xmt_time", "num_exts",
+]
+
+SMB_FIELDS = [  # the reference routes files literally named smb.*; the
+    # closest public vocabulary is smb_mapping.log (tree-connect mapping)
+    "ts", "uid", *CONN_ID_FIELDS, "path", "service", "native_file_system",
+    "share_type",
+]
+
+IRC_FIELDS = [
+    "ts", "uid", *CONN_ID_FIELDS, "nick", "user", "command", "value",
+    "addl", "dcc_file_name", "dcc_file_size", "dcc_mime_type", "fuid",
+]
+
+RDP_FIELDS = [
+    "ts", "uid", *CONN_ID_FIELDS, "cookie", "result", "security_protocol",
+    "client_channels", "keyboard_layout", "client_build", "client_name",
+    "client_dig_product_id", "desktop_width", "desktop_height",
+    "requested_color_depth", "cert_type", "cert_count", "cert_permanent",
+    "encryption_level", "encryption_method",
+]
+
+LDAP_FIELDS = [  # ldap.log (Zeek 6)
+    "ts", "uid", *CONN_ID_FIELDS, "message_id", "version", "opcode",
+    "result", "diagnostic_message", "object", "argument",
+]
+
+QUIC_FIELDS = [  # quic.log (Zeek 6)
+    "ts", "uid", *CONN_ID_FIELDS, "version", "client_initial_dcid",
+    "client_scid", "server_scid", "server_name", "client_protocol",
+    "history",
+]
+
+TRACEROUTE_FIELDS = ["ts", "src", "dst", "proto"]
+
+TUNNEL_FIELDS = ["ts", "uid", *CONN_ID_FIELDS, "tunnel_type", "action"]
+
+DPD_FIELDS = [
+    "ts", "uid", *CONN_ID_FIELDS, "proto", "analyzer", "failure_reason",
+]
+
+KNOWN_FIELDS = [  # the reference routes files named known.*; vocabulary
+    # from known_services.log (the known-entities family's richest form)
+    "ts", "host", "port_num", "port_proto", "service",
+]
+
+SOFTWARE_FIELDS = [
+    "ts", "host", "host_p", "software_type", "name", "version.major",
+    "version.minor", "version.minor2", "version.minor3", "version.addl",
+    "unparsed_version",
+]
+
+CAPTURE_LOSS_FIELDS = [
+    "ts", "ts_delta", "peer", "gaps", "acks", "percent_lost",
+]
+
+REPORTER_FIELDS = ["ts", "level", "message", "location"]
+
+SIP_FIELDS = [
+    "ts", "uid", *CONN_ID_FIELDS, "trans_depth", "method", "uri", "date",
+    "request_from", "request_to", "response_from", "response_to",
+    "reply_to", "call_id", "seq", "subject", "request_path",
+    "response_path", "user_agent", "status_code", "status_msg", "warning",
+    "request_body_len", "response_body_len", "content_type",
+]
+
 HTTP_FIELDS = [
     "ts", "uid", *CONN_ID_FIELDS, "trans_depth", "method", "host", "uri",
     "referrer", "version", "user_agent", "origin",
@@ -160,6 +271,92 @@ _CASTS: dict[str, dict[str, str]] = {
         "remote_location_latitude": "double",
         "remote_location_longitude": "double",
     },
+    "ftp": {
+        "ts": "time", "id_orig_p": "port", "id_resp_p": "port",
+        "file_size": "count", "reply_code": "count",
+        "data_channel_passive": "bool", "data_channel_resp_p": "port",
+    },
+    "x509": {
+        "ts": "time", "certificate_version": "count",
+        "certificate_not_valid_before": "time",
+        "certificate_not_valid_after": "time",
+        "certificate_key_length": "count",
+        "san_dns": "vector", "san_uri": "vector", "san_email": "vector",
+        "san_ip": "vector", "basic_constraints_ca": "bool",
+        "basic_constraints_path_len": "count",
+    },
+    "snmp": {
+        "ts": "time", "id_orig_p": "port", "id_resp_p": "port",
+        "duration": "interval", "get_requests": "count",
+        "get_bulk_requests": "count", "get_responses": "count",
+        "set_requests": "count", "up_since": "time",
+    },
+    "pe": {
+        "ts": "time", "compile_ts": "time", "is_exe": "bool",
+        "is_64bit": "bool", "uses_aslr": "bool", "uses_dep": "bool",
+        "uses_code_integrity": "bool", "uses_seh": "bool",
+        "has_import_table": "bool", "has_export_table": "bool",
+        "has_cert_table": "bool", "has_debug_data": "bool",
+        "section_names": "vector",
+    },
+    "dhcp": {
+        "ts": "time", "uids": "vector", "lease_time": "interval",
+        "msg_types": "vector", "duration": "interval",
+    },
+    "ntp": {
+        "ts": "time", "id_orig_p": "port", "id_resp_p": "port",
+        "version": "count", "mode": "count", "stratum": "count",
+        "poll": "interval", "precision": "interval",
+        "root_delay": "interval", "root_disp": "interval",
+        "ref_time": "time", "org_time": "time", "rec_time": "time",
+        "xmt_time": "time", "num_exts": "count",
+    },
+    "smb": {
+        "ts": "time", "id_orig_p": "port", "id_resp_p": "port",
+    },
+    "irc": {
+        "ts": "time", "id_orig_p": "port", "id_resp_p": "port",
+        "dcc_file_size": "count",
+    },
+    "rdp": {
+        "ts": "time", "id_orig_p": "port", "id_resp_p": "port",
+        "client_channels": "vector", "desktop_width": "count",
+        "desktop_height": "count", "cert_count": "count",
+        "cert_permanent": "bool",
+    },
+    "ldap": {
+        "ts": "time", "id_orig_p": "port", "id_resp_p": "port",
+        "message_id": "count", "version": "count",
+    },
+    "quic": {
+        "ts": "time", "id_orig_p": "port", "id_resp_p": "port",
+    },
+    "traceroute": {"ts": "time"},
+    "tunnel": {
+        "ts": "time", "id_orig_p": "port", "id_resp_p": "port",
+    },
+    "dpd": {
+        "ts": "time", "id_orig_p": "port", "id_resp_p": "port",
+    },
+    "known": {
+        "ts": "time", "port_num": "port", "service": "vector",
+    },
+    "software": {
+        "ts": "time", "host_p": "port", "version_major": "count",
+        "version_minor": "count", "version_minor2": "count",
+        "version_minor3": "count",
+    },
+    "capture_loss": {
+        "ts": "time", "ts_delta": "interval", "gaps": "count",
+        "acks": "count", "percent_lost": "double",
+    },
+    "reporter": {"ts": "time"},
+    "sip": {
+        "ts": "time", "id_orig_p": "port", "id_resp_p": "port",
+        "trans_depth": "count", "request_path": "vector",
+        "response_path": "vector", "status_code": "count",
+        "request_body_len": "count", "response_body_len": "count",
+    },
 }
 
 FIELDS_BY_TYPE: dict[str, list[str]] = {
@@ -172,6 +369,25 @@ FIELDS_BY_TYPE: dict[str, list[str]] = {
     "ssh": SSH_FIELDS,
     "smtp": SMTP_FIELDS,
     "notice": NOTICE_FIELDS,
+    "ftp": FTP_FIELDS,
+    "x509": X509_FIELDS,
+    "snmp": SNMP_FIELDS,
+    "pe": PE_FIELDS,
+    "dhcp": DHCP_FIELDS,
+    "ntp": NTP_FIELDS,
+    "smb": SMB_FIELDS,
+    "irc": IRC_FIELDS,
+    "rdp": RDP_FIELDS,
+    "ldap": LDAP_FIELDS,
+    "quic": QUIC_FIELDS,
+    "traceroute": TRACEROUTE_FIELDS,
+    "tunnel": TUNNEL_FIELDS,
+    "dpd": DPD_FIELDS,
+    "known": KNOWN_FIELDS,
+    "software": SOFTWARE_FIELDS,
+    "capture_loss": CAPTURE_LOSS_FIELDS,
+    "reporter": REPORTER_FIELDS,
+    "sip": SIP_FIELDS,
 }
 
 

@@ -46,7 +46,7 @@ DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
 # conn.00:00:00-01:00:00.log.gz, zeek_log.rs:377-383) but Hadoop Path rejects
 # ':' in file names, so on-disk buckets use '_' and the reader normalizes the
 # hour_bucket VALUE back to the reference's ':' form — documented deviation.
-FILE_RE = re.compile(r"^(?P<proto>[A-Za-z0-9-]+)\.(?P<hours>[\d:_+-]+)\.log(\.gz)?$")
+FILE_RE = re.compile(r"^(?P<proto>[A-Za-z0-9_-]+)\.(?P<hours>[\d:_+-]+)\.log(\.gz)?$")
 UNSET = "-"
 EMPTY = "(empty)"
 

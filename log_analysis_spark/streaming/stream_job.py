@@ -206,6 +206,54 @@ def start_agg_stream(
     )
 
 
+def start_ivfpq_encode_stream(
+    spark: SparkSession,
+    input_path: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    centroids,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int = 100000,
+):
+    """Continuous IVF-PQ index maintenance: embedding rows are
+    cell-assigned and PQ-encoded ON ARRIVAL and appended to the
+    cell-partitioned (id, codes) index — the streaming twin of
+    ``similarity.write_ivfpq_index``, so the ANN index never needs a
+    full-corpus rebuild as the corpus grows.
+
+    The encode stage is the same fold-exact Column projection as the
+    batch write path (both run inside whole-stage codegen per
+    micro-batch); quantizers (centroids/codebooks) are FROZEN constants —
+    the standard production contract: retraining the quantizer means
+    rebuilding the index, appending rows never does.
+    ``ivfpq_topk_indexed`` works unchanged over the streaming layout.
+    """
+    from ..operators.similarity import nearest_centroid, pq_encode_expr
+
+    schema = spark.read.parquet(input_path).schema
+    emb = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    enc = emb.select(
+        F.col(id_col),
+        pq_encode_expr(F.col(vec_col), codebooks).alias("_codes"),
+        nearest_centroid(F.col(vec_col), centroids).alias("_c"),
+    )
+    return (
+        enc.writeStream.format("parquet")
+        .option("path", index_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("_c")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_zeek_typed_router_stream(
     spark: SparkSession,
     path_glob: str,

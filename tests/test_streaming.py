@@ -213,6 +213,52 @@ def test_zeek_typed_router_stream_matches_batch(spark, tmpdir_path):
     assert dns_days == {"2024-07-02", "2024-07-03"}
 
 
+def test_ivfpq_encode_stream_matches_batch_index(spark, tmpdir_path):
+    """Streaming IVF-PQ index maintenance: rows encoded on arrival land in
+    the same cell-partitioned (id, codes) layout as the batch
+    write_ivfpq_index, queries over it return identical results, and a
+    second batch of arrivals appends incrementally without re-encoding or
+    duplicating the first."""
+    from log_analysis_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = SIM.ivf_centroids(emb, n_centroids=8, lloyd_iters=0)
+    books = SIM.pq_codebooks(emb, m=4, n_codes=8)
+    half_a = emb.filter("vec_id % 2 = 0")
+    half_b = emb.filter("vec_id % 2 = 1")
+
+    src = f"{tmpdir_path}/emb_src"
+    half_a.write.mode("overwrite").parquet(src)
+    idx, ckpt = f"{tmpdir_path}/stream_idx", f"{tmpdir_path}/idx_ckpt"
+    from log_analysis_spark.streaming.stream_job import start_ivfpq_encode_stream
+
+    q = start_ivfpq_encode_stream(spark, src, idx, ckpt, cents, books)
+    q.awaitTermination(300)
+    got_a = spark.read.parquet(idx)
+    assert got_a.count() == half_a.count()
+
+    # second arrival wave -> incremental append, no dups
+    half_b.write.mode("append").parquet(src)
+    q2 = start_ivfpq_encode_stream(spark, src, idx, ckpt, cents, books)
+    q2.awaitTermination(300)
+    got = spark.read.parquet(idx)
+    assert got.count() == emb.count()
+    assert got.select("vec_id").distinct().count() == emb.count()
+
+    # content identical to the batch index path
+    batch_idx = f"{tmpdir_path}/batch_idx"
+    SIM.write_ivfpq_index(emb, batch_idx, cents, books)
+    want = spark.read.parquet(batch_idx).select("vec_id", "_codes", "_c")
+    have = got.select("vec_id", "_codes", "_c")
+    assert have.exceptAll(want).count() == 0 and want.exceptAll(have).count() == 0
+
+    # and the indexed query is byte-for-byte the same over either layout
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    a = SIM.ivfpq_topk_indexed(spark, idx, qv, cents, books, k=10, n_probe=2).collect()
+    b = SIM.ivfpq_topk_indexed(spark, batch_idx, qv, cents, books, k=10, n_probe=2).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_stream_router_matches_batch_sinks(spark, pages_path, tmpdir_path):
     """Streaming multi-sink router: per-type routed row sets must equal the
     batch router's over the same input, and the sink layout must be the

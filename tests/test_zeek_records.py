@@ -291,9 +291,79 @@ def test_files_ssh_smtp_notice_typed_cast(spark, tmpdir_path):
     ] == T.DoubleType()
 
 
+REFERENCE_ROUTER_TYPES = {
+    # the reference's full ZeekProtocol decode vocabulary
+    # (/root/reference/src/zeek/zeek_log_proto.rs:40-74), minus NONE
+    "conn", "dns", "http", "files", "ftp", "ssl", "x509", "smtp", "snmp",
+    "ssh", "pe", "dhcp", "ntp", "smb", "irc", "rdp", "ldap", "quic",
+    "traceroute", "tunnel", "dpd", "known", "software", "weird", "notice",
+    "capture_loss", "reporter", "sip",
+}
+
+_KIND_SAMPLE = {
+    "time": ("1719878401.5", 1719878401.5),
+    "interval": ("0.25", 0.25),
+    "double": ("2.5", 2.5),
+    "port": ("443", 443),
+    "count": ("7", 7),
+    "bool": ("T", True),
+    "vector": ("a,b", ["a", "b"]),
+}
+
+
+def test_typed_vocabulary_covers_full_reference_router():
+    """Every record type the reference's router can decode has a typed
+    vocabulary — full parity with the 28-type enum."""
+    assert set(zr.FIELDS_BY_TYPE) == REFERENCE_ROUTER_TYPES
+    # every cast-map key must point at a real field of its vocabulary
+    for fam, casts in zr._CASTS.items():
+        fields = {f.replace(".", "_") for f in zr.FIELDS_BY_TYPE[fam]}
+        missing = set(casts) - fields
+        assert not missing, f"{fam}: cast keys not in vocabulary: {missing}"
+
+
+@pytest.mark.parametrize("fam", sorted(REFERENCE_ROUTER_TYPES))
+def test_every_family_parses_and_casts(spark, fam):
+    """One synthetic TSV line per family, values generated from the cast
+    kinds: every typed column must land with the right Spark type and
+    round-trip its value; every untyped column stays a string."""
+    fields = zr.FIELDS_BY_TYPE[fam]
+    casts = zr._CASTS[fam]
+    cells = []
+    for name in fields:
+        key = name.replace(".", "_")
+        kind = casts.get(key)
+        cells.append(_KIND_SAMPLE[kind][0] if kind else f"v_{key}")
+    df = spark.createDataFrame([("\t".join(cells),)], ["value"])
+    row = zr.parse_tsv_lines(df, fam).collect()[0]
+    for name in fields:
+        key = name.replace(".", "_")
+        kind = casts.get(key)
+        if kind:
+            assert row[key] == _KIND_SAMPLE[kind][1], (fam, key)
+        else:
+            assert row[key] == f"v_{key}", (fam, key)
+
+
+def test_discover_handles_underscore_protos(spark, tmpdir_path):
+    """capture_loss.log-style names (underscore in the record type) are
+    discovered and routed — the reference decodes 'capture_loss'
+    (zeek_log_proto.rs:67)."""
+    zk.write_zeek_fixture(
+        tmpdir_path, "2024-07-02", "capture_loss", "00:00:00-01:00:00",
+        ["ts", "ts_delta", "peer", "gaps", "acks", "percent_lost"],
+        [["1719878401.0", "900.0", "zeek", "3", "1200", "0.25"]],
+    )
+    files = zk.discover(tmpdir_path, "2024-07-02")
+    assert "capture_loss" in files
+    row = zr.read_proto_typed(spark, files["capture_loss"], "capture_loss").collect()[0]
+    assert row["gaps"] == 3 and row["percent_lost"] == pytest.approx(0.25)
+    assert row["ts_delta"] == pytest.approx(900.0)
+
+
 def test_unknown_family_raises(spark):
     with pytest.raises(ValueError, match="no typed schema"):
-        zr.cast_records(spark.range(1), "quic")
+        zr.cast_records(spark.range(1), "not_a_zeek_family")
 
 
 def test_write_ip_db(spark, tmpdir_path):
