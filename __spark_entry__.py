@@ -1389,6 +1389,65 @@ def q_char_bigram_scores(spark, sf_dir):
     return char_bigram_scores(_t(spark, sf_dir, "documents"))
 
 
+def q_quality_funnel(spark, sf_dir):
+    """The full curation-gate funnel as ONE query: per-stage survivor
+    counts for all docs -> language-ID agrees with the declared lang ->
+    composite quality >= 0.5 -> repetition within bounds (top-2-gram and
+    dup-5-gram char fractions <= 0.2) -> char-bigram familiarity at or
+    above the language median. Every gate is an operator the driver
+    already verifies individually; this pins the COMPOSITION (the
+    pipeline-observability view a curation run reports)."""
+    from log_analysis_spark.operators.quality import (
+        char_bigram_scores,
+        repetition_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    comp = d.select(
+        "doc_id", "lang",
+        TS.quality_score(F.col("text")).alias("q"),
+        TS.langid(F.col("text")).alias("pred"),
+    )
+    rep = repetition_stats(d).select(
+        "doc_id", "top2gram_char_frac", "dup5gram_char_frac"
+    )
+    fam = char_bigram_scores(d).select("doc_id", "familiarity")
+    j = comp.join(rep, "doc_id").join(fam, "doc_id")
+    med = j.groupBy("lang").agg(F.expr("percentile(familiarity, 0.5)").alias("p50"))
+    j = j.join(F.broadcast(med), "lang")
+    c2 = F.col("pred") == F.col("lang")
+    c3 = c2 & (F.col("q") >= 0.5)
+    c4 = c3 & (F.col("top2gram_char_frac") <= 0.2) & (F.col("dup5gram_char_frac") <= 0.2)
+    c5 = c4 & (F.col("familiarity") >= F.col("p50"))
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum(c2.cast("long")).alias("n2"),
+        F.sum(c3.cast("long")).alias("n3"),
+        F.sum(c4.cast("long")).alias("n4"),
+        F.sum(c5.cast("long")).alias("n5"),
+    )
+    stages = [
+        (1, "all", "n1"), (2, "lang_ok", "n2"), (3, "quality_ok", "n3"),
+        (4, "repetition_ok", "n4"), (5, "familiar_ok", "n5"),
+    ]
+    return (
+        agg.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("stage_idx"),
+                        F.lit(name).alias("stage"),
+                        F.col(c).alias("n_docs"),
+                    )
+                    for i, name, c in stages
+                ])
+            ).alias("s")
+        )
+        .select("s.*")
+        .orderBy("stage_idx")
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     return DD.embedding_neardup_pairs(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
@@ -1553,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters_star": q_dup_clusters_star,
         "repetition_stats": q_repetition_stats,
         "char_bigram_scores": q_char_bigram_scores,
+        "quality_funnel": q_quality_funnel,
         "ssh_auth_stats": q_ssh_auth_stats,
         "smtp_tls_stats": q_smtp_tls_stats,
         "notice_action_counts": q_notice_action_counts,
@@ -2249,6 +2309,63 @@ def oracle_sql() -> dict[str, str]:
             "(a, x) -> a + x) / len(folded.ps)::DOUBLE, 0.0::DOUBLE) AS familiarity "
             "FROM documents LEFT JOIN folded ON documents.doc_id = folded.doc_id "
             "AND documents.lang = folded.lang"
+        ),
+        "quality_funnel": (
+            "WITH d AS (SELECT doc_id, lang, text, length(text)::BIGINT AS len, "
+            f"{_TOKENS.format(t='text')} AS w FROM documents), "
+            "qq AS (SELECT doc_id, "
+            f"{_sql_quality('text')} AS q, {_sql_langid('text')} AS pred "
+            "FROM documents), "
+            "g2c AS (SELECT doc_id, g, count(*) AS c FROM "
+            "(SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g "
+            "FROM d) GROUP BY doc_id, g), "
+            "top2 AS (SELECT doc_id, (c * length(g))::BIGINT AS top_chars FROM "
+            "(SELECT doc_id, g, c, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM g2c) WHERE rn = 1), "
+            "g5c AS (SELECT doc_id, g, count(*) AS c FROM "
+            "(SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' "
+            "|| w[i+3] || ' ' || w[i+4] for i in range(1, len(w) - 3)]) AS g "
+            "FROM d) GROUP BY doc_id, g), "
+            "dup5 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c * length(g) "
+            "ELSE 0 END)::BIGINT AS dup_gram_chars FROM g5c GROUP BY doc_id), "
+            "norm AS (SELECT doc_id, lang, "
+            "regexp_replace(lower(text), '[^a-z ]', '', 'g') AS s FROM documents), "
+            "ex AS (SELECT doc_id, lang, u['pos'] AS pos, u['b'] AS b FROM "
+            "(SELECT doc_id, lang, unnest([{'pos': i, 'b': substring(s, i, 2)} "
+            "for i in range(1, length(s))]) AS u FROM norm)), "
+            "model AS (SELECT lang, b, count(*) AS c FROM ex GROUP BY lang, b), "
+            "tot AS (SELECT lang, sum(c)::BIGINT AS total FROM model GROUP BY lang), "
+            "probs AS (SELECT ex.doc_id, ex.pos, "
+            "(coalesce(model.c, 0) + 1)::DOUBLE / (tot.total + 729)::DOUBLE AS p "
+            "FROM ex LEFT JOIN model ON ex.lang = model.lang AND ex.b = model.b "
+            "JOIN tot ON ex.lang = tot.lang), "
+            "fam AS (SELECT doc_id, list_reduce(list_prepend(0.0::DOUBLE, "
+            "list(p ORDER BY pos)), (a, x) -> a + x) / count(*)::DOUBLE "
+            "AS familiarity FROM probs GROUP BY doc_id), "
+            "j AS (SELECT d.doc_id, d.lang, qq.q, qq.pred, "
+            "CASE WHEN d.len > 0 THEN coalesce(top2.top_chars, 0)::DOUBLE "
+            "/ d.len::DOUBLE ELSE 0.0::DOUBLE END AS top2, "
+            "CASE WHEN d.len > 0 THEN coalesce(dup5.dup_gram_chars, 0)::DOUBLE "
+            "/ d.len::DOUBLE ELSE 0.0::DOUBLE END AS dup5, "
+            "coalesce(fam.familiarity, 0.0::DOUBLE) AS familiarity "
+            "FROM d JOIN qq USING (doc_id) LEFT JOIN top2 USING (doc_id) "
+            "LEFT JOIN dup5 USING (doc_id) LEFT JOIN fam USING (doc_id)), "
+            "med AS (SELECT lang, quantile_cont(familiarity, 0.5) AS p50 "
+            "FROM j GROUP BY lang), "
+            "agg AS (SELECT count(*) AS n1, "
+            "sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS n2, "
+            "sum(CASE WHEN pred = lang AND q >= 0.5 THEN 1 ELSE 0 END) AS n3, "
+            "sum(CASE WHEN pred = lang AND q >= 0.5 AND top2 <= 0.2 "
+            "AND dup5 <= 0.2 THEN 1 ELSE 0 END) AS n4, "
+            "sum(CASE WHEN pred = lang AND q >= 0.5 AND top2 <= 0.2 "
+            "AND dup5 <= 0.2 AND familiarity >= med.p50 THEN 1 ELSE 0 END) AS n5 "
+            "FROM j JOIN med USING (lang)) "
+            "SELECT 1 AS stage_idx, 'all' AS stage, n1::BIGINT AS n_docs FROM agg "
+            "UNION ALL SELECT 2, 'lang_ok', n2::BIGINT FROM agg "
+            "UNION ALL SELECT 3, 'quality_ok', n3::BIGINT FROM agg "
+            "UNION ALL SELECT 4, 'repetition_ok', n4::BIGINT FROM agg "
+            "UNION ALL SELECT 5, 'familiar_ok', n5::BIGINT FROM agg "
+            "ORDER BY stage_idx"
         ),
         "notice_action_counts": (
             "WITH n AS (SELECT "

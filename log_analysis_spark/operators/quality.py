@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.textstats import shingles
+from ..functions.textstats import tokens
 
 # alphabet after the [a-z ] normalization (27 symbols) -> add-one smoothing
 # denominator for bigrams
@@ -91,8 +91,29 @@ def repetition_stats(
         ).alias("_dup_line_chars"),
     )
 
+    # Materialize the token array BEHIND AN EXCHANGE before gram
+    # construction: textstats.shingles(text, n) would reference the
+    # tokenize expression once per element_at inside its lambda, and
+    # Catalyst re-inlines it — O(tokens * n) full-text regex re-splits per
+    # row (the projection-collapse trap; measured here: the 5-gram explode
+    # alone took 12.9 s at sf0.1 vs ~1 s from a concrete array column).
+    # After the repartition the lambda reads a bound ATTRIBUTE — O(1).
+    toks_df = base.select(
+        "_id", tokens(F.col("_text")).alias("_toks")
+    ).repartition("_id")
+
     def _gram_counts(n: int):
-        g = base.select("_id", F.explode(shingles(F.col("_text"), n)).alias("_g"))
+        k = F.size("_toks") - (n - 1)
+        grams = F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("_toks", i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        g = toks_df.select("_id", F.explode(grams).alias("_g"))
         return g.groupBy("_id", "_g").agg(F.count(F.lit(1)).alias("_c"))
 
     # --- top-n-gram ------------------------------------------------------
