@@ -1389,6 +1389,32 @@ def q_char_bigram_scores(spark, sf_dir):
     return char_bigram_scores(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Pre-training chunking: fixed 32-token windows with 8-token overlap
+    per document — the curation-to-tokenizer handoff stage. Boundaries
+    are pure integer arithmetic on the token count, so the oracle replays
+    chunk text and sizes exactly."""
+    from log_analysis_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+def q_pack_offsets(spark, sf_dir):
+    """Concat-then-split sequence packing: exclusive prefix sum of token
+    counts in doc-id order -> (pack_id, offset_in_pack) under a 512-token
+    context. In-plan form is the two-phase distributed scan (per-partition
+    window + broadcast partition bases — never a global single-partition
+    window); the oracle replays it as one ordered window, proving the
+    distributed scan equals the serial definition."""
+    from log_analysis_spark.operators.chunking import pack_offsets
+
+    return pack_offsets(
+        _t(spark, sf_dir, "documents"), context_tokens=512, num_partitions=8
+    )
+
+
 def q_quality_funnel(spark, sf_dir):
     """The full curation-gate funnel as ONE query: per-stage survivor
     counts for all docs -> language-ID agrees with the declared lang ->
@@ -1613,6 +1639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "char_bigram_scores": q_char_bigram_scores,
         "quality_funnel": q_quality_funnel,
+        "doc_chunks": q_doc_chunks,
+        "pack_offsets": q_pack_offsets,
         "ssh_auth_stats": q_ssh_auth_stats,
         "smtp_tls_stats": q_smtp_tls_stats,
         "notice_action_counts": q_notice_action_counts,
@@ -2309,6 +2337,30 @@ def oracle_sql() -> dict[str, str]:
             "(a, x) -> a + x) / len(folded.ps)::DOUBLE, 0.0::DOUBLE) AS familiarity "
             "FROM documents LEFT JOIN folded ON documents.doc_id = folded.doc_id "
             "AND documents.lang = folded.lang"
+        ),
+        "doc_chunks": (
+            "WITH d AS (SELECT doc_id, "
+            f"{_TOKENS.format(t='text')} AS w FROM documents), "
+            "s AS (SELECT doc_id, w, "
+            "range(1, greatest(len(w) - 8, 1) + 1, 24) AS starts FROM d), "
+            "ex AS (SELECT doc_id, w, u['ci'] AS ci, u['st'] AS st FROM "
+            "(SELECT doc_id, w, unnest([{'ci': i - 1, 'st': starts[i]} "
+            "for i in range(1, len(starts) + 1)]) AS u FROM s)) "
+            "SELECT doc_id, ci::BIGINT AS chunk_idx, "
+            "len(list_slice(w, st, st + 31))::BIGINT AS n_tokens, "
+            "array_to_string(list_slice(w, st, st + 31), ' ') AS chunk_text "
+            "FROM ex"
+        ),
+        "pack_offsets": (
+            "WITH t AS (SELECT doc_id, "
+            f"len({_TOKENS.format(t='text')})::BIGINT AS n_tokens FROM documents), "
+            "o AS (SELECT doc_id, n_tokens, "
+            "coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT "
+            'AS "offset" FROM t) '
+            'SELECT doc_id, n_tokens, "offset", '
+            '("offset" // 512)::BIGINT AS pack_id, '
+            '("offset" % 512)::BIGINT AS offset_in_pack FROM o'
         ),
         "quality_funnel": (
             "WITH d AS (SELECT doc_id, lang, text, length(text)::BIGINT AS len, "

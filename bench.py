@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     "files_mime_counts",
     "repetition_stats",
     "char_bigram_scores",
+    "quality_funnel",
+    "doc_chunks",
+    "pack_offsets",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at
