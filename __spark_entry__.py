@@ -2348,7 +2348,10 @@ def oracle_sql() -> dict[str, str]:
             "for i in range(1, len(starts) + 1)]) AS u FROM s)) "
             "SELECT doc_id, ci::BIGINT AS chunk_idx, "
             "len(list_slice(w, st, st + 31))::BIGINT AS n_tokens, "
-            "array_to_string(list_slice(w, st, st + 31), ' ') AS chunk_text "
+            # coalesce: DuckDB's array_to_string returns NULL for the empty
+            # slice an empty document produces; Spark's concat_ws returns ''.
+            # The contract is '' (one empty chunk per empty doc) — fuzz-found.
+            "coalesce(array_to_string(list_slice(w, st, st + 31), ' '), '') AS chunk_text "
             "FROM ex"
         ),
         "pack_offsets": (

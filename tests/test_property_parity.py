@@ -66,3 +66,62 @@ def test_token_fp_bpe_parity_on_random_ascii(spark, duck, texts):
     assert [(r["i"], r["nt"], r["fp"], r["bpe"]) for r in got] == [
         (int(i), int(nt), int(fp), int(bpe)) for i, nt, fp, bpe in want
     ]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=st.lists(_ASCII, min_size=1, max_size=4))
+def test_quality_chunking_parity_on_random_ascii(spark, duck, texts):
+    """The round-4 operators (repetition stats, char-bigram familiarity,
+    chunking, packing offsets) vs their OWN gate oracles — the exact SQL
+    the driver runs — on arbitrary printable-ASCII corpora. Floats compare
+    with ==: the determinism contract is bit-exact replay, and this fuzz
+    hunts the inputs (whitespace runs, empties, punctuation-only) where an
+    ordering or rounding assumption would crack first."""
+    import __spark_entry__ as E
+
+    from log_analysis_spark.operators.chunking import chunk_documents, pack_offsets
+    from log_analysis_spark.operators.quality import (
+        char_bigram_scores,
+        repetition_stats,
+    )
+
+    sqls = E.oracle_sql()
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "lang": ["en"] * len(texts),
+            "text": texts,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    duck.register("documents", pdf)
+    try:
+        pairs = [
+            (repetition_stats(sdf), sqls["repetition_stats"]),
+            (char_bigram_scores(sdf), sqls["char_bigram_scores"]),
+            (
+                chunk_documents(sdf, chunk_tokens=32, overlap=8),
+                sqls["doc_chunks"],
+            ),
+            (
+                pack_offsets(sdf, context_tokens=512, num_partitions=2),
+                sqls["pack_offsets"],
+            ),
+        ]
+        for got_df, sql in pairs:
+            cols = sorted(got_df.columns)
+            got = sorted(
+                tuple(r[c] for c in cols) for r in got_df.collect()
+            )
+            want_pdf = duck.execute(sql).df()
+            want = sorted(
+                tuple(row[c] for c in cols)
+                for _i, row in want_pdf.iterrows()
+            )
+            assert got == want, sql[:80]
+    finally:
+        duck.unregister("documents")
