@@ -1401,6 +1401,22 @@ def q_doc_chunks(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination audit (GPT-3 app. C style): every 37th
+    document plays the held-out eval set; the rest are the training corpus,
+    each audited for word-3-gram overlap against the benchmark's distinct
+    gram-hash set (broadcast — the corpus never shuffles for the probe;
+    one aggregation materializes per-doc gram sets and the re-agg reuses
+    its partitioning). n=3 so synthetic sentences overlap; real corpora
+    use 8-13. md5 base hash for the cross-engine replay."""
+    from log_analysis_spark.operators.decontam import contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    return contamination(train, bench, "doc_id", "text", n=3, hash_fn="md5")
+
+
 def q_pack_offsets(spark, sf_dir):
     """Concat-then-split sequence packing: exclusive prefix sum of token
     counts in doc-id order -> (pack_id, offset_in_pack) under a 512-token
@@ -1572,8 +1588,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first 50 entries: the driver's correctness gate records the first 50
     in dict order (round 2 truncated there, leaving the whole
     similarity/multimodal family without an official row). Redundant
-    relational variants (sample_mod, cube_agg vs rollup_agg, event_gaps,
-    ...) ride at the tail."""
+    variants (sample_mod, cube_agg vs rollup_agg, event_gaps, bpe_tokens
+    and tfidf_top_terms vs the in-window text row, ...) ride at the
+    tail."""
     return {
         # --- SURVEY §2 core pipeline (scan/filter/route/agg/enrich) ---
         "filter_eq": q_filter_eq,
@@ -1614,12 +1631,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
-        "bpe_tokens": q_bpe_tokens,
         "top_terms": q_top_terms,
-        "tfidf_top_terms": q_tfidf_top_terms,
         "pii_redact": q_pii_redact,
-        # --- sampling ---
+        # --- sampling / training-data prep ---
         "stratified_sample": q_stratified_sample,
+        "doc_chunks": q_doc_chunks,
+        "decontaminate": q_decontaminate,
         # --- dedup family ---
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1636,10 +1653,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- entries past the driver's 50-row window: variants whose
         # family already has a green representative above ----
         "dup_clusters_star": q_dup_clusters_star,
+        "bpe_tokens": q_bpe_tokens,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "repetition_stats": q_repetition_stats,
         "char_bigram_scores": q_char_bigram_scores,
         "quality_funnel": q_quality_funnel,
-        "doc_chunks": q_doc_chunks,
         "pack_offsets": q_pack_offsets,
         "ssh_auth_stats": q_ssh_auth_stats,
         "smtp_tls_stats": q_smtp_tls_stats,
@@ -2337,6 +2355,29 @@ def oracle_sql() -> dict[str, str]:
             "(a, x) -> a + x) / len(folded.ps)::DOUBLE, 0.0::DOUBLE) AS familiarity "
             "FROM documents LEFT JOIN folded ON documents.doc_id = folded.doc_id "
             "AND documents.lang = folded.lang"
+        ),
+        "decontaminate": (
+            # Replays operators.decontam.contamination(n=3, hash_fn='md5'):
+            # distinct 60-bit md5 3-gram hashes per doc; bench = union over
+            # doc_id % 37 == 0; per-train-doc total + overlap counts, IEEE
+            # ratio, zero-gram docs kept with totals 0 / NULL frac.
+            "WITH tok AS (SELECT doc_id, "
+            f"{_TOKENS.format(t='text')} AS w FROM documents), "
+            f"sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN {_SQL_SHINGLES3} "
+            "ELSE [] END AS s FROM tok), "
+            "hs AS MATERIALIZED (SELECT doc_id, "
+            f"list_distinct(list_transform(s, x -> {_sql_h60('x')})) AS hh FROM sh), "
+            "bench AS (SELECT DISTINCT unnest(hh) AS h FROM hs WHERE doc_id % 37 = 0), "
+            "tr AS (SELECT doc_id, unnest(hh) AS h FROM hs WHERE doc_id % 37 != 0), "
+            "agg AS (SELECT tr.doc_id, count(*) AS total, count(b.h) AS cont "
+            "FROM tr LEFT JOIN bench b ON tr.h = b.h GROUP BY tr.doc_id) "
+            "SELECT d.doc_id, coalesce(total, 0)::BIGINT AS total_ngrams, "
+            "coalesce(cont, 0)::BIGINT AS contaminated_ngrams, "
+            "CASE WHEN coalesce(total, 0) > 0 "
+            "THEN cont::DOUBLE / total::DOUBLE END AS contamination_frac, "
+            "(coalesce(cont, 0) > 0)::INT AS is_contaminated "
+            "FROM (SELECT doc_id FROM documents WHERE doc_id % 37 != 0) d "
+            "LEFT JOIN agg ON d.doc_id = agg.doc_id"
         ),
         "doc_chunks": (
             "WITH d AS (SELECT doc_id, "
