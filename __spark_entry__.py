@@ -1417,6 +1417,67 @@ def q_decontaminate(spark, sf_dir):
     return contamination(train, bench, "doc_id", "text", n=3, hash_fn="md5")
 
 
+def q_span_scrub(spark, sf_dir):
+    """Sub-document duplicated-span scrub (Lee et al. 2021 / C4): strip
+    every non-overlapping k-word block shared by >1 document and
+    reassemble the survivors byte-exactly. k=2 so the tiny synthetic
+    vocabulary actually collides (real corpora use ~50); md5 base hash
+    for the cross-engine replay. Scale shape in the operator docstring —
+    O(tokens/k) block relation, two-phase count-distinct on 8-byte
+    hashes, no all-pairs step."""
+    from log_analysis_spark.operators.dedup import duplicated_span_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_span_scrub(
+        docs, "doc_id", "text", k=2, max_docs=1, hash_fn="md5"
+    )
+
+
+def q_lang_temperature(spark, sf_dir):
+    """Temperature-based language rebalancing (XLM-R style p^alpha,
+    alpha=1/2): per-language doc/token counts -> sampling share
+    sqrt(p)/sum(sqrt(p)) and the implied up/down-sampling boost. All
+    inputs are exact integers; sqrt is correctly rounded in both engines
+    and the denominator is a lang-ASC left fold, so every double is
+    bit-replayable (see cross-engine recipe in this module's docstring)."""
+    from pyspark.sql.window import Window
+
+    from log_analysis_spark.functions.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    per = per.withColumn(
+        "_tot", F.sum("n_docs").over(w_all)
+    ).withColumn(
+        "p", F.col("n_docs").cast("double") / F.col("_tot").cast("double")
+    ).withColumn("_w", F.sqrt("p"))
+    per = per.withColumn(
+        "_den",
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("lang", "_w")).over(w_all)
+                ),
+                lambda s: s["_w"],
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "p",
+        (F.col("_w") / F.col("_den")).alias("share"),
+        ((F.col("_w") / F.col("_den")) / F.col("p")).alias("boost"),
+    )
+
+
 def q_pack_offsets(spark, sf_dir):
     """Concat-then-split sequence packing: exclusive prefix sum of token
     counts in doc-id order -> (pack_id, offset_in_pack) under a 512-token
@@ -1588,9 +1649,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first 50 entries: the driver's correctness gate records the first 50
     in dict order (round 2 truncated there, leaving the whole
     similarity/multimodal family without an official row). Redundant
-    variants (sample_mod, cube_agg vs rollup_agg, event_gaps, bpe_tokens
-    and tfidf_top_terms vs the in-window text row, ...) ride at the
-    tail."""
+    variants (sample_mod, cube_agg vs rollup_agg, event_gaps, bpe_tokens /
+    tfidf_top_terms / quality_filter vs the in-window text rows, ...) ride
+    at the tail."""
     return {
         # --- SURVEY §2 core pipeline (scan/filter/route/agg/enrich) ---
         "filter_eq": q_filter_eq,
@@ -1628,7 +1689,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_parse": q_regex_parse,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
-        "quality_filter": q_quality_filter,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
         "top_terms": q_top_terms,
@@ -1637,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "doc_chunks": q_doc_chunks,
         "decontaminate": q_decontaminate,
+        "span_scrub": q_span_scrub,
         # --- dedup family ---
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1653,6 +1714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- entries past the driver's 50-row window: variants whose
         # family already has a green representative above ----
         "dup_clusters_star": q_dup_clusters_star,
+        "quality_filter": q_quality_filter,
+        "lang_temperature": q_lang_temperature,
         "bpe_tokens": q_bpe_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
         "repetition_stats": q_repetition_stats,
@@ -2378,6 +2441,47 @@ def oracle_sql() -> dict[str, str]:
             "(coalesce(cont, 0) > 0)::INT AS is_contaminated "
             "FROM (SELECT doc_id FROM documents WHERE doc_id % 37 != 0) d "
             "LEFT JOIN agg ON d.doc_id = agg.doc_id"
+        ),
+        "span_scrub": (
+            # Replays dedup.duplicated_span_scrub(k=2, max_docs=1, 'md5'):
+            # non-overlapping 2-word blocks, 60-bit md5 hash, a block is
+            # "duplicated" iff it occurs in >1 DISTINCT document; survivors
+            # re-join in block order. Empty-token docs keep totals 0 / ''.
+            "WITH tok AS (SELECT doc_id, "
+            f"{_TOKENS.format(t='text')} AS w FROM documents), "
+            # scalar range() + struct comprehension: DuckDB's range() table
+            # function cannot lateral-reference w (same dodge as doc_chunks)
+            "blk AS (SELECT doc_id, u['b'] AS b, u['btxt'] AS btxt FROM "
+            "(SELECT doc_id, unnest([{'b': i, 'btxt': "
+            "array_to_string(list_slice(w, i*2+1, (i+1)*2), ' ')} "
+            "for i in range((coalesce(len(w), 0) + 1) // 2)]) AS u FROM tok)), "
+            f"bh AS MATERIALIZED (SELECT doc_id, b, btxt, {_sql_h60('btxt')} AS h "
+            "FROM blk), "
+            "freq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM bh GROUP BY h), "
+            "agg AS (SELECT bh.doc_id, count(*)::BIGINT AS n_spans, "
+            "sum((nd > 1)::INT)::BIGINT AS dup_spans, "
+            "string_agg(btxt, ' ' ORDER BY b) FILTER (WHERE nd <= 1) AS clean "
+            "FROM bh JOIN freq USING (h) GROUP BY bh.doc_id) "
+            "SELECT d.doc_id, coalesce(n_spans, 0)::BIGINT AS n_spans, "
+            "coalesce(dup_spans, 0)::BIGINT AS dup_spans, "
+            "coalesce(clean, '') AS clean_text "
+            "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"
+        ),
+        "lang_temperature": (
+            # Replays q_lang_temperature: integer counts, p = exact int/int
+            # division, weight = sqrt(p) (correctly rounded), denominator =
+            # lang-ASC left fold of the weights — bit-identical doubles.
+            "WITH per AS (SELECT lang, count(*)::BIGINT AS n_docs, "
+            f"sum(len({_TOKENS.format(t='text')}))::BIGINT AS n_tokens "
+            "FROM documents GROUP BY lang), "
+            "tot AS (SELECT sum(n_docs)::BIGINT AS t FROM per), "
+            "pw AS (SELECT lang, n_docs, n_tokens, "
+            "n_docs::DOUBLE / t::DOUBLE AS p, sqrt(n_docs::DOUBLE / t::DOUBLE) AS w "
+            "FROM per, tot), "
+            "den AS (SELECT list_reduce(list_prepend(0.0::DOUBLE, "
+            "list(w ORDER BY lang)), (a, v) -> a + v) AS d FROM pw) "
+            "SELECT lang, n_docs, n_tokens, p, w / d AS share, "
+            "(w / d) / p AS boost FROM pw, den"
         ),
         "doc_chunks": (
             "WITH d AS (SELECT doc_id, "

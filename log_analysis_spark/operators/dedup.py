@@ -772,3 +772,112 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span scrub (sub-document exact dedup)
+# ---------------------------------------------------------------------------
+
+def span_blocks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(_id, _b: long, _btxt, _h) — one row per fixed-``k``-word block.
+
+    Sub-document unit for the duplicated-span scrub (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", which
+    removes repeated ~50-token spans rather than whole documents; C4 used
+    3-sentence spans). Blocks are NON-overlapping k-word windows — unlike
+    ``shingle_hash_rows`` every token belongs to exactly one block, so the
+    relation is O(tokens/k) rows and the scrubbed document reassembles
+    losslessly from the kept blocks.
+
+    Built explode-then-groupBy (posexplode tokens -> block index =
+    floor(pos/k) -> order-restoring collect) rather than as nested
+    array-slice expressions: the aggregation is a projection-collapse
+    barrier, so the O(tokens) tokenization runs once per document instead
+    of once per block reference (see module docstring). The one shuffle is
+    keyed by id — skew-safe, documents are bounded.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tok"),
+    )
+    blocks = (
+        toks.groupBy("_id", (F.col("_pos") / k).cast("long").alias("_b"))
+        .agg(F.array_sort(F.collect_list(F.struct("_pos", "_tok"))).alias("_st"))
+        .select(
+            "_id",
+            "_b",
+            F.concat_ws(
+                " ", F.transform(F.col("_st"), lambda s: s["_tok"])
+            ).alias("_btxt"),
+        )
+    )
+    return blocks.withColumn("_h", _base_hash(F.col("_btxt"), hash_fn))
+
+
+def duplicated_span_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    max_docs: int = 1,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Strip every k-word block that occurs in more than ``max_docs``
+    documents; reassemble the survivors in order.
+
+    Returns one row per input document:
+    (id_col, n_spans, dup_spans, clean_text) where ``clean_text`` is the
+    space-joined concatenation of the kept blocks (''  when the document
+    tokenizes empty or every span was duplicated boilerplate).
+
+    Scale shape: block relation is O(tokens/k); the global frequency pass
+    is a count-distinct-docs groupBy on the 8-byte block hash (two-phase,
+    partial aggs collapse the boilerplate skew map-side); the frequency
+    join is hash-on-hash (big-big — at web scale the duplicated-span set
+    is itself huge, so no broadcast; AQE handles residual skew); the
+    reassembly groupBy reuses the document key. No step is ever all-pairs
+    and nothing exceeds O(corpus tokens / k) rows.
+    """
+    blocks = span_blocks(df, id_col, text_col, k, hash_fn)
+    freq = blocks.groupBy("_h").agg(
+        F.count_distinct("_id").alias("_nd")
+    )
+    flagged = blocks.join(freq, "_h").withColumn(
+        "_dup", (F.col("_nd") > max_docs).cast("int")
+    )
+    per_doc = flagged.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("_dup").cast("long").alias("dup_spans"),
+        F.concat_ws(
+            " ",
+            F.filter(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "_b",
+                                F.when(F.col("_dup") == 0, F.col("_btxt")).alias(
+                                    "_kt"
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["_kt"],
+                ),
+                lambda t: t.isNotNull(),
+            ),
+        ).alias("clean_text"),
+    )
+    base = df.select(F.col(id_col).alias("_id"))
+    return base.join(per_doc, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+        F.coalesce("dup_spans", F.lit(0).cast("long")).alias("dup_spans"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
