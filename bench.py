@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "quality_funnel",
     "doc_chunks",
     "pack_offsets",
+    "decontaminate",
+    "span_scrub",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at
