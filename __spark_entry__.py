@@ -1478,6 +1478,35 @@ def q_lang_temperature(spark, sf_dir):
     )
 
 
+def q_hll_distinct_pairs(spark, sf_dir):
+    """HyperLogLog distinct (user, event_type) pairs, p=8 (m=256
+    registers, ~6.5% expected error). Every emitted column — register
+    maxima via trailing-zero rank, harmonic fold in register order, the
+    raw alpha*m^2/S estimate, the small-range flag — is a deterministic
+    function of the md5 base hash, so DuckDB replays the ESTIMATE
+    bit-for-bit (ln-based linear-counting correction deliberately kept
+    out of the contract; `sketches.hll_corrected` has it). exact_distinct
+    rides along for the error audit."""
+    from log_analysis_spark.operators.sketches import hll_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    v = F.concat_ws("|", F.col("user_id"), F.col("event_type"))
+    return hll_estimate(ev, v, p=8, hash_fn="md5")
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min heavy hitters: top-10 users by estimated frequency from
+    a 4x512 integer sketch (broadcastable — probes never shuffle the
+    corpus by item at scale), with the exact count and the one-sided
+    overestimate alongside. Pure integer arithmetic -> exact replay."""
+    from log_analysis_spark.operators.sketches import cms_heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return cms_heavy_hitters(
+        ev, F.col("user_id").cast("string"), k=10, d=4, w=512, hash_fn="md5"
+    )
+
+
 def q_pack_offsets(spark, sf_dir):
     """Concat-then-split sequence packing: exclusive prefix sum of token
     counts in doc-id order -> (pack_id, offset_in_pack) under a 512-token
@@ -1650,8 +1679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in dict order (round 2 truncated there, leaving the whole
     similarity/multimodal family without an official row). Redundant
     variants (sample_mod, cube_agg vs rollup_agg, event_gaps, bpe_tokens /
-    tfidf_top_terms / quality_filter vs the in-window text rows, ...) ride
-    at the tail."""
+    tfidf_top_terms / quality_filter vs the in-window text rows,
+    ssl_version_counts / weird_name_counts vs the four in-window typed-Zeek
+    reps, ...) ride at the tail."""
     return {
         # --- SURVEY §2 core pipeline (scan/filter/route/agg/enrich) ---
         "filter_eq": q_filter_eq,
@@ -1669,9 +1699,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conn_bytes_stats": q_conn_bytes_stats,
         "http_status_stats": q_http_status_stats,
         "dns_qtype_counts": q_dns_qtype_counts,
-        "ssl_version_counts": q_ssl_version_counts,
-        "weird_name_counts": q_weird_name_counts,
         "files_mime_counts": q_files_mime_counts,
+        # --- sketch aggregates (HLL / Count-Min) ---
+        "hll_distinct_pairs": q_hll_distinct_pairs,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         # --- relational / windowed analytics ---
         "tpch_q1": q_tpch_q1,
         "window_topn": q_window_topn,
@@ -1714,6 +1745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- entries past the driver's 50-row window: variants whose
         # family already has a green representative above ----
         "dup_clusters_star": q_dup_clusters_star,
+        "ssl_version_counts": q_ssl_version_counts,
+        "weird_name_counts": q_weird_name_counts,
         "quality_filter": q_quality_filter,
         "lang_temperature": q_lang_temperature,
         "bpe_tokens": q_bpe_tokens,
@@ -1792,6 +1825,19 @@ def _sql_dot_plain(a: str, b: str) -> str:
         f"(acc, v) -> acc + v)"
     )
 
+
+# HLL gate constants: alpha_256 * 256^2, the SAME Python float inlined as a
+# literal on both engines (repr round-trips the exact double); CMS cell-key
+# concat expressions matching Spark's concat_ws(":", j, item).
+def _hll_amm() -> float:
+    from log_analysis_spark.operators.sketches import hll_alpha
+
+    return hll_alpha(256) * 256 * 256
+
+
+_HLL_AMM = _hll_amm()
+_SQL_CMS_KEY = "j::VARCHAR || ':' || i"
+_SQL_CMS_KEY_P = "r.j::VARCHAR || ':' || it.i"
 
 _SQL_SHINGLES3 = (
     "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
@@ -2441,6 +2487,54 @@ def oracle_sql() -> dict[str, str]:
             "(coalesce(cont, 0) > 0)::INT AS is_contaminated "
             "FROM (SELECT doc_id FROM documents WHERE doc_id % 37 != 0) d "
             "LEFT JOIN agg ON d.doc_id = agg.doc_id"
+        ),
+        "hll_distinct_pairs": (
+            # Replays sketches.hll_estimate(p=8, 'md5'): reg = low 8 bits,
+            # rho = 1 + trailing zeros of h >> 8 (cap 53), register-ordered
+            # fold of exact 2^-rho terms + zero-register mass, one literal
+            # alpha*m^2 (same Python float inlined on both sides).
+            "WITH rows AS (SELECT user_id::VARCHAR || '|' || event_type AS v "
+            "FROM events), "
+            f"hh AS (SELECT v, {_sql_h60('v')} AS h FROM rows), "
+            "rr AS (SELECT v, h % 256 AS reg, h // 256 AS rest FROM hh), "
+            "rho AS (SELECT v, reg, CASE WHEN rest = 0 THEN 53 ELSE "
+            "1 + length(bin(rest)) - length(rtrim(bin(rest), '0')) END AS rho "
+            "FROM rr), "
+            "regs AS (SELECT reg, max(rho) AS mr, count(DISTINCT v) AS nd "
+            "FROM rho GROUP BY reg), "
+            "agg AS (SELECT count(*) AS present, sum(nd) AS exact, "
+            "list_reduce(list_prepend(0.0::DOUBLE, "
+            "list(pow(2.0, -mr) ORDER BY reg)), (a, b) -> a + b) AS fold "
+            "FROM regs), "
+            "fin AS (SELECT present, exact, fold + (256 - present)::DOUBLE AS s "
+            "FROM agg) "
+            "SELECT 256::BIGINT AS m, present::BIGINT AS present_registers, "
+            "(256 - present)::BIGINT AS zero_registers, s AS harmonic_sum, "
+            f"{_HLL_AMM!r} / s AS estimate, exact::BIGINT AS exact_distinct, "
+            f"({_HLL_AMM!r} / s - exact::DOUBLE) / exact::DOUBLE AS rel_err, "
+            f"({_HLL_AMM!r} / s <= 2.5 * 256 AND (256 - present) > 0)::INT "
+            "AS small_range FROM fin"
+        ),
+        "cms_heavy_hitters": (
+            # Replays sketches.cms_heavy_hitters(k=10, d=4, w=512, 'md5'):
+            # integer cell counts, est = min over the 4 rows, exact count
+            # and one-sided overestimate alongside; total order on
+            # (est DESC, item ASC) pins the top-10.
+            "WITH it AS (SELECT user_id::VARCHAR AS i, count(*) AS exact "
+            "FROM events GROUP BY user_id), "
+            "rows4 AS (SELECT user_id::VARCHAR AS i, r.j FROM events, "
+            "range(4) r(j)), "
+            "cells AS (SELECT j, "
+            f"{_sql_h60(_SQL_CMS_KEY)} % 512 AS cell, "
+            "count(*) AS cnt FROM rows4 GROUP BY 1, 2), "
+            "probes AS (SELECT it.i AS i, it.exact AS exact, r.j AS j, "
+            f"{_sql_h60(_SQL_CMS_KEY_P)} % 512 AS cell "
+            "FROM it, range(4) r(j)), "
+            "est AS (SELECT i, exact, min(cnt) AS est FROM probes "
+            "JOIN cells USING (j, cell) GROUP BY i, exact) "
+            "SELECT i AS item, est::BIGINT AS est, exact::BIGINT AS exact, "
+            "(est - exact)::BIGINT AS overestimate FROM est "
+            "ORDER BY est DESC, item ASC LIMIT 10"
         ),
         "span_scrub": (
             # Replays dedup.duplicated_span_scrub(k=2, max_docs=1, 'md5'):

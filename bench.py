@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "pack_offsets",
     "decontaminate",
     "span_scrub",
+    "hll_distinct_pairs",
+    "cms_heavy_hitters",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at

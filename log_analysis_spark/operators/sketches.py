@@ -1,0 +1,285 @@
+"""Deterministic cardinality / frequency sketches (HLL, Count-Min).
+
+At 10^12 rows the reference's exact `distinct` overview (reference
+`src/zeek/mod.rs` distinct-values pass) becomes the dominant shuffle: an
+exact distinct over a high-cardinality key moves the whole key column.
+These sketches answer the same questions with bounded state:
+
+- **HyperLogLog** (Flajolet et al. 2007): distinct count in m = 2^p
+  registers. The shuffle carries at most m (register, max-rho) pairs per
+  partition after map-side partial aggregation — constant, not O(keys).
+- **Count-Min** (Cormode & Muthukrishnan 2005): frequency table in d x w
+  integer cells; the sketch itself is broadcastable (d*w rows), so
+  heavy-hitter probes never shuffle the corpus by item.
+
+Unlike Spark's built-in `approx_count_distinct` (HLL++, whose binary
+register encoding another engine cannot replay), these are built from
+named column expressions over an explicit base hash, which makes every
+intermediate — register index, rho, register maxima, harmonic sum — a
+DETERMINISTIC function of the input rows. The DuckDB oracle replays the
+estimates bit-for-bit: rho comes from trailing zeros of the hash's binary
+string (identical `conv`/`bin` + trim semantics), 2^-rho terms are exact
+binary powers in any IEEE pow, and the harmonic sum is a register-ordered
+left fold (see the cross-engine recipe in `__spark_entry__`).
+
+The emitted HLL estimate is the RAW harmonic estimator plus a
+`small_range` flag. The standard linear-counting correction
+(m*ln(m/V) when E <= 2.5m) is applied by ``hll_corrected`` for API
+completeness but deliberately kept OUT of the oracle-checked columns:
+ln() is not correctly-rounded across libms, so its last ulp may differ
+between engines. Flag up, callers apply the correction; the gate query
+pins parameters where the raw estimator is the operative branch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _base_hash
+
+HASH_BITS = 60  # md5_hash60 width; xxhash64 values are masked down to this
+
+# alpha_m from Flajolet et al. 2007, Fig. 3
+_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def hll_alpha(m: int) -> float:
+    if m < 16:
+        raise ValueError(f"hll: m={m} too small (p >= 4 required)")
+    return _ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def _h60(col: Column, hash_fn: str) -> Column:
+    """Nonnegative 60-bit base hash (masks xxhash64's sign bit away so
+    register/rho arithmetic is identical for both hash modes)."""
+    h = _base_hash(col, hash_fn)
+    if hash_fn == "xxhash64":
+        h = h.bitwiseAND(F.lit((1 << HASH_BITS) - 1))
+    return h
+
+
+def hll_register_rows(
+    df: DataFrame,
+    value: Column,
+    p: int = 6,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(_v, reg, _rho) — the per-row HLL observation. Shared by the batch
+    aggregation (`hll_registers`) and the streaming twin
+    (`streaming.stream_job.start_hll_stream` — max() is associative, so
+    the identical expression maintains registers incrementally)."""
+    m = 1 << p
+    width = HASH_BITS - p
+    rows = df.select(value.alias("_v")).select(
+        "_v", _h60(F.col("_v"), hash_fn).alias("_h")
+    )
+    # shiftright, NOT "/": double division of a 60-bit value rounds away
+    # the low bits past the 53-bit mantissa and corrupts the trailing-zero
+    # distribution (measured: +50% estimate bias before this fix)
+    rows = rows.select(
+        "_v",
+        (F.col("_h") % m).alias("reg"),
+        F.shiftright(F.col("_h"), p).alias("_rest"),
+    )
+    b = F.conv(F.col("_rest").cast("string"), 10, 2)
+    tz = F.length(b) - F.length(F.expr("trim(TRAILING '0' FROM conv(cast(_rest as string), 10, 2))"))
+    return rows.select(
+        "_v",
+        "reg",
+        F.when(F.col("_rest") == 0, F.lit(width + 1))
+        .otherwise(F.lit(1) + tz)
+        .cast("long")
+        .alias("_rho"),
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    value: Column,
+    p: int = 6,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(reg, max_rho, n_distinct) — the HLL register relation plus the
+    per-register exact distinct count (register is a function of the
+    value, so distinct values partition across registers and the exact
+    total rides the same aggregation for free — no second pass).
+
+    Map-side partial max() collapses each partition to <= m rows before
+    the one keyed shuffle; reducer state is m longs.
+    """
+    return hll_register_rows(df, value, p, hash_fn).groupBy("reg").agg(
+        F.max("_rho").alias("max_rho"),
+        F.count_distinct("_v").alias("n_distinct"),
+    )
+
+
+def hll_estimate(
+    df: DataFrame,
+    value: Column,
+    p: int = 6,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """One row: (m, present_registers, zero_registers, harmonic_sum,
+    estimate, exact_distinct, rel_err, small_range).
+
+    ``estimate`` is the raw harmonic-mean estimator alpha_m * m^2 / S with
+    S = sum over ALL m registers of 2^-M_j (absent registers contribute
+    2^0 = 1 — added as one term AFTER the register-ordered fold, so the
+    addition order is pinned). ``exact_distinct`` rides along for error
+    accounting; drop ``n_distinct`` from `hll_registers` to skip its
+    (distinct-value, register) shuffle when only the estimate is needed
+    at scale. ``small_range`` flags where the linear-counting correction
+    (``hll_corrected``) would apply.
+    """
+    from pyspark.sql.window import Window
+
+    m = 1 << p
+    a_mm = hll_alpha(m) * m * m  # same literal inlined in the SQL oracle
+    regs = hll_registers(df, value, p, hash_fn)
+    w_all = Window.partitionBy()
+    one = (
+        regs.withColumn(
+            "_fold",
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("reg", F.pow(F.lit(2.0), -F.col("max_rho")).alias("_t"))
+                        ).over(w_all)
+                    ),
+                    lambda s: s["_t"],
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ),
+        )
+        .withColumn("_present", F.count(F.lit(1)).over(w_all))
+        .withColumn("_exact", F.sum("n_distinct").over(w_all))
+        .limit(1)
+    )
+    est = F.lit(a_mm) / F.col("harmonic_sum")
+    return (
+        one.select(
+            F.lit(m).cast("long").alias("m"),
+            F.col("_present").cast("long").alias("present_registers"),
+            (F.lit(m) - F.col("_present")).cast("long").alias("zero_registers"),
+            (
+                F.col("_fold") + (F.lit(m) - F.col("_present")).cast("double")
+            ).alias("harmonic_sum"),
+            F.col("_exact").cast("long").alias("exact_distinct"),
+        )
+        .select(
+            "m",
+            "present_registers",
+            "zero_registers",
+            "harmonic_sum",
+            est.alias("estimate"),
+            "exact_distinct",
+            (
+                (est - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double")
+            ).alias("rel_err"),
+            (
+                (est <= F.lit(2.5) * m) & (F.col("zero_registers") > 0)
+            ).cast("int").alias("small_range"),
+        )
+    )
+
+
+def hll_corrected(
+    df: DataFrame,
+    value: Column,
+    p: int = 6,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """`hll_estimate` plus the linear-counting small-range correction
+    (m * ln(m / V) when small_range and V > 0 — Flajolet et al. 2007
+    section 4). Uses ln(), so this variant is NOT part of the bit-replay
+    contract (module docstring); accuracy is pinned by pytest instead.
+    """
+    out = hll_estimate(df, value, p, hash_fn)
+    m = 1 << p
+    corrected = F.when(
+        (F.col("small_range") == 1),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zero_registers").cast("double")),
+    ).otherwise(F.col("estimate"))
+    return out.withColumn("corrected_estimate", corrected)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+
+def cms_counts(
+    df: DataFrame,
+    item: Column,
+    d: int = 4,
+    w: int = 512,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(j, cell, cnt) — the d x w Count-Min table. At most d*w rows
+    regardless of input size (partial sums collapse map-side), so the
+    materialized sketch BROADCASTS: downstream frequency probes join
+    against it without shuffling the corpus by item.
+    """
+    rows = df.select(item.alias("_i"))
+    exploded = rows.select(
+        "_i", F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j")
+    )
+    cell = _h60(F.concat_ws(":", F.col("j"), F.col("_i")), hash_fn) % w
+    return (
+        exploded.select("j", cell.alias("cell"))
+        .groupBy("j", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    item: Column,
+    k: int = 10,
+    d: int = 4,
+    w: int = 512,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Top-k items by Count-Min estimated frequency:
+    (item, est, exact, overestimate).
+
+    est = min over the d rows of the item's cell counts — an upper bound
+    on the true count (collisions only ever inflate), so
+    ``overestimate >= 0`` always; with w >> heavy-hitter count the top-k
+    ordering matches the exact one. Candidate items here come from a
+    distinct over the corpus (the exact side is computed anyway for the
+    audit); a pure at-scale probe joins an EXTERNAL candidate list
+    against the broadcast sketch and touches the corpus zero times.
+    Integer arithmetic end-to-end — the oracle replays it exactly.
+    """
+    sketch = F.broadcast(cms_counts(df, item, d, w, hash_fn))
+    items = df.select(item.alias("_i")).groupBy("_i").agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    probes = items.select(
+        "_i",
+        "exact",
+        F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j"),
+    )
+    probes = probes.select(
+        "_i", "exact", "j",
+        (_h60(F.concat_ws(":", F.col("j"), F.col("_i")), hash_fn) % w).alias("cell"),
+    )
+    est = (
+        probes.join(sketch, ["j", "cell"])
+        .groupBy("_i", "exact")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return (
+        est.select(
+            F.col("_i").alias("item"),
+            F.col("est").cast("long").alias("est"),
+            F.col("exact").cast("long").alias("exact"),
+            (F.col("est") - F.col("exact")).cast("long").alias("overestimate"),
+        )
+        .orderBy(F.desc("est"), F.asc("item"))
+        .limit(k)
+    )

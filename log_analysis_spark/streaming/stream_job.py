@@ -254,6 +254,55 @@ def start_ivfpq_encode_stream(
     )
 
 
+def start_hll_stream(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    value_cols: tuple[str, ...] = ("user_id", "event_type"),
+    p: int = 8,
+    hash_fn: str = "xxhash64",
+    max_files_per_trigger: int = 100000,
+):
+    """Maintain a HyperLogLog register table over a growing events
+    directory — the streaming twin of ``sketches.hll_registers``.
+
+    max() is associative and insensitive to arrival order, so the exact
+    batch expression (``hll_register_rows`` -> groupBy(reg).max) runs as
+    an unwatermarked streaming aggregation whose state is the m-register
+    table itself — O(2^p) state forever, no growth, no late-data policy
+    needed (a late row can only raise a register, never retract one).
+    Each trigger rewrites ``{out_dir}/hll_registers`` atomically via
+    foreachBatch overwrite (complete mode; the relation is <= 2^p rows,
+    so the rewrite is trivial at any corpus size). The register table
+    feeds the same harmonic estimator as the batch path; per-day sketch
+    tables merge by greatest(max_rho) without touching raw rows.
+    """
+    from ..operators.sketches import hll_register_rows
+
+    schema = spark.read.parquet(input_path).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    rows = hll_register_rows(
+        ev, F.concat_ws("|", *[F.col(c) for c in value_cols]), p, hash_fn
+    )
+    regs = rows.groupBy("reg").agg(F.max("_rho").alias("max_rho"))
+
+    def _sink(batch_df: DataFrame, _bid: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/hll_registers")
+
+    return (
+        regs.writeStream.foreachBatch(_sink)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_zeek_typed_router_stream(
     spark: SparkSession,
     path_glob: str,

@@ -1,0 +1,90 @@
+"""HLL / Count-Min sketches: accuracy bounds, invariants, edge regimes."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_spark.operators.sketches import (
+    cms_counts,
+    cms_heavy_hitters,
+    hll_corrected,
+    hll_estimate,
+    hll_registers,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+
+
+def test_hll_estimate_within_tolerance(events):
+    # 750 distinct pairs, m=256 -> sigma ~6.5%; allow 4 sigma for the
+    # single fixed hash draw. Also the regression pin for the
+    # double-division bug: before the shiftright fix the bias was +48%.
+    v = F.concat_ws("|", F.col("user_id"), F.col("event_type"))
+    row = hll_estimate(events, v, p=8).collect()[0]
+    assert row["exact_distinct"] == 750
+    assert abs(row["rel_err"]) < 0.26
+    assert row["m"] == 256
+    assert row["present_registers"] + row["zero_registers"] == 256
+
+
+def test_hll_registers_bounded(events):
+    v = F.col("user_id").cast("string")
+    regs = hll_registers(events, v, p=6).collect()
+    assert len(regs) <= 64
+    assert all(1 <= r["max_rho"] <= 55 for r in regs)
+    # distinct values partition across registers: per-register exact
+    # distincts sum to the global exact distinct
+    assert sum(r["n_distinct"] for r in regs) == 150
+
+
+def test_hll_small_range_correction(spark):
+    # 20 distinct values into m=256 registers: deep small-range regime
+    # where the raw estimator is badly biased and linear counting wins
+    df = spark.createDataFrame(pd.DataFrame({"v": [f"val{i}" for i in range(20)]}))
+    row = hll_corrected(df, F.col("v"), p=8).collect()[0]
+    assert row["small_range"] == 1
+    raw_err = abs(row["estimate"] - 20) / 20
+    corr_err = abs(row["corrected_estimate"] - 20) / 20
+    assert corr_err < 0.25
+    assert corr_err <= raw_err
+
+
+def test_hll_md5_and_xxhash_modes_both_sane(events):
+    v = F.concat_ws("|", F.col("user_id"), F.col("event_type"))
+    for hf in ("md5", "xxhash64"):
+        row = hll_estimate(events, v, p=8, hash_fn=hf).collect()[0]
+        assert abs(row["rel_err"]) < 0.3, hf
+
+
+def test_cms_table_bounded_and_conservative(events):
+    item = F.col("user_id").cast("string")
+    table = cms_counts(events, item, d=4, w=512).collect()
+    assert len(table) <= 4 * 512
+    # each of the d rows sums to the total row count (every item hits
+    # exactly one cell per row)
+    sums = {}
+    for r in table:
+        sums[r["j"]] = sums.get(r["j"], 0) + r["cnt"]
+    assert set(sums) == {0, 1, 2, 3}
+    assert all(s == 10000 for s in sums.values())
+
+    hh = cms_heavy_hitters(events, item, k=10, d=4, w=512).collect()
+    assert len(hh) == 10
+    # Count-Min never underestimates
+    assert all(r["overestimate"] >= 0 for r in hh)
+
+
+def test_cms_planted_heavy_hitter(spark):
+    # one item with 500 occurrences among 100 singletons: it must rank
+    # first and, at w=512 with 101 distinct items, estimate exactly
+    items = ["whale"] * 500 + [f"m{i}" for i in range(100)]
+    df = spark.createDataFrame(pd.DataFrame({"i": items}))
+    hh = cms_heavy_hitters(df, F.col("i"), k=3).collect()
+    assert hh[0]["item"] == "whale"
+    assert hh[0]["exact"] == 500
+    assert hh[0]["est"] >= 500

@@ -286,3 +286,36 @@ def test_stream_router_matches_batch_sinks(spark, pages_path, tmpdir_path):
     sink = read_sink(spark, out, one_type)
     assert sink.count() == want_counts[one_type]
     assert set(sink.select("record_type").distinct().toPandas()["record_type"]) == {one_type}
+
+
+def test_hll_stream_matches_batch_registers(spark, tmpdir_path):
+    """Streaming HLL register maintenance: after two incremental file
+    arrivals the register table must equal the batch `hll_registers` over
+    the full input (max is associative — order of arrival is irrelevant),
+    and a restart resumes from state instead of reprocessing."""
+    from log_analysis_spark.operators.sketches import hll_registers
+    from log_analysis_spark.streaming.stream_job import start_hll_stream
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    inp = f"{tmpdir_path}/ev_in"
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(inp)
+    args = (spark, inp, f"{tmpdir_path}/out", f"{tmpdir_path}/ckpt_hll")
+    q = start_hll_stream(*args, p=8)
+    q.awaitTermination(300)
+
+    # second arrival: the other half lands later as new files in the dir
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(inp)
+    q2 = start_hll_stream(*args, p=8)
+    q2.awaitTermination(300)
+
+    got = {
+        r["reg"]: r["max_rho"]
+        for r in spark.read.parquet(f"{tmpdir_path}/out/hll_registers").collect()
+    }
+    want = {
+        r["reg"]: r["max_rho"]
+        for r in hll_registers(
+            ev, F.concat_ws("|", F.col("user_id"), F.col("event_type")), p=8
+        ).collect()
+    }
+    assert got == want and len(got) > 0
