@@ -1,0 +1,244 @@
+"""Resumable corpus-curation job: the training-data twin of ``plans.job``.
+
+Composes the LLM-curation operators this package already verifies
+individually — duplicated-span scrub, exact + near dedup with cluster
+resolution, quality gating, benchmark decontamination, deterministic
+split — into one spark-submit entrypoint with the SAME manifest/resume
+contract as the log pipeline (north rule: resumable from checkpoint with
+lineage + metrics):
+
+    python -m log_analysis_spark.plans.curation_job \
+        --input /data/documents --out /data/curated \
+        [--benchmark /data/benchmarks] [--span-k 50] [--neardup] \
+        [--master local[8]]
+
+Stage graph (each stage materializes to parquet and commits a manifest
+unit; a killed run resumes at the first stage whose input fingerprint +
+params don't match):
+
+    scrub    strip k-word spans duplicated across documents
+    dedup    exact dedup (min-id survivor) [+ MinHash-LSH near-dup
+             clusters resolved keep-best-quality with --neardup]
+    quality  keep docs at/above their language's median quality score
+    decontam drop docs sharing n-grams with --benchmark (skipped when no
+             benchmark given; the stage still commits, recording 0 drops)
+    split    deterministic hash split, written partitioned by _split
+
+Unlike the per-day log pipeline, dedup/quality/decontam are GLOBAL
+relations (a duplicate pair can span any two shards), so the resume unit
+is the STAGE, not a partition of one: each stage's output parquet is its
+checkpoint, Spark's own task retry covers intra-stage failures, and the
+manifest fingerprint (upstream output listing + stage params) decides
+skip-vs-recompute exactly as `plans.checkpoint` does for days. At 10^12
+docs every stage is the already-audited scale shape of its operator (see
+SCALE.md); the stage boundaries double as natural places to re-bucket.
+
+Metrics: one JSON line on stdout — per-stage rows in/out/bytes, stages
+skipped, wall seconds — mirroring `plans.job`'s contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .checkpoint import Manifest, UnitResult, dir_bytes, dir_fingerprint
+
+
+def _scrub(df: DataFrame, span_k: int, hash_fn: str) -> DataFrame:
+    from ..operators.dedup import duplicated_span_scrub
+
+    scrubbed = duplicated_span_scrub(
+        df, "doc_id", "text", k=span_k, max_docs=1, hash_fn=hash_fn
+    )
+    keep = scrubbed.filter(F.length("clean_text") > 0).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    return df.drop("text").join(keep, "doc_id").select(*df.columns)
+
+
+def _dedup(df: DataFrame, neardup: bool, hash_fn: str) -> DataFrame:
+    from ..functions.textstats import quality_score
+    from ..operators.dedup import (
+        dedup_keep_best,
+        dup_clusters,
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+
+    survivors = exact_dedup(df, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    out = df.join(survivors, "doc_id").select(*df.columns)
+    if not neardup:
+        return out
+    pairs = minhash_lsh_pairs(out, "doc_id", "text", hash_fn=hash_fn)
+    clusters = dup_clusters(out, "doc_id", pairs)
+    scored = out.select("doc_id", quality_score(F.col("text")).alias("_q"))
+    kept = (
+        dedup_keep_best(scored, clusters, "doc_id", "_q")
+        .filter(F.col("_keep"))
+        .select(F.col("_id").alias("doc_id"))
+    )
+    return out.join(kept, "doc_id").select(*out.columns)
+
+
+def _quality(df: DataFrame) -> DataFrame:
+    from ..functions.textstats import quality_score
+
+    scored = df.withColumn("_q", quality_score(F.col("text")))
+    med = scored.groupBy("lang").agg(F.expr("percentile(_q, 0.5)").alias("_p50"))
+    return (
+        scored.join(F.broadcast(med), "lang")
+        .filter(F.col("_q") >= F.col("_p50"))
+        .select(*df.columns)
+    )
+
+
+def _decontam(
+    df: DataFrame, bench: DataFrame | None, n: int, hash_fn: str
+) -> DataFrame:
+    if bench is None:
+        return df
+    from ..operators.decontam import decontaminate
+
+    return decontaminate(df, bench, "doc_id", "text", n=n, hash_fn=hash_fn)
+
+
+def _split(df: DataFrame, test_frac: float, valid_frac: float) -> DataFrame:
+    from ..operators.sampling import split_by_hash
+
+    return split_by_hash(df, "doc_id", test_frac, valid_frac)
+
+
+def run_curation(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    benchmark_path: str | None = None,
+    span_k: int = 50,
+    neardup: bool = False,
+    decontam_n: int = 8,
+    test_frac: float = 0.01,
+    valid_frac: float = 0.01,
+    hash_fn: str = "xxhash64",
+    resume: bool = True,
+) -> dict:
+    """Run (or resume) the curation stage graph. Returns run metrics."""
+    manifest = Manifest(os.path.join(out_dir, "_manifest"))
+    t0 = time.monotonic()
+    params = (
+        f"span_k={span_k}|neardup={neardup}|n={decontam_n}"
+        f"|t={test_frac}|v={valid_frac}|hash={hash_fn}"
+        f"|bench={benchmark_path}"
+    )
+    bench = (
+        spark.read.parquet(benchmark_path) if benchmark_path is not None else None
+    )
+
+    stages: list[tuple[str, Callable[[DataFrame], DataFrame], str | None]] = [
+        ("scrub", lambda d: _scrub(d, span_k, hash_fn), None),
+        ("dedup", lambda d: _dedup(d, neardup, hash_fn), None),
+        ("quality", _quality, None),
+        ("decontam", lambda d: _decontam(d, bench, decontam_n, hash_fn), None),
+        ("split", lambda d: _split(d, test_frac, valid_frac), "_split"),
+    ]
+
+    prev_path = input_path
+    ran, skipped, metrics = [], [], {}
+    for name, fn, partition_col in stages:
+        stage_out = os.path.join(
+            out_dir, "corpus" if name == "split" else f"stage_{name}"
+        )
+        fp = dir_fingerprint(prev_path) + "|" + params
+        if resume and manifest.is_done("curation", name, fp):
+            skipped.append(name)
+            prev_path = stage_out
+            continue
+        try:
+            src = spark.read.parquet(prev_path)
+        except Exception:  # noqa: BLE001 - resumed past an emptied stage
+            halted = name
+            break
+        rows_in = src.count()
+        result = fn(src)
+        writer = result.write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(stage_out)
+        # an emptied corpus writes NO part files (Spark skips empty
+        # tasks), so the read-back cannot infer a schema — count 0 and
+        # halt the graph honestly instead of crashing downstream
+        try:
+            rows_out = spark.read.parquet(stage_out).count()
+        except Exception:  # noqa: BLE001 - empty dir <=> AnalysisException
+            rows_out = 0
+        res = UnitResult(rows_in, rows_out, dir_bytes(stage_out))
+        manifest.mark_done("curation", name, fp, res)
+        ran.append(name)
+        metrics[name] = {
+            "rows_in": rows_in,
+            "rows_out": rows_out,
+            "bytes_out": res.bytes_out,
+        }
+        prev_path = stage_out
+        if rows_out == 0:
+            halted = name
+            break
+    else:
+        halted = None
+    wall = time.monotonic() - t0
+    return {
+        "stages_run": ran,
+        "stages_skipped": skipped,
+        "stages": metrics,
+        "halted_empty_at": halted,
+        "wall_sec": wall,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--out", required=True, help="output root")
+    ap.add_argument("--benchmark", help="benchmark/eval documents parquet")
+    ap.add_argument("--span-k", type=int, default=50)
+    ap.add_argument("--neardup", action="store_true")
+    ap.add_argument("--decontam-n", type=int, default=8)
+    ap.add_argument("--test-frac", type=float, default=0.01)
+    ap.add_argument("--valid-frac", type=float, default=0.01)
+    ap.add_argument("--hash-fn", default="xxhash64", choices=["xxhash64", "md5"])
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from ..session import get_spark
+
+    spark = get_spark("corpus-curation-job", master=args.master)
+    stats = run_curation(
+        spark,
+        args.input,
+        args.out,
+        benchmark_path=args.benchmark,
+        span_k=args.span_k,
+        neardup=args.neardup,
+        decontam_n=args.decontam_n,
+        test_frac=args.test_frac,
+        valid_frac=args.valid_frac,
+        hash_fn=args.hash_fn,
+        resume=not args.no_resume,
+    )
+    print(json.dumps(stats))
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+"""Curation job: stage graph, manifest resume, empty-corpus halt."""
+
+from __future__ import annotations
+
+
+from log_analysis_spark.plans.curation_job import run_curation
+
+SF_DOCS = "/root/testdata/sf0.01/documents.parquet"
+
+
+def test_full_run_then_resume_skips_everything(spark, tmpdir_path):
+    out = f"{tmpdir_path}/cur"
+    r1 = run_curation(spark, SF_DOCS, out, span_k=6, test_frac=0.1, valid_frac=0.1)
+    assert r1["stages_run"] == ["scrub", "dedup", "quality", "decontam", "split"]
+    assert r1["halted_empty_at"] is None
+    # stage funnel is monotone non-increasing
+    rows = [r1["stages"][s]["rows_out"] for s in r1["stages_run"]]
+    assert rows == sorted(rows, reverse=True) or rows[0] <= 500
+    assert all(
+        r1["stages"][s]["rows_in"] >= r1["stages"][s]["rows_out"]
+        for s in r1["stages_run"]
+    )
+    got = spark.read.parquet(f"{out}/corpus")
+    assert got.count() == r1["stages"]["split"]["rows_out"] > 0
+    assert set(r["_split"] for r in got.select("_split").distinct().collect()) == {
+        "train", "valid", "test"
+    }
+
+    r2 = run_curation(spark, SF_DOCS, out, span_k=6, test_frac=0.1, valid_frac=0.1)
+    assert r2["stages_run"] == [] and len(r2["stages_skipped"]) == 5
+
+
+def test_param_change_invalidates_stages(spark, tmpdir_path):
+    out = f"{tmpdir_path}/cur"
+    run_curation(spark, SF_DOCS, out, span_k=6)
+    # a changed split fraction must re-run every stage whose fingerprint
+    # includes params (all of them) rather than silently skip
+    r = run_curation(spark, SF_DOCS, out, span_k=6, test_frac=0.2)
+    assert "split" in r["stages_run"]
+
+
+def test_empty_corpus_halts_instead_of_crashing(spark, tmpdir_path):
+    # benchmark == corpus and n=3: decontamination drops every doc
+    out = f"{tmpdir_path}/cur_empty"
+    r = run_curation(
+        spark, SF_DOCS, out, benchmark_path=SF_DOCS, span_k=6, decontam_n=3
+    )
+    assert r["halted_empty_at"] in {"decontam", "split"}
+    assert r["stages"]["decontam"]["rows_out"] == 0
