@@ -1658,6 +1658,33 @@ def q_ivfpq_topk(spark, sf_dir):
     return SIM.ivfpq_topk(e, _query_vec(spark, sf_dir), cents, books, k=10, n_probe=2)
 
 
+def q_ivfpq_topk_indexed(spark, sf_dir):
+    """The MATERIALIZED IVF-PQ path under the same gate: writes the
+    cell-partitioned code-only index once per (sf_dir, embeddings mtime)
+    to /tmp, then answers from it — partition pruning at file-listing
+    time, ReadSchema without the vector column. Results (ids AND ADC
+    distances) are proven equal to the ad-hoc `ivfpq_topk` (CI), so the
+    oracle is the same SQL; in the bench this entry shows what the scale
+    path costs once the index exists (rep 1 pays the one-time write,
+    best-of-2 reports the warm indexed query)."""
+    import hashlib
+    import os
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = SIM.ivf_centroids(e, n_centroids=8, lloyd_iters=0)
+    books = SIM.pq_codebooks(e, m=4, n_codes=8)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{src}|{os.stat(src).st_mtime_ns}|8|4x8".encode()
+    ).hexdigest()[:12]
+    idx = f"/tmp/las_ivfpq_idx_{key}"
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        SIM.write_ivfpq_index(e, idx, cents, books)
+    return SIM.ivfpq_topk_indexed(
+        spark, idx, _query_vec(spark, sf_dir), cents, books, k=10, n_probe=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (binary payload metadata; kernel stubbed, see module)
 # ---------------------------------------------------------------------------
@@ -1760,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "notice_action_counts": q_notice_action_counts,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
+        "ivfpq_topk_indexed": q_ivfpq_topk_indexed,
         "corpus_curation": q_corpus_curation,
         "winnow_pairs": q_winnow_pairs,
         "lsh_topk": q_lsh_topk,
@@ -2911,4 +2939,7 @@ def oracle_sql() -> dict[str, str]:
     }
     # identical labels from a different resolution algorithm — same oracle
     sql["dup_clusters_star"] = sql["dup_clusters"]
+    # materialized-index path proven result-identical to the ad-hoc form
+    # (CI pins ids AND distances equal) — same oracle by construction
+    sql["ivfpq_topk_indexed"] = sql["ivfpq_topk"]
     return sql

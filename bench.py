@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "conn_bytes_stats",
     "pq_topk",
     "ivfpq_topk",
+    "ivfpq_topk_indexed",
     "corpus_curation",
     "files_mime_counts",
     "repetition_stats",
