@@ -1258,6 +1258,23 @@ def q_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental ingest gate: documents split by doc_id parity into an
+    existing corpus (even) and a new batch (odd); the batch is filtered
+    by exact content hash then MinHash-LSH near-dup (jaccard >= 0.5)
+    against the corpus only — the corpus never self-joins. md5 base hash
+    so the oracle replays both stages bit-for-bit. Returns surviving
+    batch ids."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    surv = DD.dedup_against(
+        batch, corpus, "doc_id", "text",
+        num_perm=64, bands=16, n=3, threshold=0.5, hash_fn="md5",
+    )
+    return surv.select("doc_id").orderBy("doc_id")
+
+
 def q_simhash(spark, sf_dir):
     """SimHash near-dup pairs; md5-based token hash -> the oracle replays
     fingerprints, chunk-pigeonhole candidates, and hamming verify exactly."""
@@ -1587,6 +1604,20 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas 2023): cluster with the deterministic seed
+    quantizer (lloyd_iters=0, the SQL-replayable setting), drop
+    min-id-dominated semantic dups within each cell. threshold=0.3 because
+    the synthetic embeddings are random 64-dim directions (non-self cosine
+    ~ N(0, 1/8)): the paper's 0.95+ would drop nothing, 0.3 exercises the
+    dominator sweep on ~1% of within-cell pairs. Returns surviving
+    (vec_id, cell)."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = SIM.ivf_centroids(e, n_centroids=8, lloyd_iters=0)
+    kept = SIM.semdedup(e, cents, threshold=0.3)
+    return kept.select("vec_id", F.col("cell").cast("long").alias("cell")).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # similarity search (embeddings)
 # ---------------------------------------------------------------------------
@@ -1790,6 +1821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk_indexed": q_ivfpq_topk_indexed,
         "corpus_curation": q_corpus_curation,
         "winnow_pairs": q_winnow_pairs,
+        "semdedup": q_semdedup,
+        "incremental_dedup": q_incremental_dedup,
         "lsh_topk": q_lsh_topk,
         "quantized_topk": q_quantized_topk,
         "anomaly_hours": q_anomaly_hours,
@@ -1987,6 +2020,74 @@ def _sql_ivf_topk(k: int = 10, n_centroids: int = 8, n_probe: int = 2) -> str:
         f"SELECT a.vec_id, {_sql_cos('a.embedding', 'q.qv')} AS cos_sim "
         f"FROM assign a JOIN qprobe p ON a.cidx = p.cidx, q "
         f"ORDER BY cos_sim DESC, a.vec_id ASC LIMIT {k}"
+    )
+
+
+def _sql_semdedup(n_centroids: int = 8, threshold: float = 0.3) -> str:
+    """SemDeDup replay: _sql_ivf_topk's seed centroids + lowest-index
+    assignment, unit-normalize (same fold as _sql_normvec), then the
+    min-id dominator anti-join within each cell."""
+    cc = _sql_dot("embedding", "embedding")
+    return (
+        f"WITH st AS (SELECT greatest(count(*) // {n_centroids}, 1) AS s FROM embeddings), "
+        f"cents AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, "
+        f"embedding AS cv, {cc} AS cc FROM embeddings, st "
+        f"WHERE vec_id % s = 0 AND vec_id // s < {n_centroids}), "
+        f"assign AS MATERIALIZED (SELECT vec_id, {_sql_normvec('embedding')} AS nv, cidx "
+        f"FROM (SELECT e.vec_id, e.embedding, c.cidx, "
+        f"row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY c.cc - 2 * {_sql_dot('e.embedding', 'c.cv')}, c.cidx) AS rn "
+        f"FROM embeddings e, cents c WHERE e.embedding IS NOT NULL) WHERE rn = 1), "
+        f"dom AS (SELECT DISTINCT a.vec_id FROM assign a JOIN assign b "
+        f"ON a.cidx = b.cidx AND b.vec_id < a.vec_id "
+        f"WHERE {_sql_dot_plain('a.nv', 'b.nv')} >= {threshold}) "
+        f"SELECT a.vec_id, a.cidx AS cell FROM assign a ANTI JOIN dom d ON a.vec_id = d.vec_id "
+        f"ORDER BY vec_id"
+    )
+
+
+def _sql_incremental_dedup(num_perm: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
+    """Incremental-dedup replay: exact 60-bit content-hash anti-join
+    (batch = odd doc_ids, corpus = even), then the same MinHash machinery
+    as _sql_minhash_lsh but joined batch-x-corpus instead of self."""
+    coeffs = DD._perm_coeffs(num_perm)
+    m = DD.MERSENNE
+    r = num_perm // bands
+    sig_elems = ", ".join(
+        f"(list_min(list_transform(hp, h -> ({a}*h+{b}) % {m})))::BIGINT"
+        for a, b in coeffs
+    )
+    band_keys = ", ".join(
+        f"'{b}_' || " + " || '_' || ".join(f"g[{b * r + j + 1}]::VARCHAR" for j in range(r))
+        for b in range(bands)
+    )
+    jac = "len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s))::DOUBLE"
+    shg = f"CASE WHEN len(w) >= 3 THEN {_SQL_SHINGLES3} ELSE [] END"
+    return (
+        f"WITH s1 AS MATERIALIZED (SELECT b.doc_id FROM "
+        f"(SELECT doc_id, {_sql_h60('text')} AS h FROM documents WHERE doc_id % 2 = 1) b "
+        f"ANTI JOIN (SELECT DISTINCT {_sql_h60('text')} AS h FROM documents "
+        f"WHERE doc_id % 2 = 0) c ON b.h = c.h), "
+        f"tokb AS (SELECT d.doc_id, {_TOKENS.format(t='text')} AS w FROM documents d "
+        f"JOIN s1 ON d.doc_id = s1.doc_id), "
+        f"tokc AS (SELECT doc_id, {_TOKENS.format(t='text')} AS w FROM documents "
+        f"WHERE doc_id % 2 = 0), "
+        f"hsb AS MATERIALIZED (SELECT doc_id, s, "
+        f"list_transform(s, x -> {_sql_h60('x')} % {m}) AS hp "
+        f"FROM (SELECT doc_id, {shg} AS s FROM tokb) WHERE len(s) > 0), "
+        f"hsc AS MATERIALIZED (SELECT doc_id, s, "
+        f"list_transform(s, x -> {_sql_h60('x')} % {m}) AS hp "
+        f"FROM (SELECT doc_id, {shg} AS s FROM tokc) WHERE len(s) > 0), "
+        f"bkb AS (SELECT doc_id, unnest([{band_keys}]) AS bkey FROM "
+        f"(SELECT doc_id, [{sig_elems}] AS g FROM hsb)), "
+        f"bkc AS (SELECT doc_id, unnest([{band_keys}]) AS bkey FROM "
+        f"(SELECT doc_id, [{sig_elems}] AS g FROM hsc)), "
+        f"cand AS (SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid "
+        f"FROM bkb a JOIN bkc b ON a.bkey = b.bkey), "
+        f"dom AS (SELECT DISTINCT bid FROM cand "
+        f"JOIN hsb sa ON sa.doc_id = bid JOIN hsc sb ON sb.doc_id = cid "
+        f"WHERE {jac} >= {threshold}) "
+        f"SELECT s1.doc_id FROM s1 ANTI JOIN dom ON s1.doc_id = dom.bid ORDER BY doc_id"
     )
 
 
@@ -2897,6 +2998,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _sql_ivf_topk(k=10, n_centroids=8, n_probe=2),
         "pq_topk": _sql_pq_topk(k=10, m=4, n_codes=8, d_sub=16),
         "ivfpq_topk": _sql_ivfpq_topk(k=10, n_cells=8, n_probe=2, m=4, n_codes=8, d_sub=16),
+        "semdedup": _sql_semdedup(n_centroids=8, threshold=0.3),
+        "incremental_dedup": _sql_incremental_dedup(num_perm=64, bands=16, threshold=0.5),
         "embedding_neardup": (
             f"WITH nv AS (SELECT vec_id, label, {_sql_normvec('embedding')} AS v "
             "FROM embeddings) "

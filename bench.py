@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "pack_offsets",
     "decontaminate",
     "span_scrub",
+    "semdedup",
+    "incremental_dedup",
     "hll_distinct_pairs",
     "cms_heavy_hitters",
 ]

@@ -242,6 +242,21 @@ def minhash_signatures(
     )
 
 
+def _banded(sig: DataFrame, num_perm: int, bands: int, hash_fn: str) -> DataFrame:
+    """(_id, bkey) — one row per (doc, LSH band). Band key = band index +
+    the band's signature slice; in xxhash64 mode the key is re-hashed so
+    the shuffle key narrows to 8 bytes (equality semantics are identical;
+    md5 mode keeps the readable string key the DuckDB oracle replays)."""
+    r = num_perm // bands
+    band_keys = [
+        F.concat_ws("_", F.lit(str(b)), F.slice("_sig", b * r + 1, r))
+        for b in range(bands)
+    ]
+    if hash_fn == "xxhash64":
+        band_keys = [F.xxhash64(k) for k in band_keys]
+    return sig.select("_id", F.explode(F.array(*band_keys)).alias("bkey"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -283,20 +298,10 @@ def minhash_lsh_pairs(
     exact candidate semantics.
     """
     assert num_perm % bands == 0
-    r = num_perm // bands
     sh = _hashed_shingle_sets(df, id_col, text_col, n, hash_fn=hash_fn).persist()
     if unpersist_handles is not None:
         unpersist_handles.append(sh)
-    sig = _signatures_from_sets(sh, num_perm)
-    # band key = band index + the band's signature slice; hashing it narrows
-    # the shuffle key to 8 bytes (equality semantics are identical)
-    band_keys = [
-        F.concat_ws("_", F.lit(str(b)), F.slice("_sig", b * r + 1, r))
-        for b in range(bands)
-    ]
-    if hash_fn == "xxhash64":
-        band_keys = [F.xxhash64(k) for k in band_keys]
-    banded = sig.select("_id", F.explode(F.array(*band_keys)).alias("bkey"))
+    banded = _banded(_signatures_from_sets(sh, num_perm), num_perm, bands, hash_fn)
     if max_bucket is not None:
         sizes = banded.groupBy("bkey").agg(F.count(F.lit(1)).alias("_bn"))
         banded = banded.join(
@@ -321,6 +326,73 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified
+
+
+def dedup_against(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float | None = 0.8,
+    hash_fn: str = "xxhash64",
+    unpersist_handles: list | None = None,
+) -> DataFrame:
+    """Incremental (cross-snapshot) dedup: filter a NEW batch against an
+    EXISTING corpus without ever reprocessing the corpus pairwise — the
+    ingest gate of a continuously-growing training corpus.
+
+    Two stages:
+    1. EXACT — drop batch docs whose content hash already exists in the
+       corpus: anti-join on the 60-bit text hash. The corpus side reduces
+       to DISTINCT hashes (8 bytes/doc) — at 10^12 corpus docs this is the
+       only corpus-wide relation and it is precomputable/reusable across
+       batches (materialize it once per snapshot, like ip.db).
+    2. NEAR (``threshold`` not None) — MinHash-LSH band keys on BOTH
+       sides, batch-x-corpus bucket equi-join -> distinct candidates ->
+       exact Jaccard verify -> drop batch docs with ANY corpus near-dup
+       >= threshold. The corpus never self-joins: candidate count is
+       (batch docs) x (corpus docs in the same bucket), and at scale the
+       corpus band-key relation is a materialized index appended per
+       ingest, so each new batch costs O(batch) + one bucket join.
+
+    Batch-internal duplicates are NOT removed here — compose with
+    ``exact_dedup`` / ``minhash_lsh_pairs`` downstream; keeping the two
+    concerns separate is what lets the corpus side stay an append-only
+    index. Returns surviving batch rows (all original columns).
+
+    ``hash_fn='md5'`` makes every stage replayable bit-for-bit by a DuckDB
+    oracle (same base hash, permutations, banding, Jaccard as
+    ``minhash_lsh_pairs``).
+    """
+    bh = batch.withColumn("_bh", _base_hash(F.col(text_col), hash_fn))
+    ch = corpus.select(_base_hash(F.col(text_col), hash_fn).alias("_bh")).distinct()
+    survivors = bh.join(ch, on="_bh", how="left_anti").drop("_bh")
+    if threshold is None:
+        return survivors
+    assert num_perm % bands == 0
+    sh_b = _hashed_shingle_sets(survivors, id_col, text_col, n, hash_fn=hash_fn).persist()
+    sh_c = _hashed_shingle_sets(corpus, id_col, text_col, n, hash_fn=hash_fn).persist()
+    if unpersist_handles is not None:
+        unpersist_handles.extend([sh_b, sh_c])
+    banded_b = _banded(_signatures_from_sets(sh_b, num_perm), num_perm, bands, hash_fn)
+    banded_c = _banded(_signatures_from_sets(sh_c, num_perm), num_perm, bands, hash_fn)
+    cand = (
+        banded_b.alias("a")
+        .join(banded_c.alias("b"), on=[F.col("a.bkey") == F.col("b.bkey")])
+        .select(F.col("a._id").alias("_bid"), F.col("b._id").alias("_cid"))
+        .distinct()
+    )
+    dominated = (
+        cand.join(sh_b.select(F.col("_id").alias("_bid"), F.col("_sh").alias("_shb")), "_bid")
+        .join(sh_c.select(F.col("_id").alias("_cid"), F.col("_sh").alias("_shc")), "_cid")
+        .filter(_jaccard(F.col("_shb"), F.col("_shc")) >= threshold)
+        .select(F.col("_bid").alias(id_col))
+        .distinct()
+    )
+    return survivors.join(dominated, on=id_col, how="left_anti")
 
 
 # --- SimHash ----------------------------------------------------------------

@@ -776,3 +776,57 @@ def pq_encode_arrow(
         ]
     )
     return df.select(id_col, vec_col).mapInArrow(_encode, schema=out_schema)
+
+
+# --- SemDeDup (semantic deduplication) --------------------------------------
+def semdedup(
+    df: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings with a coarse quantizer and dropping, within each
+    cluster, every vector that has a semantic duplicate of lower id.
+
+    Survivor rule: x is DROPPED iff exists y in the same cell with
+    cos(x, y) >= threshold and y.id < x.id — the paper's keep-one-per-
+    epsilon-ball realized with a deterministic min-id tiebreak (the paper
+    keeps the item of lowest centroid similarity; min-id is the
+    engine-replayable equivalent). Note this is a dominator test, not
+    connected components: in a chain a~b~c (a !~ c) both b and c drop —
+    b dominated by a, c by b — matching the paper's per-cluster greedy
+    sweep, which also removes transitively chained near-dups.
+
+    Scale shape: one centroid-assignment pass (Column-expression argmin for
+    <=64 cells; swap in ``assign_centroids_arrow`` for large codebooks),
+    vectors unit-normalized ONCE behind an aggregation barrier
+    (``dedup.normalized_vectors`` — projection-collapse guard), then a
+    within-cell equi-join (never cross-cell, never all-pairs) and one
+    LEFT ANTI join on the dominated ids. Pair count is bounded by the
+    largest cell; size n_centroids so cells hold ~1e5-1e6 vectors
+    (SemDeDup's own setting: 50k clusters over 5B LAION embeddings).
+    NULL embeddings assign to NULL cells and are excluded (they cannot
+    be similarity-scored).
+
+    Returns kept rows ``(id_col, cell)``, one per surviving vector.
+    """
+    from .dedup import dot_product, normalized_vectors
+
+    assigned = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_c", nearest_centroid(F.col(vec_col), centroids))
+        .filter(F.col("_c").isNotNull())
+    )
+    v = normalized_vectors(assigned, id_col, vec_col, extra_cols=["_c"])
+    a, b = v.alias("a"), v.alias("b")
+    dominated = (
+        a.join(b, on=[F.col("a._c") == F.col("b._c"), F.col("b._id") < F.col("a._id")])
+        .filter(dot_product(F.col("a._nv"), F.col("b._nv")) >= threshold)
+        .select(F.col("a._id").alias("_id"))
+        .distinct()
+    )
+    return v.join(dominated, on="_id", how="left_anti").select(
+        F.col("_id").alias(id_col), F.col("_c").alias("cell")
+    )

@@ -233,3 +233,48 @@ def test_winnowing_guarantee_and_short_doc_domain(spark):
     }
     assert (1, 2) in pairs
     assert all(3 not in p and 4 not in p for p in pairs)
+
+
+# --- incremental (cross-snapshot) dedup -------------------------------------
+def _inc_fixture(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (2, "spark engines shuffle data between executors by key"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),        # exact dup
+            (3, "the quick brown fox jumps over the lazy dog today"),  # jac 7/8
+            (5, "a wholly novel document mentioning nothing seen before"),
+            (7, "a wholly novel document mentioning nothing seen before"),  # batch-internal dup
+        ],
+        "doc_id long, text string",
+    )
+    return corpus, batch
+
+
+def test_dedup_against_exact_and_near(spark):
+    corpus, batch = _inc_fixture(spark)
+    handles = []
+    surv = DD.dedup_against(
+        batch, corpus, "doc_id", "text", threshold=0.8, unpersist_handles=handles
+    )
+    ids = sorted(r["doc_id"] for r in surv.collect())
+    # 1 dropped by exact hash; 3 dropped by near-dup (jaccard 7/8 = 0.875);
+    # batch-internal dups 5 and 7 BOTH survive (ingest gate contract)
+    assert ids == [5, 7]
+    assert len(handles) == 2
+    for h in handles:
+        h.unpersist()
+
+
+def test_dedup_against_exact_only(spark):
+    corpus, batch = _inc_fixture(spark)
+    surv = DD.dedup_against(batch, corpus, "doc_id", "text", threshold=None)
+    ids = sorted(r["doc_id"] for r in surv.collect())
+    assert ids == [3, 5, 7]  # near-dup survives the exact-only gate
+    # all original columns ride through
+    assert surv.columns == ["doc_id", "text"]

@@ -451,3 +451,42 @@ def test_knn_join_warns_on_auto_block(emb):
         warnings.simplefilter("always")
         SIM.knn_join(emb, emb, k=2, block_col="label")
         assert not any("approximate" in str(x.message) for x in w)
+
+
+# --- SemDeDup ---------------------------------------------------------------
+def test_semdedup_drops_planted_neardups(spark):
+    """Near-copies (cos >= threshold) of a lower id drop; survivors keep
+    their cell; NULL embeddings are excluded entirely."""
+    base1 = [1.0, 0.0, 0.0, 0.0]
+    base2 = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (0, base1),
+        (1, [1.0, 0.02, 0.0, 0.0]),      # near-dup of 0 -> dropped
+        (2, base2),
+        (3, [0.0, 2.0, 0.0, 0.0]),       # same direction as 2 -> dropped
+        (4, None),                        # NULL -> excluded
+        (5, [0.7, 0.74, 0.0, 0.0]),      # 46 deg from both -> kept (cell 0 or 1)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.array([base1, base2])
+    kept = {r["vec_id"]: r["cell"] for r in SIM.semdedup(df, cents, threshold=0.95).collect()}
+    assert set(kept) == {0, 2, 5}
+    assert kept[0] == 0 and kept[2] == 1
+
+
+def test_semdedup_dominator_chain_not_cc(spark):
+    """Chain a~b, b~c with a!~c: the greedy dominator sweep drops BOTH b
+    and c (b dominated by a, c by b) — per-cluster greedy semantics, not
+    connected components."""
+    import math
+
+    def v(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    df = spark.createDataFrame(
+        [(1, v(0)), (2, v(25)), (3, v(50))], "vec_id long, embedding array<double>"
+    )
+    cents = np.array([[1.0, 0.0]])  # single cell
+    t = math.cos(math.radians(30))  # cos25 >= t > cos50
+    kept = [r["vec_id"] for r in SIM.semdedup(df, cents, threshold=t).collect()]
+    assert kept == [1]
