@@ -178,6 +178,56 @@ def q_null_coalesce(spark, sf_dir):
     )
 
 
+def _host_expr():
+    """Deterministic synthetic url host per doc_id — drives the
+    public-suffix queries on driver testdata (which has no url column).
+    Mirrors `_HOST_SQL` in the oracle byte-for-byte: subdomain / site
+    label / suffix each selected by doc_id residues, covering plain,
+    multi-label, wildcard (`*.ck`), exception (`!www.ck`), private-registry
+    (`github.io`) and no-rule (`xyz`) suffixes, plus bare-suffix hosts
+    (doc_id % 13 == 0) whose registrable domain is NULL."""
+    sub = F.element_at(
+        F.array(*[F.lit(s) for s in ("www", "blog", "cdn", "", "")]),
+        (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int"),
+    )
+    site = F.concat(
+        F.lit("site"), F.pmod(F.col("doc_id"), F.lit(11)).cast("string")
+    )
+    suf = F.element_at(
+        F.array(
+            *[
+                F.lit(s)
+                for s in (
+                    "com", "co.uk", "ck", "www.ck",
+                    "github.io", "org", "xyz", "uk",
+                )
+            ]
+        ),
+        (F.pmod(F.col("doc_id"), F.lit(8)) + 1).cast("int"),
+    )
+    return F.when(F.pmod(F.col("doc_id"), F.lit(13)) == 0, suf).otherwise(
+        F.concat_ws(".", F.when(sub != "", sub), site, suf)
+    )
+
+
+def q_registrable_domains(spark, sf_dir):
+    """Public-suffix (PSL) longest-match registrable-domain extraction —
+    the north star's 'TLD/registrable-domain table' enrichment done
+    properly (operators/domains.py: K bounded broadcast joins, zero
+    shuffle, wildcard/exception rule support). Hosts are synthesized
+    deterministically from doc_id (no url column in driver testdata);
+    result = per (public_suffix, registrable_domain) host counts."""
+    from log_analysis_spark.operators.domains import registrable_domain
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", _host_expr().alias("host"))
+    out = registrable_domain(d)
+    return (
+        out.groupBy("public_suffix", "registrable_domain")
+        .agg(F.count(F.lit(1)).alias("n_hosts"))
+        .orderBy("public_suffix", "registrable_domain")
+    )
+
+
 def q_date_range_days(spark, sf_dir):
     """O3: date-range generation (main.rs:815-834) as sequence+explode,
     left-joined so zero-order days appear."""
@@ -1524,6 +1574,56 @@ def q_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_bloom_prefilter(spark, sf_dir):
+    """Deterministic Bloom-filter membership prefilter (Bloom 1970;
+    Kirsch-Mitzenmacher double hashing): build a 4096-bit / k=4 filter
+    over the order custkeys, probe every customer, and report the
+    (maybe, actual) confusion cells. No false negatives by construction —
+    the (false, true) cell is structurally empty — while m is sized so
+    false positives actually occur at gate scale. At 10^12 rows the
+    filter is the ingest-gate prefilter: bounded bit_or state (m/32
+    longs), probe as a zero-join map-side projection; the exact `mem`
+    join below exists only to audit the cells."""
+    from log_analysis_spark.operators import sketches as SK
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    m_bits, k = 1 << 12, 4
+    member_key = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    words = SK.bloom_words_array(
+        SK.bloom_build(orders, member_key, m_bits, k, "md5"), m_bits
+    )
+    # probe BOTH key spaces: 'c'-prefixed custkeys are members (every
+    # custkey orders at gate scale), 'n'-prefixed never are — so the
+    # true-negative and false-positive cells are populated, not vacuous
+    probes = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("v")
+    ).unionAll(
+        cust.select(
+            F.concat(F.lit("n"), F.col("c_custkey").cast("string")).alias("v")
+        )
+    )
+    probed = probes.select(
+        "v",
+        SK.bloom_maybe_contains(F.col("v"), words, m_bits, k, "md5").alias(
+            "maybe"
+        ),
+    )
+    mem = (
+        orders.select(member_key.alias("v"))
+        .distinct()
+        .withColumn("actual", F.lit(True))
+    )
+    out = probed.join(F.broadcast(mem), "v", "left").withColumn(
+        "actual", F.coalesce("actual", F.lit(False))
+    )
+    return (
+        out.groupBy("maybe", "actual")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("maybe", "actual")
+    )
+
+
 def q_pack_offsets(spark, sf_dir):
     """Concat-then-split sequence packing: exclusive prefix sum of token
     counts in doc-id order -> (pack_id, offset_in_pack) under a 512-token
@@ -1736,7 +1836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first 50 entries: the driver's correctness gate records the first 50
     in dict order (round 2 truncated there, leaving the whole
     similarity/multimodal family without an official row). Redundant
-    variants (sample_mod, cube_agg vs rollup_agg, event_gaps, bpe_tokens /
+    variants (sample_mod, cube_agg vs rollup_agg, window_topn vs
+    topk_users, event_gaps, bpe_tokens /
     tfidf_top_terms / quality_filter vs the in-window text rows,
     ssl_version_counts / weird_name_counts vs the four in-window typed-Zeek
     reps, ...) ride at the tail."""
@@ -1752,6 +1853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_enrich": q_broadcast_enrich,
         "json_extract": q_json_extract,
         "null_coalesce": q_null_coalesce,
+        "registrable_domains": q_registrable_domains,
         "date_range_days": q_date_range_days,
         # --- typed Zeek families (TSV parse path) ---
         "conn_bytes_stats": q_conn_bytes_stats,
@@ -1761,13 +1863,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- sketch aggregates (HLL / Count-Min) ---
         "hll_distinct_pairs": q_hll_distinct_pairs,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "bloom_prefilter": q_bloom_prefilter,
         # --- relational / windowed analytics ---
         "tpch_q1": q_tpch_q1,
-        "window_topn": q_window_topn,
         "rollup_agg": q_rollup_agg,
         "funnel_steps": q_funnel_steps,
         "sliding_windows": q_sliding_windows,
-        "percentiles": q_percentiles,
         "sessionize": q_sessionize,
         # --- joins ---
         "asof_join": q_asof_join,
@@ -1802,6 +1903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_meta": q_binary_meta,
         # ---- entries past the driver's 50-row window: variants whose
         # family already has a green representative above ----
+        "window_topn": q_window_topn,
+        "percentiles": q_percentiles,
         "dup_clusters_star": q_dup_clusters_star,
         "ssl_version_counts": q_ssl_version_counts,
         "weird_name_counts": q_weird_name_counts,
@@ -2196,6 +2299,95 @@ def _sql_langid(t: str) -> str:
     return f"(CASE {whens} ELSE 'unknown' END)"
 
 
+def _bloom_prefilter_sql(m_bits: int = 1 << 12, k: int = 4) -> str:
+    """DuckDB replay of q_bloom_prefilter: same double-hashed positions
+    (h1/h2 via the shared md5 hash60), same 32-bits-per-word packing and
+    bit_or fold, probe = min over the k looked-up bits."""
+    m = m_bits
+
+    def h(v: str) -> str:
+        return f"({_sql_h60(v)} % {m})"
+
+    def h2(v: str) -> str:
+        salted = v + " || chr(1) || 'bloom'"
+        return f"(({_sql_h60(salted)} % {m}) | 1)"
+
+    pos = f"[(h1 + i*h2) % {m} for i in range(0, {k})]"
+    bkey = "'c' || o_custkey::VARCHAR"
+    return (
+        "WITH bh AS (SELECT "
+        f"{h(bkey)} AS h1, {h2(bkey)} AS h2 FROM orders), "
+        f"pos AS (SELECT unnest({pos}) AS p FROM bh), "
+        "words AS (SELECT p // 32 AS word_idx, "
+        "bit_or(1::BIGINT << (p % 32)::INT) AS word FROM pos GROUP BY 1), "
+        "probes AS (SELECT 'c' || c_custkey::VARCHAR AS v FROM customer "
+        "UNION ALL SELECT 'n' || c_custkey::VARCHAR AS v FROM customer), "
+        f"ph AS (SELECT v, {h('v')} AS h1, {h2('v')} AS h2 FROM probes), "
+        f"px AS (SELECT v, unnest({pos}) AS p FROM ph), "
+        "chk AS (SELECT v, CASE WHEN w.word IS NULL THEN 0 "
+        "ELSE ((w.word >> (p % 32)::INT) & 1) END AS b "
+        "FROM px LEFT JOIN words w ON (p // 32) = w.word_idx), "
+        "mb AS (SELECT v, (min(b) = 1) AS maybe FROM chk GROUP BY v), "
+        f"mem AS (SELECT DISTINCT {bkey} AS v FROM orders), "
+        "fin AS (SELECT mb.v, mb.maybe, (mem.v IS NOT NULL) AS actual "
+        "FROM mb LEFT JOIN mem ON mb.v = mem.v) "
+        "SELECT maybe, actual, count(*)::BIGINT AS n "
+        "FROM fin GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
+def _registrable_domains_sql() -> str:
+    """DuckDB replay of q_registrable_domains: same synthetic hosts, same
+    keyed rule dim (shared VALUES list from operators/domains.py), same
+    K left joins + precedence CASE as the Spark plan."""
+    from log_analysis_spark.operators.domains import (
+        keyed_rules_sql_values,
+        max_key_labels,
+    )
+
+    k = max_key_labels()
+    cands = ", ".join(
+        f"CASE WHEN n >= {i} THEN array_to_string(l[n-{i - 1}:n], '.') END AS c{i}"
+        for i in range(1, k + 1)
+    )
+    joins = " ".join(
+        f"LEFT JOIN dim d{i} ON cand.c{i} = d{i}.suffix_key"
+        for i in range(1, k + 1)
+    )
+    msel = ", ".join(
+        f"d{i}.p AS p{i}, d{i}.w AS w{i}, d{i}.e AS e{i}"
+        for i in range(1, k + 1)
+    )
+    exc = ", ".join(f"e{i}" for i in range(k, 0, -1))
+    prev = ", ".join(
+        f"CASE WHEN p{i} IS NOT NULL THEN {i} END, "
+        f"CASE WHEN w{i} IS NOT NULL AND n >= {i + 1} THEN {i + 1} END"
+        for i in range(1, k + 1)
+    )
+    return (
+        "WITH h0 AS (SELECT doc_id, "
+        "(['www','blog','cdn','',''])[(doc_id % 5) + 1] AS sub, "
+        "'site' || (doc_id % 11)::VARCHAR AS site, "
+        "(['com','co.uk','ck','www.ck','github.io','org','xyz','uk'])"
+        "[(doc_id % 8) + 1] AS suf FROM documents), "
+        "hosts AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN suf "
+        "ELSE concat_ws('.', CASE WHEN sub <> '' THEN sub END, site, suf) "
+        "END AS host FROM h0), "
+        f"dim(suffix_key, p, w, e) AS (VALUES {keyed_rules_sql_values()}), "
+        "lab AS (SELECT doc_id, host, str_split(lower(host), '.') AS l, "
+        "len(str_split(lower(host), '.')) AS n FROM hosts), "
+        f"cand AS (SELECT *, {cands} FROM lab), "
+        f"m AS (SELECT cand.*, {msel} FROM cand {joins}), "
+        f"ps AS (SELECT l, n, coalesce({exc}, greatest({prev}, 1)) AS psn "
+        "FROM m), "
+        "fin AS (SELECT array_to_string(l[n-psn+1:n], '.') AS public_suffix, "
+        "CASE WHEN n > psn THEN array_to_string(l[n-psn:n], '.') END "
+        "AS registrable_domain FROM ps) "
+        "SELECT public_suffix, registrable_domain, "
+        "count(*)::BIGINT AS n_hosts FROM fin GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     wl = ", ".join(f"'{t}'" for t in EVENT_WHITELIST)
     sql = {
@@ -2244,6 +2436,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer LEFT JOIN supplier ON c_custkey = s_suppkey "
             "WHERE c_custkey <= 100"
         ),
+        "registrable_domains": _registrable_domains_sql(),
         "date_range_days": (
             "WITH b AS (SELECT min(o_orderdate::DATE) AS d0, max(o_orderdate::DATE) AS d1 "
             "FROM orders), "
@@ -2665,6 +2858,7 @@ def oracle_sql() -> dict[str, str]:
             "(est - exact)::BIGINT AS overestimate FROM est "
             "ORDER BY est DESC, item ASC LIMIT 10"
         ),
+        "bloom_prefilter": _bloom_prefilter_sql(),
         "span_scrub": (
             # Replays dedup.duplicated_span_scrub(k=2, max_docs=1, 'md5'):
             # non-overlapping 2-word blocks, 60-bit md5 hash, a block is

@@ -1,0 +1,181 @@
+"""Registrable-domain (eTLD+1) extraction via public-suffix longest-match.
+
+The reference decorates Zeek records with per-key lookups (its ip2location
+step, /root/reference/src/ip2location.rs:174-222, recast in operators/
+enrich.py as broadcast dim joins). For the Common-Crawl-style pages table
+the analogous decoration is the *registrable domain*: the public-suffix
+algorithm (publicsuffix.org/list — plain rules like ``co.uk``, wildcard
+rules like ``*.ck``, exception rules like ``!www.ck``) applied to the url
+host. ``enrich.enrich`` only takes the last label; this operator implements
+the full longest-match algorithm.
+
+Scale design — zero shuffle, bounded broadcast joins:
+
+The rule list is keyed by its concrete suffix text (a wildcard rule
+``*.ck`` is keyed ``ck``; an exception rule ``!www.ck`` is keyed
+``www.ck``) and pre-aggregated to ONE row per key carrying the matched
+public-suffix label count for each rule kind. A host with labels
+``[a, b, example, co, uk]`` can only match a key of its last *i* labels,
+and rule keys are at most K labels long (K is computed from the rule list
+at plan time; the real PSL maxes at 5). So matching is exactly K left
+BROADCAST hash joins — one per candidate suffix length — followed by one
+projection that picks the prevailing rule per the public-suffix spec:
+
+  1. an exception match wins outright; its public suffix is the rule minus
+     its leftmost label (``!www.ck`` -> ``ck``);
+  2. otherwise the match with the most labels prevails, where a wildcard
+     rule keyed at *i* labels denotes a public suffix of *i+1* labels and
+     only matches hosts with >= i+1 labels;
+  3. if nothing matches, the public suffix is the last label (the spec's
+     implicit ``*`` default rule).
+
+The fact table never shuffles and never explodes: at 10^12 rows this is K
+map-side hash probes against a dim of at most |rules| rows, entirely
+inside whole-stage codegen. (The alternative — explode the candidate
+suffixes and re-aggregate per host — costs a full-corpus shuffle for the
+re-aggregation; rejected.)
+
+Matching is on the lowercased host, per spec. Punycode/IDNA normalization
+is out of scope (hosts in the pages table are already ASCII).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic modeled subset of the public suffix list: enough to
+# exercise every rule kind (multi-label plain, private-registry plain,
+# wildcard, exception, single-label plain) while staying a fixture.
+# Callers with the real PSL pass their own ``rules`` list — the algorithm
+# and plan shape are unchanged (K grows to 5).
+DEFAULT_RULES = [
+    "com",
+    "org",
+    "net",
+    "io",
+    "de",
+    "fr",
+    "uk",
+    "co.uk",
+    "ac.uk",
+    "com.au",
+    "github.io",
+    "s3.amazonaws.com",
+    "*.ck",
+    "!www.ck",
+]
+
+
+def _keyed_rules(rules: list[str]) -> dict[str, dict[str, int]]:
+    """rule list -> {key: {plain|wc|exc: public-suffix label count}}.
+
+    key = the concrete label suffix a host candidate can equal; the value
+    is the label count of the PUBLIC SUFFIX that kind of match implies.
+    """
+    keyed: dict[str, dict[str, int]] = {}
+    for rule in rules:
+        if rule.startswith("!"):
+            key = rule[1:]
+            kind, ps = "exc", len(key.split(".")) - 1
+        elif rule.startswith("*."):
+            key = rule[2:]
+            kind, ps = "wc", len(key.split(".")) + 1
+        else:
+            key = rule
+            kind, ps = "plain", len(key.split("."))
+        if ps < 1:
+            raise ValueError(f"degenerate rule {rule!r}")
+        keyed.setdefault(key, {})[kind] = ps
+    return keyed
+
+
+def registrable_domain(
+    df: DataFrame,
+    host_col: str = "host",
+    rules: list[str] | None = None,
+    suffix_col: str = "public_suffix",
+    out_col: str = "registrable_domain",
+) -> DataFrame:
+    """Add ``public_suffix`` and ``registrable_domain`` columns.
+
+    ``registrable_domain`` is NULL when the host IS a public suffix (or is
+    a single label with no matching rule's parent). NULL hosts propagate
+    NULL through both columns.
+    """
+    keyed = _keyed_rules(rules if rules is not None else DEFAULT_RULES)
+    k_max = max(len(k.split(".")) for k in keyed)
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [
+            (k, v.get("plain"), v.get("wc"), v.get("exc"))
+            for k, v in sorted(keyed.items())
+        ],
+        "suffix_key string, _plain int, _wc int, _exc int",
+    )
+
+    labels = F.split(F.lower(F.col(host_col)), r"\.")
+    out = df.withColumn("_labels", labels).withColumn("_n", F.size(labels))
+    for i in range(1, k_max + 1):
+        cand = F.when(
+            F.col("_n") >= i,
+            F.concat_ws(".", F.slice(F.col("_labels"), -i, i)),
+        )
+        dim_i = dim.select(
+            F.col("suffix_key").alias(f"_cand{i}"),
+            F.col("_plain").alias(f"_p{i}"),
+            F.col("_wc").alias(f"_w{i}"),
+            F.col("_exc").alias(f"_e{i}"),
+        )
+        out = out.withColumn(f"_cand{i}", cand).join(
+            F.broadcast(dim_i), on=f"_cand{i}", how="left"
+        )
+
+    # prevailing public-suffix label count, per the spec's precedence
+    exc = F.coalesce(
+        *[F.col(f"_e{i}") for i in range(k_max, 0, -1)]
+    ) if k_max > 1 else F.col("_e1")
+    candidates: list[Column] = []
+    for i in range(1, k_max + 1):
+        candidates.append(F.when(F.col(f"_p{i}").isNotNull(), F.lit(i)))
+        candidates.append(
+            F.when(
+                F.col(f"_w{i}").isNotNull() & (F.col("_n") >= i + 1),
+                F.lit(i + 1),
+            )
+        )
+    prevailing = F.greatest(*candidates, F.lit(1))
+    ps_n = F.when(F.col(host_col).isNotNull(), F.coalesce(exc, prevailing))
+
+    ps = F.concat_ws(".", F.slice(F.col("_labels"), -ps_n, ps_n))
+    reg_n = ps_n + F.lit(1)
+    reg = F.when(
+        F.col("_n") > ps_n,
+        F.concat_ws(".", F.slice(F.col("_labels"), -reg_n, reg_n)),
+    )
+    out = out.withColumn(suffix_col, F.when(ps_n.isNotNull(), ps)).withColumn(
+        out_col, reg
+    )
+    drop = ["_labels", "_n"] + [
+        f"_{p}{i}" for i in range(1, k_max + 1) for p in ("cand", "p", "w", "e")
+    ]
+    return out.drop(*drop)
+
+
+def keyed_rules_sql_values(rules: list[str] | None = None) -> str:
+    """The keyed rule dim as a SQL VALUES list — shared with the DuckDB
+    oracle so both engines match against byte-identical rows."""
+    keyed = _keyed_rules(rules if rules is not None else DEFAULT_RULES)
+
+    def lit(v: int | None) -> str:
+        return "NULL" if v is None else str(v)
+
+    return ", ".join(
+        f"('{k}', {lit(v.get('plain'))}, {lit(v.get('wc'))}, {lit(v.get('exc'))})"
+        for k, v in sorted(keyed.items())
+    )
+
+
+def max_key_labels(rules: list[str] | None = None) -> int:
+    keyed = _keyed_rules(rules if rules is not None else DEFAULT_RULES)
+    return max(len(k.split(".")) for k in keyed)

@@ -283,3 +283,100 @@ def cms_heavy_hitters(
         .orderBy(F.desc("est"), F.asc("item"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+def bloom_positions(value: Column, m_bits: int, k: int, hash_fn: str = "xxhash64") -> Column:
+    """array<long> of the k bit positions for ``value`` (Bloom 1970).
+
+    Double hashing (Kirsch & Mitzenmacher 2006): pos_i = (h1 + i*h2) mod m
+    with h2 forced odd so it is coprime with the power-of-two m. Both
+    hashes are reduced mod m BEFORE the multiply, so every intermediate
+    fits int64 exactly — the positions are a deterministic integer
+    function of the value that DuckDB replays verbatim (unlike Spark's
+    built-in BloomFilterAggregate, whose byte layout is opaque).
+    """
+    if m_bits & (m_bits - 1):
+        raise ValueError(f"bloom: m_bits={m_bits} must be a power of two")
+    h1 = _h60(value, hash_fn) % m_bits
+    h2 = (_h60(F.concat(value, F.lit("\x01bloom")), hash_fn) % m_bits).bitwiseOR(
+        F.lit(1)
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: (h1 + i.cast("long") * h2) % m_bits,
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    value: Column,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(word_idx, word) — the filter's set bits packed 32 per word.
+
+    32 bits per (64-bit) word, NOT 64: a mask for bit 63 overflows
+    engines that check `1 << 63` (DuckDB raises; Java wraps to the sign
+    bit) — keeping masks <= 2^31 makes shift/or/get semantics identical
+    everywhere. The aggregation state is bounded at m_bits/32 rows
+    however large the input: partial bit_or collapses each partition's
+    contribution map-side, exactly like the HLL register relation above.
+    The whole relation is broadcastable (m=2^27 -> 32 MB), which is what
+    makes the ingest-gate prefilter in ``dedup.dedup_against``
+    shuffle-free on the probe side.
+    """
+    pos = df.select(F.explode(bloom_positions(value, m_bits, k, hash_fn)).alias("p"))
+    return (
+        pos.select(
+            F.shiftright(F.col("p"), 5).alias("word_idx"),
+            F.expr("shiftleft(1L, cast(p & 31 as int))").alias("_m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_m").alias("word"))
+    )
+
+
+def bloom_words_array(words_df: DataFrame, m_bits: int) -> list:
+    """Dense m_bits/32 long list from the (word_idx, word) relation — a
+    BOUNDED driver collect (like the IVF seed collect): 2^20 bits = 32 K
+    longs. Guarded so an oversized filter is an explicit error, not an
+    accidental driver OOM; past the guard, ship the relation itself and
+    broadcast-join on word_idx instead."""
+    n_words = m_bits >> 5
+    if n_words > (1 << 22):
+        raise ValueError(
+            f"bloom: m_bits={m_bits} too large for a literal array "
+            "(collect bounded at 2^21 words); broadcast-join the words "
+            "relation on word_idx instead"
+        )
+    dense = [0] * n_words
+    for r in words_df.collect():
+        dense[r["word_idx"]] = r["word"]
+    return dense
+
+
+def bloom_maybe_contains(
+    value: Column,
+    words: list,
+    m_bits: int,
+    k: int,
+    hash_fn: str = "xxhash64",
+) -> Column:
+    """Boolean membership probe: true iff ALL k bits are set (no false
+    negatives; false-positive rate ~ (1 - e^(-k*n/m))^k). The words list
+    rides the plan as ONE array literal, so the probe is a pure map-side
+    projection — zero joins, zero shuffle, full codegen."""
+    lit_words = F.lit(words).cast("array<long>")
+    return F.forall(
+        bloom_positions(value, m_bits, k, hash_fn),
+        lambda p: F.bit_get(
+            F.element_at(lit_words, (F.shiftright(p, 5) + 1).cast("int")),
+            (p % 32).cast("int"),
+        )
+        == 1,
+    )

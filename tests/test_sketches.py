@@ -88,3 +88,71 @@ def test_cms_planted_heavy_hitter(spark):
     assert hh[0]["item"] == "whale"
     assert hh[0]["exact"] == 500
     assert hh[0]["est"] >= 500
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_bounded(spark):
+    from log_analysis_spark.operators.sketches import (
+        bloom_build,
+        bloom_maybe_contains,
+        bloom_words_array,
+    )
+
+    m_bits, k = 1 << 10, 4
+    members = spark.range(0, 300).select(
+        F.concat(F.lit("m"), F.col("id").cast("string")).alias("v")
+    )
+    words_df = bloom_build(members, F.col("v"), m_bits, k)
+    # state bound: at most m/32 words regardless of input size
+    assert words_df.count() <= m_bits // 32
+    words = bloom_words_array(words_df, m_bits)
+    assert len(words) == m_bits // 32
+
+    # every member MUST probe true (no false negatives, the core contract)
+    hits = members.select(
+        bloom_maybe_contains(F.col("v"), words, m_bits, k).alias("maybe")
+    )
+    assert hits.filter(~F.col("maybe")).count() == 0
+
+    # non-members mostly probe false; at this load some false positives
+    # are expected but the filter must reject the bulk
+    non = spark.range(0, 300).select(
+        F.concat(F.lit("x"), F.col("id").cast("string")).alias("v")
+    )
+    fp = non.select(
+        bloom_maybe_contains(F.col("v"), words, m_bits, k).alias("maybe")
+    ).filter(F.col("maybe")).count()
+    assert fp < 150  # theoretical FPR ~0.44 at this deliberate overload
+
+
+def test_bloom_probe_is_shuffle_free(spark):
+    from log_analysis_spark.operators.sketches import (
+        bloom_build,
+        bloom_maybe_contains,
+        bloom_words_array,
+    )
+
+    m_bits, k = 1 << 10, 4
+    members = spark.range(0, 50).select(F.col("id").cast("string").alias("v"))
+    words = bloom_words_array(bloom_build(members, F.col("v"), m_bits, k), m_bits)
+    probe = spark.range(0, 50).select(F.col("id").cast("string").alias("v"))
+    plan = (
+        probe.select(bloom_maybe_contains(F.col("v"), words, m_bits, k))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_bloom_rejects_bad_params(spark):
+    from log_analysis_spark.operators.sketches import (
+        bloom_positions,
+        bloom_words_array,
+    )
+
+    with pytest.raises(ValueError):
+        bloom_positions(F.lit("x"), m_bits=1000, k=4)  # not a power of two
+    with pytest.raises(ValueError):
+        bloom_words_array(None, m_bits=1 << 40)  # literal-array guard
