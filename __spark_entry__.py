@@ -1500,6 +1500,21 @@ def q_span_scrub(spark, sf_dir):
     )
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance-resampling data selection (Xie et al. 2023):
+    hashed unigram+bigram features (B=64), per-document likelihood-ratio
+    weight of target (lang='en') vs the whole corpus as a value-sorted
+    product fold, acceptance flag u * w_max < weight with the md5-uniform
+    u. All doubles replayed bit-exactly (see operators/selection.py)."""
+    from log_analysis_spark.operators.selection import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_select(docs, target, n_buckets=64, hash_fn="md5").orderBy(
+        "doc_id"
+    )
+
+
 def q_lang_temperature(spark, sf_dir):
     """Temperature-based language rebalancing (XLM-R style p^alpha,
     alpha=1/2): per-language doc/token counts -> sampling share
@@ -1909,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ssl_version_counts": q_ssl_version_counts,
         "weird_name_counts": q_weird_name_counts,
         "quality_filter": q_quality_filter,
+        "dsir_select": q_dsir_select,
         "lang_temperature": q_lang_temperature,
         "bpe_tokens": q_bpe_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2297,6 +2313,48 @@ def _sql_langid(t: str) -> str:
         f"WHEN {best} > 0 AND {hits[lg]} = {best} THEN '{lg}'" for lg in TS.LANGID_ORDER
     )
     return f"(CASE {whens} ELSE 'unknown' END)"
+
+
+def _dsir_select_sql(n_buckets: int = 64) -> str:
+    """DuckDB replay of q_dsir_select: identical tokenization, bigram
+    construction, md5-hash60 bucket assignment, smoothed ratio doubles
+    (same division order as the Python-computed literal array), sorted
+    product fold, and acceptance multiply."""
+    b = n_buckets
+    toks = _TOKENS.format(t="text")
+    bigrams = (
+        "CASE WHEN len(w) >= 2 THEN "
+        "[w[i] || ' ' || w[i+1] for i in range(1, len(w))] "
+        "ELSE [] END"
+    )
+    u = f"({_sql_h60(chr(39) + 'sel' + chr(39) + ' || doc_id::VARCHAR')})::DOUBLE / 1152921504606846976.0"
+    return (
+        f"WITH tok AS (SELECT doc_id, lang, {toks} AS w FROM documents), "
+        f"fe AS (SELECT doc_id, lang, list_transform(w || {bigrams}, "
+        f"t -> {_sql_h60('t')} % {b}) AS f FROM tok), "
+        "tcnt AS (SELECT u AS bk, count(*) AS c FROM "
+        "(SELECT unnest(f) AS u FROM fe WHERE lang = 'en') GROUP BY 1), "
+        "ttot AS (SELECT coalesce(sum(c), 0)::BIGINT AS t FROM tcnt), "
+        "rcnt AS (SELECT u AS bk, count(*) AS c FROM "
+        "(SELECT unnest(f) AS u FROM fe) GROUP BY 1), "
+        "rtot AS (SELECT coalesce(sum(c), 0)::BIGINT AS t FROM rcnt), "
+        f"bks AS (SELECT unnest(range(0, {b})) AS bk), "
+        "ratio AS (SELECT bk, "
+        f"((coalesce(tc.c, 0) + 1)::DOUBLE / (ttot.t + {b})::DOUBLE) / "
+        f"((coalesce(rc.c, 0) + 1)::DOUBLE / (rtot.t + {b})::DOUBLE) AS r "
+        "FROM bks LEFT JOIN tcnt tc USING (bk) "
+        "LEFT JOIN rcnt rc USING (bk), ttot, rtot), "
+        "px AS (SELECT doc_id, unnest(f) AS bk FROM fe), "
+        "pr AS (SELECT doc_id, list_reduce(list_prepend(1.0::DOUBLE, "
+        "list_sort(list(r))), (a, v) -> a * v) AS wt "
+        "FROM px JOIN ratio USING (bk) GROUP BY doc_id), "
+        "wts AS (SELECT fe.doc_id, len(fe.f)::BIGINT AS n_feats, "
+        "coalesce(pr.wt, 1.0::DOUBLE) AS weight "
+        "FROM fe LEFT JOIN pr USING (doc_id)), "
+        "wm AS (SELECT max(weight) AS wmax FROM wts) "
+        f"SELECT doc_id, n_feats, weight, ({u}) * wm.wmax < weight AS selected "
+        "FROM wts, wm ORDER BY doc_id"
+    )
 
 
 def _bloom_prefilter_sql(m_bits: int = 1 << 12, k: int = 4) -> str:
@@ -2884,6 +2942,7 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(clean, '') AS clean_text "
             "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"
         ),
+        "dsir_select": _dsir_select_sql(),
         "lang_temperature": (
             # Replays q_lang_temperature: integer counts, p = exact int/int
             # division, weight = sqrt(p) (correctly rounded), denominator =
