@@ -228,6 +228,27 @@ def q_registrable_domains(spark, sf_dir):
     )
 
 
+def q_domain_quota(spark, sf_dir):
+    """Per-registrable-domain quota sampling (host balancing): PSL
+    resolve composed with keyed_quota_sample — keep <= 3 docs per domain
+    as a deterministic md5-ordered subset. The kept set is identical
+    under any partitioning / growth pattern (operators/sampling.py)."""
+    from log_analysis_spark.operators.domains import registrable_domain
+    from log_analysis_spark.operators.sampling import keyed_quota_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _host_expr().alias("host")
+    )
+    out = keyed_quota_sample(
+        registrable_domain(d), "registrable_domain", "doc_id", cap=3
+    )
+    return out.select(
+        "doc_id",
+        "registrable_domain",
+        F.col("_rank").cast("long").alias("_rank"),
+    ).orderBy("registrable_domain", "_rank")
+
+
 def q_date_range_days(spark, sf_dir):
     """O3: date-range generation (main.rs:815-834) as sequence+explode,
     left-joined so zero-order days appear."""
@@ -1925,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weird_name_counts": q_weird_name_counts,
         "quality_filter": q_quality_filter,
         "dsir_select": q_dsir_select,
+        "domain_quota": q_domain_quota,
         "lang_temperature": q_lang_temperature,
         "bpe_tokens": q_bpe_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2394,10 +2416,12 @@ def _bloom_prefilter_sql(m_bits: int = 1 << 12, k: int = 4) -> str:
     )
 
 
-def _registrable_domains_sql() -> str:
-    """DuckDB replay of q_registrable_domains: same synthetic hosts, same
-    keyed rule dim (shared VALUES list from operators/domains.py), same
-    K left joins + precedence CASE as the Spark plan."""
+def _psl_sql_ctes() -> str:
+    """Shared DuckDB CTE chain: synthetic per-doc hosts (mirror of
+    `_host_expr`) -> PSL longest-match resolve (same keyed rule dim as
+    operators/domains.py, same K left joins + precedence CASE as the
+    Spark plan). Ends at `fin(doc_id, host, public_suffix,
+    registrable_domain)`; callers append their final SELECT."""
     from log_analysis_spark.operators.domains import (
         keyed_rules_sql_values,
         max_key_labels,
@@ -2436,13 +2460,30 @@ def _registrable_domains_sql() -> str:
         "len(str_split(lower(host), '.')) AS n FROM hosts), "
         f"cand AS (SELECT *, {cands} FROM lab), "
         f"m AS (SELECT cand.*, {msel} FROM cand {joins}), "
-        f"ps AS (SELECT l, n, coalesce({exc}, greatest({prev}, 1)) AS psn "
-        "FROM m), "
-        "fin AS (SELECT array_to_string(l[n-psn+1:n], '.') AS public_suffix, "
+        f"ps AS (SELECT doc_id, host, l, n, "
+        f"coalesce({exc}, greatest({prev}, 1)) AS psn FROM m), "
+        "fin AS (SELECT doc_id, host, "
+        "array_to_string(l[n-psn+1:n], '.') AS public_suffix, "
         "CASE WHEN n > psn THEN array_to_string(l[n-psn:n], '.') END "
         "AS registrable_domain FROM ps) "
+    )
+
+
+def _registrable_domains_sql() -> str:
+    return _psl_sql_ctes() + (
         "SELECT public_suffix, registrable_domain, "
         "count(*)::BIGINT AS n_hosts FROM fin GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
+def _domain_quota_sql(cap: int = 3) -> str:
+    rk = _sql_h60("doc_id::VARCHAR")
+    return _psl_sql_ctes() + (
+        "SELECT doc_id, registrable_domain, _rank FROM "
+        "(SELECT doc_id, registrable_domain, row_number() OVER "
+        f"(PARTITION BY registrable_domain ORDER BY {rk} ASC, doc_id ASC) "
+        "AS _rank FROM fin) "
+        f"WHERE _rank <= {cap} ORDER BY registrable_domain, _rank"
     )
 
 
@@ -2943,6 +2984,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"
         ),
         "dsir_select": _dsir_select_sql(),
+        "domain_quota": _domain_quota_sql(),
         "lang_temperature": (
             # Replays q_lang_temperature: integer counts, p = exact int/int
             # division, weight = sqrt(p) (correctly rounded), denominator =

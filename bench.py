@@ -88,6 +88,10 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "hll_distinct_pairs",
     "cms_heavy_hitters",
+    "registrable_domains",
+    "bloom_prefilter",
+    "dsir_select",
+    "domain_quota",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at

@@ -57,6 +57,9 @@ DEFAULT_RULES = [
     "de",
     "fr",
     "uk",
+    "edu",
+    "cn",
+    "au",
     "co.uk",
     "ac.uk",
     "com.au",

@@ -51,17 +51,22 @@ def lang_dim(spark: SparkSession) -> DataFrame:
 
 
 def enrich(df: DataFrame, spark: SparkSession, host_col: str = "host") -> DataFrame:
-    """Left-join TLD + lang dims onto parsed records via broadcast.
+    """Left-join TLD + lang dims onto parsed records via broadcast, then
+    decorate with the public-suffix registrable domain (the north star's
+    'TLD/registrable-domain table' — full longest-match semantics in
+    operators/domains.py, K more broadcast joins).
 
-    Both dims are tiny (<=100 rows); ``broadcast()`` pins the hash-join plan
+    All dims are tiny (<=100 rows); ``broadcast()`` pins the hash-join plan
     so the fact table never shuffles — at 10^12 rows a shuffle here would be
     the pipeline's dominant cost.
     """
+    from .domains import registrable_domain
+
     tld = F.substring_index(F.col(host_col), ".", -1).alias("tld")
     out = df.withColumn("tld", tld)
     out = out.join(F.broadcast(tld_dim(spark)), on="tld", how="left")
     out = out.join(F.broadcast(lang_dim(spark)), on="lang", how="left")
-    return out
+    return registrable_domain(out, host_col=host_col)
 
 
 def null_coalesced_view(df: DataFrame) -> DataFrame:

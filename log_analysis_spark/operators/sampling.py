@@ -63,3 +63,37 @@ def split_by_hash(
         .when(b < t + v, F.lit("valid"))
         .otherwise(F.lit("train")),
     )
+
+
+def keyed_quota_sample(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Per-key quota: keep at most ``cap`` rows per key, chosen as a
+    deterministic uniform subset (host/domain balancing — web corpora cap
+    pages per registrable domain so crawl-frontier skew doesn't dominate
+    training mixes). Adds ``_rank`` (1-based within the key).
+
+    Rows rank by (md5(id), id) inside each key, so the kept subset is
+    stable under re-partitioning, retries, and growth that appends
+    HIGHER-hash rows; ties are impossible because the id rides the sort.
+
+    Scale: ONE keyed shuffle (the window). The md5 sort key makes the
+    within-key order data-independent, so AQE's skew-split handles a hot
+    domain's sort spill; if a key can exceed executor spill capacity
+    (10^9+ rows), pre-thin with ``sample_stratified`` at rate
+    ~OVERSAMPLE*cap/count before the exact window — the hash order makes
+    the two-phase result IDENTICAL to the one-phase result as long as the
+    threshold keeps >= cap rows per key.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        md5_hash60(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= cap)
+    )

@@ -70,3 +70,18 @@ def test_custom_rules_and_k():
 def test_degenerate_exception_rule_rejected():
     with pytest.raises(ValueError):
         _keyed_rules(["!single"])  # exception needs >= 2 labels
+
+
+def test_enrich_includes_registrable_domain(spark):
+    """Pipeline integration: enrich() decorates with the PSL columns."""
+    from log_analysis_spark.operators.enrich import enrich
+
+    df = spark.createDataFrame(
+        [("a.b.example.co.uk", "en"), ("www.example.de", "de")],
+        "host string, lang string",
+    )
+    out = {r.host: r for r in enrich(df, spark).collect()}
+    assert out["a.b.example.co.uk"].registrable_domain == "example.co.uk"
+    assert out["a.b.example.co.uk"].public_suffix == "co.uk"
+    assert out["www.example.de"].registrable_domain == "example.de"
+    assert out["www.example.de"].tld == "de"

@@ -51,3 +51,35 @@ def test_split_by_hash_stable_and_exhaustive(docs):
     half = docs.filter(F.col("doc_id") % 2 == 0)
     s_half = {r["doc_id"]: r["_split"] for r in SP.split_by_hash(half, "doc_id", 0.1, 0.1).collect()}
     assert all(s1[k] == v for k, v in s_half.items())
+
+
+def test_keyed_quota_sample_cap_and_stability(spark):
+    from log_analysis_spark.operators.sampling import keyed_quota_sample
+
+    rows = [(f"d{i % 5}", i) for i in range(200)]
+    df = spark.createDataFrame(rows, "domain string, doc_id long")
+    kept = keyed_quota_sample(df, "domain", "doc_id", cap=7)
+    per = {r["domain"]: r["n"] for r in
+           kept.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n == 7 for n in per.values())
+
+    # identical kept set under a different partitioning
+    ids1 = sorted(r.doc_id for r in kept.collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in keyed_quota_sample(df.repartition(17), "domain", "doc_id", cap=7).collect()
+    )
+    assert ids1 == ids2
+
+    # growth that appends new rows never evicts... (only higher-rank rows
+    # join): kept set of the subset is a superset-stable prefix per key
+    small = df.filter(F.col("doc_id") < 100)
+    kept_small = {r.doc_id for r in keyed_quota_sample(small, "domain", "doc_id", 7).collect()}
+    kept_full_ranks = {
+        r.doc_id: r["_rank"] for r in kept.collect()
+    }
+    # every doc kept from the full set that also exists in the subset must
+    # be kept there too (hash order is data-independent)
+    for doc_id, rank in kept_full_ranks.items():
+        if doc_id < 100:
+            assert doc_id in kept_small
