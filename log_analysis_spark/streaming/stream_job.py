@@ -303,6 +303,68 @@ def start_hll_stream(
     )
 
 
+def start_bloom_stream(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    value_cols: tuple[str, ...] = ("user_id",),
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    hash_fn: str = "xxhash64",
+    max_files_per_trigger: int = 100000,
+):
+    """Maintain a Bloom-filter word table over a growing directory — the
+    streaming twin of ``sketches.bloom_build`` (same shape as
+    ``start_hll_stream`` above: bit_or is associative and
+    arrival-order-insensitive, so the batch expression runs as an
+    unwatermarked streaming aggregation whose state is the word table —
+    O(m/32) rows forever; a late row can only set bits, never clear).
+
+    This is the live half of the ingest-dedup gate: the batch path
+    (``dedup.dedup_against``) prefilters a new snapshot against the
+    corpus filter; this stream keeps that filter current as documents
+    arrive, rewriting ``{out_dir}/bloom_words`` atomically per trigger.
+    """
+    from ..operators.sketches import bloom_positions
+
+    schema = spark.read.parquet(input_path).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    pos = ev.select(
+        F.explode(
+            bloom_positions(
+                F.concat_ws("|", *[F.col(c) for c in value_cols]),
+                m_bits,
+                k,
+                hash_fn,
+            )
+        ).alias("p")
+    )
+    words = (
+        pos.select(
+            F.shiftright(F.col("p"), 5).alias("word_idx"),
+            F.expr("shiftleft(1L, cast(p & 31 as int))").alias("_m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_m").alias("word"))
+    )
+
+    def _sink(batch_df: DataFrame, _bid: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/bloom_words")
+
+    return (
+        words.writeStream.foreachBatch(_sink)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_zeek_typed_router_stream(
     spark: SparkSession,
     path_glob: str,

@@ -319,3 +319,48 @@ def test_hll_stream_matches_batch_registers(spark, tmpdir_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_bloom_stream_matches_batch_words(spark, tmpdir_path):
+    """Streaming Bloom word-table maintenance: after two incremental
+    arrivals the word table equals batch `bloom_build` over the full
+    input (bit_or is associative), and every full-corpus member probes
+    true against the streamed words (the ingest-gate contract)."""
+    from log_analysis_spark.operators.sketches import (
+        bloom_build,
+        bloom_maybe_contains,
+        bloom_words_array,
+    )
+    from log_analysis_spark.streaming.stream_job import start_bloom_stream
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    inp = f"{tmpdir_path}/ev_in"
+    m_bits, k = 1 << 14, 4
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(inp)
+    args = (spark, inp, f"{tmpdir_path}/out", f"{tmpdir_path}/ckpt_bloom")
+    q = start_bloom_stream(*args, m_bits=m_bits, k=k)
+    q.awaitTermination(300)
+
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(inp)
+    q2 = start_bloom_stream(*args, m_bits=m_bits, k=k)
+    q2.awaitTermination(300)
+
+    got = {
+        r["word_idx"]: r["word"]
+        for r in spark.read.parquet(f"{tmpdir_path}/out/bloom_words").collect()
+    }
+    want_df = bloom_build(ev, F.col("user_id").cast("string"), m_bits, k)
+    want = {r["word_idx"]: r["word"] for r in want_df.collect()}
+    assert got == want and len(got) > 0
+
+    # no false negatives through the streamed filter
+    words = [0] * (m_bits >> 5)
+    for i, w in got.items():
+        words[i] = w
+    missed = (
+        ev.select(F.col("user_id").cast("string").alias("v"))
+        .distinct()
+        .filter(~bloom_maybe_contains(F.col("v"), words, m_bits, k))
+        .count()
+    )
+    assert missed == 0
