@@ -228,6 +228,55 @@ def q_registrable_domains(spark, sf_dir):
     )
 
 
+def _url_expr():
+    """Deterministic synthetic absolute URL per doc_id (mirrors
+    `_URL_SQL` in the oracle): mixed-case scheme/host, default and
+    non-default ports, empty and non-empty paths, unsorted/empty/
+    fragment-bearing query strings — one of each canonicalization rule
+    is exercised at gate scale."""
+    scheme = F.element_at(
+        F.array(F.lit("http"), F.lit("https"), F.lit("HTTP")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    host = _host_expr()
+    host = F.when(F.pmod(F.col("doc_id"), F.lit(7)) == 0, F.upper(host)).otherwise(host)
+    port = F.element_at(
+        F.array(*[F.lit(s) for s in (":80", ":443", ":8080", "", "")]),
+        (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int"),
+    )
+    path = F.element_at(
+        F.array(*[F.lit(s) for s in ("/A/b", "", "/index.html")]),
+        (F.pmod(F.col("doc_id") + 1, F.lit(3)) + 1).cast("int"),
+    )
+    qq = F.element_at(
+        F.array(
+            *[F.lit(s) for s in ("?b=2&a=1", "?z=9&y=8&z=1", "", "?", "?a=1#frag")]
+        ),
+        (F.pmod(F.col("doc_id") + 2, F.lit(5)) + 1).cast("int"),
+    )
+    return F.concat(scheme, F.lit("://"), host, port, path, qq)
+
+
+def q_canonical_urls(spark, sf_dir):
+    """Crawl-style URL canonicalization (functions/parse.py
+    canonical_url): fragment strip, scheme/host lowercasing, default-port
+    drop, empty-path '/', query-parameter sort — the url-dedup key
+    computed before content dedup. Native regex/array expressions only;
+    per-row canonical keys plus the per-key dup count."""
+    from log_analysis_spark.functions.parse import canonical_url
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _url_expr().alias("url")
+    )
+    out = d.select("doc_id", "url", canonical_url(F.col("url")).alias("canonical"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("canonical")
+    return out.withColumn(
+        "n_same_canonical", F.count(F.lit(1)).over(w).cast("long")
+    ).orderBy("doc_id")
+
+
 def q_domain_quota(spark, sf_dir):
     """Per-registrable-domain quota sampling (host balancing): PSL
     resolve composed with keyed_quota_sample — keep <= 3 docs per domain
@@ -1947,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "dsir_select": q_dsir_select,
         "domain_quota": q_domain_quota,
+        "canonical_urls": q_canonical_urls,
         "lang_temperature": q_lang_temperature,
         "bpe_tokens": q_bpe_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2416,6 +2466,59 @@ def _bloom_prefilter_sql(m_bits: int = 1 << 12, k: int = 4) -> str:
     )
 
 
+def _hosts_ctes() -> str:
+    """WITH-prefix producing `hosts(doc_id, host)` — the DuckDB mirror of
+    `_host_expr` shared by the PSL and URL oracles."""
+    return (
+        "WITH h0 AS (SELECT doc_id, "
+        "(['www','blog','cdn','',''])[(doc_id % 5) + 1] AS sub, "
+        "'site' || (doc_id % 11)::VARCHAR AS site, "
+        "(['com','co.uk','ck','www.ck','github.io','org','xyz','uk'])"
+        "[(doc_id % 8) + 1] AS suf FROM documents), "
+        "hosts AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN suf "
+        "ELSE concat_ws('.', CASE WHEN sub <> '' THEN sub END, site, suf) "
+        "END AS host FROM h0), "
+    )
+
+
+def _canonical_urls_sql() -> str:
+    """DuckDB replay of q_canonical_urls: same synthetic URLs, same
+    anchored basic regexes (identical Java-regex/RE2 semantics), same
+    sort-and-rejoin of query parameters."""
+    url = (
+        "(['http','https','HTTP'])[(doc_id % 3) + 1] || '://' || "
+        "(CASE WHEN doc_id % 7 = 0 THEN upper(host) ELSE host END) || "
+        "([':80', ':443', ':8080', '', ''])[(doc_id % 5) + 1] || "
+        "(['/A/b', '', '/index.html'])[((doc_id + 1) % 3) + 1] || "
+        "(['?b=2&a=1', '?z=9&y=8&z=1', '', '?', '?a=1#frag'])"
+        "[((doc_id + 2) % 5) + 1]"
+    )
+    return _hosts_ctes() + (
+        f"urls AS (SELECT doc_id, {url} AS url FROM hosts), "
+        "s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u "
+        "FROM urls), "
+        "s2 AS (SELECT *, "
+        "lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme, "
+        "lower(regexp_extract(u, '^[^:/?]+://([^/?]*)', 1)) AS hp0, "
+        "regexp_extract(u, '^[^:/?]+://[^/?]*(/[^?]*)?', 1) AS p0, "
+        "regexp_extract(u, '\\?(.*)$', 1) AS q FROM s1), "
+        "s3 AS (SELECT *, "
+        "CASE WHEN scheme = 'http' THEN regexp_replace(hp0, ':80$', '') "
+        "WHEN scheme = 'https' THEN regexp_replace(hp0, ':443$', '') "
+        "ELSE hp0 END AS hp, "
+        "CASE WHEN p0 = '' THEN '/' ELSE p0 END AS pth, "
+        "array_to_string(list_sort(list_filter(str_split(q, '&'), "
+        "x -> x != '')), '&') AS qs FROM s2), "
+        "fin AS (SELECT doc_id, url, CASE WHEN scheme = '' THEN u ELSE "
+        "scheme || '://' || hp || pth || "
+        "CASE WHEN qs <> '' THEN '?' || qs ELSE '' END END AS canonical "
+        "FROM s3) "
+        "SELECT doc_id, url, canonical, "
+        "(count(*) OVER (PARTITION BY canonical))::BIGINT AS n_same_canonical "
+        "FROM fin ORDER BY doc_id"
+    )
+
+
 def _psl_sql_ctes() -> str:
     """Shared DuckDB CTE chain: synthetic per-doc hosts (mirror of
     `_host_expr`) -> PSL longest-match resolve (same keyed rule dim as
@@ -2447,15 +2550,8 @@ def _psl_sql_ctes() -> str:
         for i in range(1, k + 1)
     )
     return (
-        "WITH h0 AS (SELECT doc_id, "
-        "(['www','blog','cdn','',''])[(doc_id % 5) + 1] AS sub, "
-        "'site' || (doc_id % 11)::VARCHAR AS site, "
-        "(['com','co.uk','ck','www.ck','github.io','org','xyz','uk'])"
-        "[(doc_id % 8) + 1] AS suf FROM documents), "
-        "hosts AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN suf "
-        "ELSE concat_ws('.', CASE WHEN sub <> '' THEN sub END, site, suf) "
-        "END AS host FROM h0), "
-        f"dim(suffix_key, p, w, e) AS (VALUES {keyed_rules_sql_values()}), "
+        _hosts_ctes()
+        + f"dim(suffix_key, p, w, e) AS (VALUES {keyed_rules_sql_values()}), "
         "lab AS (SELECT doc_id, host, str_split(lower(host), '.') AS l, "
         "len(str_split(lower(host), '.')) AS n FROM hosts), "
         f"cand AS (SELECT *, {cands} FROM lab), "
@@ -2985,6 +3081,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dsir_select": _dsir_select_sql(),
         "domain_quota": _domain_quota_sql(),
+        "canonical_urls": _canonical_urls_sql(),
         "lang_temperature": (
             # Replays q_lang_temperature: integer counts, p = exact int/int
             # division, weight = sqrt(p) (correctly rounded), denominator =

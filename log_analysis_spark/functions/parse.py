@@ -252,3 +252,46 @@ def parse_conn_like(pages: DataFrame, vectorized: bool = True) -> DataFrame:
         "ts_bucket",
         "lang",
     ).filter(F.col("record_type").isNotNull())  # drop non-matching lines, same as the Arrow path
+
+
+def canonical_url(url: Column) -> Column:
+    """Crawl-style URL canonicalization — the url-keyed dedup key a web
+    corpus computes before content dedup (url dedup removes ~40% of raw
+    Common-Crawl fetches before any text is compared):
+
+      1. strip the fragment,
+      2. lowercase scheme and host (ONLY those — path/query are
+         case-significant),
+      3. drop the scheme's default port (:80 http, :443 https),
+      4. empty path -> '/',
+      5. sort query parameters (full 'k=v' strings, duplicates kept) and
+         drop an empty query.
+
+    Pure native Column expressions over anchored basic regexes (char
+    classes + groups only — identical semantics in Java regex and RE2,
+    so the DuckDB oracle replays byte-for-byte). Non-absolute or
+    non-authority URLs pass through with just the fragment stripped —
+    canonicalization must never destroy a key it does not understand.
+    """
+    u = F.regexp_replace(url, "#.*", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[^:/?]+://([^/?]*)", 1))
+    hostport = F.when(
+        (scheme == "http"), F.regexp_replace(hostport, ":80$", "")
+    ).when(
+        (scheme == "https"), F.regexp_replace(hostport, ":443$", "")
+    ).otherwise(hostport)
+    path = F.regexp_extract(u, r"^[^:/?]+://[^/?]*(/[^?]*)?", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.regexp_extract(u, r"\?(.*)$", 1)
+    q_sorted = F.concat_ws(
+        "&", F.array_sort(F.filter(F.split(q, "&"), lambda x: x != ""))
+    )
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        hostport,
+        path,
+        F.when(q_sorted != "", F.concat(F.lit("?"), q_sorted)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == "", u).otherwise(rebuilt)

@@ -339,6 +339,8 @@ def dedup_against(
     threshold: float | None = 0.8,
     hash_fn: str = "xxhash64",
     unpersist_handles: list | None = None,
+    bloom_m_bits: int | None = None,
+    bloom_k: int = 4,
 ) -> DataFrame:
     """Incremental (cross-snapshot) dedup: filter a NEW batch against an
     EXISTING corpus without ever reprocessing the corpus pairwise — the
@@ -350,6 +352,15 @@ def dedup_against(
        to DISTINCT hashes (8 bytes/doc) — at 10^12 corpus docs this is the
        only corpus-wide relation and it is precomputable/reusable across
        batches (materialize it once per snapshot, like ip.db).
+       With ``bloom_m_bits`` set, a Bloom prefilter (built over the same
+       corpus hashes; ``sketches.bloom_build``, false-negative-free by
+       construction) splits the batch FIRST as a zero-join map-side
+       projection: definite-new rows skip the anti-join entirely and only
+       the maybe-duplicate fraction (true dups + ~FP-rate of the batch)
+       probes it — at 10^12 corpus rows that turns the one
+       batch-wide shuffle into a shuffle of a few percent of the batch.
+       The result is IDENTICAL with or without the prefilter (no false
+       negatives), which is pinned in pytest.
     2. NEAR (``threshold`` not None) — MinHash-LSH band keys on BOTH
        sides, batch-x-corpus bucket equi-join -> distinct candidates ->
        exact Jaccard verify -> drop batch docs with ANY corpus near-dup
@@ -369,7 +380,24 @@ def dedup_against(
     """
     bh = batch.withColumn("_bh", _base_hash(F.col(text_col), hash_fn))
     ch = corpus.select(_base_hash(F.col(text_col), hash_fn).alias("_bh")).distinct()
-    survivors = bh.join(ch, on="_bh", how="left_anti").drop("_bh")
+    if bloom_m_bits is not None:
+        from .sketches import bloom_build, bloom_maybe_contains, bloom_words_array
+
+        words = bloom_words_array(
+            bloom_build(
+                ch, F.col("_bh").cast("string"), bloom_m_bits, bloom_k, hash_fn
+            ),
+            bloom_m_bits,
+        )
+        maybe = bloom_maybe_contains(
+            F.col("_bh").cast("string"), words, bloom_m_bits, bloom_k, hash_fn
+        )
+        definite_new = bh.filter(~maybe).drop("_bh")
+        survivors = definite_new.unionByName(
+            bh.filter(maybe).join(ch, on="_bh", how="left_anti").drop("_bh")
+        )
+    else:
+        survivors = bh.join(ch, on="_bh", how="left_anti").drop("_bh")
     if threshold is None:
         return survivors
     assert num_perm % bands == 0

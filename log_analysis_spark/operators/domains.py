@@ -117,12 +117,18 @@ def registrable_domain(
         "suffix_key string, _plain int, _wc int, _exc int",
     )
 
-    labels = F.split(F.lower(F.col(host_col)), r"\.")
-    out = df.withColumn("_labels", labels).withColumn("_n", F.size(labels))
+    # substring_index, NOT split+slice+concat_ws: the label-array route
+    # allocates an array plus per-candidate rebuilt strings on EVERY row,
+    # and the pipeline A/B measured it at ~27% of total parse->sink wall;
+    # substring_index('a.b.c', '.', -i) yields the same last-i-labels
+    # string (including degenerate empty-label cases) as one scan of the
+    # string tail, and the label count is a translate+length, no array.
+    h = F.lower(F.col(host_col))
+    n = F.length(h) - F.length(F.translate(h, ".", "")) + 1
+    out = df.withColumn("_h", h).withColumn("_n", n)
     for i in range(1, k_max + 1):
         cand = F.when(
-            F.col("_n") >= i,
-            F.concat_ws(".", F.slice(F.col("_labels"), -i, i)),
+            F.col("_n") >= i, F.substring_index(F.col("_h"), ".", -i)
         )
         dim_i = dim.select(
             F.col("suffix_key").alias(f"_cand{i}"),
@@ -150,16 +156,16 @@ def registrable_domain(
     prevailing = F.greatest(*candidates, F.lit(1))
     ps_n = F.when(F.col(host_col).isNotNull(), F.coalesce(exc, prevailing))
 
-    ps = F.concat_ws(".", F.slice(F.col("_labels"), -ps_n, ps_n))
-    reg_n = ps_n + F.lit(1)
+    out = out.withColumn("_psn", ps_n)
+    ps = F.expr("substring_index(_h, '.', -cast(_psn as int))")
     reg = F.when(
-        F.col("_n") > ps_n,
-        F.concat_ws(".", F.slice(F.col("_labels"), -reg_n, reg_n)),
+        F.col("_n") > F.col("_psn"),
+        F.expr("substring_index(_h, '.', -(cast(_psn as int) + 1))"),
     )
-    out = out.withColumn(suffix_col, F.when(ps_n.isNotNull(), ps)).withColumn(
-        out_col, reg
-    )
-    drop = ["_labels", "_n"] + [
+    out = out.withColumn(
+        suffix_col, F.when(F.col("_psn").isNotNull(), ps)
+    ).withColumn(out_col, reg)
+    drop = ["_h", "_n", "_psn"] + [
         f"_{p}{i}" for i in range(1, k_max + 1) for p in ("cand", "p", "w", "e")
     ]
     return out.drop(*drop)

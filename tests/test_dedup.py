@@ -278,3 +278,26 @@ def test_dedup_against_exact_only(spark):
     assert ids == [3, 5, 7]  # near-dup survives the exact-only gate
     # all original columns ride through
     assert surv.columns == ["doc_id", "text"]
+
+
+def test_dedup_against_bloom_prefilter_identical(spark):
+    """The Bloom ingest-gate prefilter must not change the result set —
+    no false negatives means definite-new rows really are new, and
+    maybe-rows still pass the exact anti-join. Checked for both the
+    exact-only and the near-dup gate."""
+    corpus, batch = _inc_fixture(spark)
+    for thr in (None, 0.5):
+        plain = sorted(
+            r["doc_id"]
+            for r in DD.dedup_against(
+                batch, corpus, "doc_id", "text", threshold=thr, hash_fn="md5"
+            ).collect()
+        )
+        bloomed = sorted(
+            r["doc_id"]
+            for r in DD.dedup_against(
+                batch, corpus, "doc_id", "text", threshold=thr, hash_fn="md5",
+                bloom_m_bits=1 << 10, bloom_k=4,
+            ).collect()
+        )
+        assert bloomed == plain

@@ -53,3 +53,36 @@ def test_status_and_host_typed(spark):
     assert kinds["ts_bucket"] == "timestamp"
     assert http.filter(F.col("status_like").isin(200, 301, 404, 500)).count() == 200
     assert http.filter(F.col("host").rlike(r"^[a-z0-9.\-]+$")).count() == 200
+
+
+class TestCanonicalUrl:
+    CASES = [
+        # raw -> canonical
+        ("HTTP://Example.COM:80/A/b?b=2&a=1#frag", "http://example.com/A/b?a=1&b=2"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com:8080/x", "https://example.com:8080/x"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com?z=1&a=2", "http://example.com/?a=2&z=1"),
+        ("http://example.com/p?", "http://example.com/p"),
+        ("http://example.com/p?dup=1&dup=1&a=0", "http://example.com/p?a=0&dup=1&dup=1"),
+        ("https://example.com:80/x", "https://example.com:80/x"),  # :80 not https default
+        ("ftp://Host/X", "ftp://host/X"),
+        ("not-a-url#frag", "not-a-url"),  # pass-through minus fragment
+        ("/relative/path?b=1&a=2", "/relative/path?b=1&a=2"),
+    ]
+
+    def test_canonicalization_rules(self, spark):
+        from log_analysis_spark.functions.parse import canonical_url
+
+        df = spark.createDataFrame([(r,) for r, _ in self.CASES], "url string")
+        got = {r.url: r.c for r in df.select("url", canonical_url(F.col("url")).alias("c")).collect()}
+        for raw, want in self.CASES:
+            assert got[raw] == want, f"{raw!r}: {got[raw]!r} != {want!r}"
+
+    def test_idempotent(self, spark):
+        from log_analysis_spark.functions.parse import canonical_url
+
+        df = spark.createDataFrame([(r,) for r, _ in self.CASES], "url string")
+        once = df.select(canonical_url(F.col("url")).alias("c"))
+        twice = once.select(canonical_url(F.col("c")).alias("c"))
+        assert [r.c for r in once.collect()] == [r.c for r in twice.collect()]
