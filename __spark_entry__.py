@@ -1709,6 +1709,60 @@ def q_bloom_prefilter(spark, sf_dir):
     )
 
 
+def q_c4_line_filter(spark, sf_dir):
+    """C4-style line-level boilerplate cleaning (Raffel 2020 §2.2) over
+    deterministically multi-lined documents (the driver corpus is
+    single-line, so each doc gets its base line — terminal-punctuated
+    for doc_id%3==0 — plus one residue-selected fixture line hitting a
+    different rule, plus one always-kept closer). Zero-shuffle array
+    projection; byte-exact reassembly (operators/quality.py)."""
+    from log_analysis_spark.operators.quality import c4_line_filter
+
+    d = _t(spark, sf_dir, "documents")
+    base = F.when(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+        F.concat(F.col("text"), F.lit(".")),
+    ).otherwise(F.col("text"))
+    extra = F.element_at(
+        F.array(
+            *[
+                F.lit("\n" + s)
+                for s in (
+                    "This is a good sentence.",
+                    "All Rights Reserved.",
+                    "short.",
+                    "This line mentions javascript everywhere.",
+                    "curly { brace.",
+                )
+            ]
+        ),
+        (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int"),
+    )
+    text2 = F.concat(base, extra, F.lit("\nAnother fine closing line."))
+    return c4_line_filter(
+        d.select("doc_id", text2.alias("text"))
+    ).orderBy("doc_id")
+
+
+def q_binned_quantiles(spark, sf_dir):
+    """Fixed-bin histogram quantile estimates per event_type — the
+    quantile member of the bounded-state sketch family (<= 128 counts
+    per group shuffle vs percentile()'s every-value shuffle at 10^12
+    rows). Upper-edge estimator: true quantile <= estimate < true + one
+    bin width; every arithmetic step single-rounded -> exact replay."""
+    from log_analysis_spark.operators.sketches import binned_quantiles
+
+    return binned_quantiles(
+        _t(spark, sf_dir, "events"),
+        F.col("value"),
+        ["event_type"],
+        qs=(0.5, 0.9, 0.99),
+        lo=0.0,
+        hi=512.0,
+        n_bins=128,
+    )
+
+
 def q_pack_offsets(spark, sf_dir):
     """Concat-then-split sequence packing: exclusive prefix sum of token
     counts in doc-id order -> (pack_id, offset_in_pack) under a 512-token
@@ -1997,6 +2051,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "domain_quota": q_domain_quota,
         "canonical_urls": q_canonical_urls,
+        "binned_quantiles": q_binned_quantiles,
+        "c4_line_filter": q_c4_line_filter,
         "lang_temperature": q_lang_temperature,
         "bpe_tokens": q_bpe_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -3082,6 +3138,54 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _dsir_select_sql(),
         "domain_quota": _domain_quota_sql(),
         "canonical_urls": _canonical_urls_sql(),
+        "c4_line_filter": (
+            # Replays q_c4_line_filter: same synthetic multi-line text,
+            # same keep rule (terminal punct + >=3 words + no deny
+            # substring), same page drop ('{' or zero kept lines),
+            # byte-exact ordered reassembly via list_filter.
+            "WITH t2 AS (SELECT doc_id, "
+            "(CASE WHEN doc_id % 3 = 0 THEN text || '.' ELSE text END) || "
+            "([chr(10) || 'This is a good sentence.', "
+            "chr(10) || 'All Rights Reserved.', "
+            "chr(10) || 'short.', "
+            "chr(10) || 'This line mentions javascript everywhere.', "
+            "chr(10) || 'curly { brace.'])[(doc_id % 5) + 1] || "
+            "chr(10) || 'Another fine closing line.' AS text "
+            "FROM documents), "
+            "l AS (SELECT doc_id, text, str_split(text, chr(10)) AS ls "
+            "FROM t2), "
+            "k AS (SELECT doc_id, text, len(ls)::BIGINT AS n_lines, "
+            "list_filter(ls, x -> regexp_matches(x, '[.!?\"]$') AND "
+            "len(list_filter(regexp_split_to_array(trim(x), '\\s+'), "
+            "t -> t != '')) >= 3 "
+            "AND NOT contains(lower(x), 'javascript') "
+            "AND NOT contains(lower(x), 'lorem ipsum') "
+            "AND NOT contains(lower(x), 'all rights reserved') "
+            "AND NOT contains(lower(x), 'cookie policy') "
+            "AND NOT contains(lower(x), 'terms of use')) AS kept FROM l) "
+            "SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept, "
+            "(contains(text, '{') OR len(kept) < 1) AS page_dropped, "
+            "CASE WHEN contains(text, '{') OR len(kept) < 1 THEN '' "
+            "ELSE array_to_string(kept, chr(10)) END AS clean_text "
+            "FROM k ORDER BY doc_id"
+        ),
+        "binned_quantiles": (
+            # Replays sketches.binned_quantiles(qs=(.5,.9,.99), lo=0,
+            # hi=512, n_bins=128): same multiply-before-divide bin index,
+            # clamped end bins, ceil-rank pick, upper-edge estimate
+            # (width = 4.0 exact).
+            "WITH b AS (SELECT event_type, "
+            "least(greatest(floor((value - 0.0) * 128 / 512.0), 0), 127)::BIGINT "
+            "AS bin, count(*) AS c FROM events GROUP BY 1, 2), "
+            "cum AS (SELECT event_type, bin, c, "
+            "sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cm, "
+            "sum(c) OVER (PARTITION BY event_type) AS n FROM b) "
+            "SELECT event_type, max(n)::BIGINT AS n, "
+            "0.0::DOUBLE + (min(CASE WHEN cm >= ceil(0.5 * n) THEN bin END) + 1) * 4.0::DOUBLE AS p50_est, "
+            "0.0::DOUBLE + (min(CASE WHEN cm >= ceil(0.9 * n) THEN bin END) + 1) * 4.0::DOUBLE AS p90_est, "
+            "0.0::DOUBLE + (min(CASE WHEN cm >= ceil(0.99 * n) THEN bin END) + 1) * 4.0::DOUBLE AS p99_est "
+            "FROM cum GROUP BY event_type ORDER BY event_type"
+        ),
         "lang_temperature": (
             # Replays q_lang_temperature: integer counts, p = exact int/int
             # division, weight = sqrt(p) (correctly rounded), denominator =

@@ -270,3 +270,67 @@ def char_bigram_scores(
             F.coalesce("familiarity", F.lit(0.0)).alias("familiarity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level boilerplate cleaning
+# ---------------------------------------------------------------------------
+
+# line-level deny substrings (case-insensitive), after C4 §2.2's
+# "javascript" rule and the classic footer phrases; page-level '{' drop
+# is the C4 code-page heuristic
+C4_DENY_SUBSTRINGS = (
+    "javascript",
+    "lorem ipsum",
+    "all rights reserved",
+    "cookie policy",
+    "terms of use",
+)
+_TERMINAL_PUNCT_RE = '[.!?"]$'
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    deny: tuple[str, ...] = C4_DENY_SUBSTRINGS,
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """C4-style boilerplate cleaning (Raffel et al. 2020 §2.2): keep a
+    line iff it ends in terminal punctuation, has >= ``min_words``
+    words, and contains no deny substring; drop the whole page if it
+    contains '{' (code heuristic) or keeps fewer than ``min_kept_lines``
+    lines. Kept lines reassemble byte-exactly in original order.
+
+    Returns (id, n_lines, n_kept, page_dropped, clean_text) with
+    clean_text = '' for dropped pages.
+
+    Scale shape: ZERO shuffle — the whole rule set is one projection of
+    array expressions over split(text, '\\n') (filter preserves element
+    order, so no explode + re-aggregate reassembly is needed; contrast
+    duplicated_span_scrub, whose rules are corpus-global and must
+    shuffle). Line order, not line content, carries the reassembly."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep(line):  # noqa: ANN001 - Column lambda
+        words = F.size(F.filter(F.split(F.trim(line), r"\s+"), lambda t: t != ""))
+        ok = line.rlike(_TERMINAL_PUNCT_RE) & (words >= min_words)
+        low = F.lower(line)
+        for d in deny:
+            ok = ok & ~low.contains(d)
+        return ok
+
+    kept = F.filter(lines, keep)
+    page_dropped = F.col(text_col).contains("{") | (
+        F.size(kept) < min_kept_lines
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        page_dropped.alias("page_dropped"),
+        F.when(page_dropped, F.lit("")).otherwise(
+            F.concat_ws("\n", kept)
+        ).alias("clean_text"),
+    )

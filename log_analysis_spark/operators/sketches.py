@@ -380,3 +380,68 @@ def bloom_maybe_contains(
         )
         == 1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram quantiles
+# ---------------------------------------------------------------------------
+
+def histogram_bins(
+    value: Column, lo: float, hi: float, n_bins: int
+) -> Column:
+    """Bin index in [0, n_bins): floor((v - lo) * n_bins / (hi - lo)),
+    clamped — out-of-range values land in the end bins (they perturb the
+    tails by at most their own mass, never crash the sketch). The
+    multiply-BEFORE-divide order is part of the cross-engine contract."""
+    raw = F.floor((value - F.lit(lo)) * n_bins / F.lit(hi - lo))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("long")
+
+
+def binned_quantiles(
+    df: DataFrame,
+    value: Column,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Per-group quantile ESTIMATES from a fixed-bin histogram — the
+    quantile member of the bounded-state sketch family (HLL cardinality /
+    CMS frequency / Bloom membership). Exact `percentile()` over 10^12
+    rows shuffles every value; this shuffles <= n_bins counts per group
+    (map-side partials collapse first), the same constant-state shape as
+    the other sketches, and per-day histograms MERGE by cell addition.
+
+    Estimate = the UPPER edge of the smallest bin whose cumulative count
+    reaches ceil(q * n): true quantile <= estimate < true + (hi-lo)/n_bins
+    for in-range data — a one-sided error bound like Count-Min's. Every
+    step (bin index, cumulative sums, rank, edge arithmetic) is exact
+    integer or single-rounded double work, so the DuckDB oracle replays
+    the estimates bit-for-bit. The cumulative window runs over the
+    <= groups x n_bins relation — bounded by construction, never the
+    corpus (same justification as the register/cell relations above).
+    """
+    from pyspark.sql.window import Window
+
+    width = (hi - lo) / n_bins
+    b = (
+        df.select(*group_cols, histogram_bins(value, lo, hi, n_bins).alias("_bin"))
+        .groupBy(*group_cols, "_bin")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w_cum = Window.partitionBy(*group_cols).orderBy("_bin")
+    w_all = Window.partitionBy(*group_cols)
+    cum = b.withColumn("_cm", F.sum("_c").over(w_cum)).withColumn(
+        "_n", F.sum("_c").over(w_all)
+    )
+    aggs = []
+    for q in qs:
+        rank = F.ceil(F.lit(q) * F.col("_n"))
+        hit_bin = F.min(F.when(F.col("_cm") >= rank, F.col("_bin")))
+        est = F.lit(lo) + (hit_bin + 1) * F.lit(width)
+        aggs.append(est.alias(f"p{int(q * 100)}_est"))
+    out = cum.groupBy(*group_cols).agg(
+        F.max("_n").alias("n"), *aggs
+    )
+    return out.orderBy(*group_cols)

@@ -146,3 +146,52 @@ def test_char_bigram_model_is_broadcastable_and_small(lm_docs, spark):
         Q.char_bigram_scores(lm_docs).explain("formatted")
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# C4 line filter
+# ---------------------------------------------------------------------------
+
+def test_c4_line_filter_rules(spark):
+    from log_analysis_spark.operators.quality import c4_line_filter
+
+    doc = "\n".join(
+        [
+            "This is a proper sentence.",      # kept
+            "no terminal punctuation here",    # dropped: no terminal punct
+            "Tiny one.",                       # dropped: < 3 words
+            "Please enable JavaScript to continue.",  # dropped: deny
+            'He said "stop".',                 # kept (quote-terminal ok via .)
+            "Is this a question?",             # kept
+        ]
+    )
+    df = spark.createDataFrame([(1, doc), (2, "int main() { return 0; }")],
+                               "doc_id long, text string")
+    rows = {r.doc_id: r for r in c4_line_filter(df).collect()}
+    r1 = rows[1]
+    assert r1.n_lines == 6 and r1.n_kept == 3 and not r1.page_dropped
+    assert r1.clean_text == (
+        'This is a proper sentence.\nHe said "stop".\nIs this a question?'
+    )
+    r2 = rows[2]
+    assert r2.page_dropped and r2.clean_text == ""
+
+
+def test_c4_line_filter_zero_shuffle_plan(spark):
+    from pyspark.sql import functions as F
+
+    from log_analysis_spark.operators.quality import c4_line_filter
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("A line here.").alias("text")
+    )
+    plan = c4_line_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_c4_line_filter_all_dropped_page(spark):
+    from log_analysis_spark.operators.quality import c4_line_filter
+
+    df = spark.createDataFrame([(1, "nothing survives here")], "doc_id long, text string")
+    r = c4_line_filter(df).collect()[0]
+    assert r.page_dropped and r.clean_text == "" and r.n_kept == 0

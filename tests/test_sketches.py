@@ -156,3 +156,71 @@ def test_bloom_rejects_bad_params(spark):
         bloom_positions(F.lit("x"), m_bits=1000, k=4)  # not a power of two
     with pytest.raises(ValueError):
         bloom_words_array(None, m_bits=1 << 40)  # literal-array guard
+
+
+# ---------------------------------------------------------------------------
+# Binned quantiles
+# ---------------------------------------------------------------------------
+
+def test_binned_quantiles_error_bound(events):
+    from log_analysis_spark.operators.sketches import binned_quantiles
+
+    lo, hi, n_bins = 0.0, 512.0, 128
+    width = (hi - lo) / n_bins
+    est = {
+        r["event_type"]: r
+        for r in binned_quantiles(
+            events, F.col("value"), ["event_type"], (0.5, 0.9), lo, hi, n_bins
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    for et, r in est.items():
+        # upper-edge estimator: exact <= est < exact + width (in-range data)
+        assert exact[et]["p50"] <= r["p50_est"] <= exact[et]["p50"] + width
+        assert exact[et]["p90"] <= r["p90_est"] <= exact[et]["p90"] + width
+
+
+def test_binned_quantiles_histogram_merges(events, spark):
+    """Per-half histograms sum to the whole-corpus histogram (cell-wise
+    addition is the merge operator, like HLL max / CMS sum)."""
+    from log_analysis_spark.operators.sketches import histogram_bins
+
+    def hist(df):
+        return {
+            (r["event_type"], r["b"]): r["c"]
+            for r in df.select(
+                "event_type", histogram_bins(F.col("value"), 0.0, 512.0, 128).alias("b")
+            )
+            .groupBy("event_type", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+
+    full = hist(events)
+    h1 = hist(events.filter(F.col("event_id") % 2 == 0))
+    h2 = hist(events.filter(F.col("event_id") % 2 == 1))
+    merged = dict(h1)
+    for k, v in h2.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == full
+
+
+def test_binned_quantiles_clamps_out_of_range(spark):
+    from log_analysis_spark.operators.sketches import binned_quantiles
+
+    df = spark.createDataFrame(
+        [("g", -50.0), ("g", 0.5), ("g", 1.5), ("g", 999.0)],
+        "g string, v double",
+    )
+    r = binned_quantiles(df, F.col("v"), ["g"], (0.5,), 0.0, 2.0, 4).collect()[0]
+    assert r["n"] == 4
+    # p50 rank=2 -> cumulative reaches 2 in bin 1 (values -50->bin0, .5->bin1)
+    assert r["p50_est"] == 1.0
