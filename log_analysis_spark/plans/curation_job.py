@@ -16,6 +16,7 @@ Stage graph (each stage materializes to parquet and commits a manifest
 unit; a killed run resumes at the first stage whose input fingerprint +
 params don't match):
 
+    c4       (--c4-clean) C4 line-level boilerplate cleaning
     scrub    strip k-word spans duplicated across documents
     dedup    exact dedup (min-id survivor) [+ MinHash-LSH near-dup
              clusters resolved keep-best-quality with --neardup]
@@ -50,6 +51,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .checkpoint import Manifest, UnitResult, dir_bytes, dir_fingerprint
+
+
+def _c4(df: DataFrame) -> DataFrame:
+    """Optional leading stage: C4 line-level boilerplate cleaning —
+    line-filtered text replaces `text`, pages the filter drops leave the
+    corpus. Zero-shuffle projection (operators/quality.py), so as a
+    stage it costs one read + one write."""
+    from ..operators.quality import c4_line_filter
+
+    cleaned = (
+        c4_line_filter(df)
+        .filter(~F.col("page_dropped"))
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
+    return df.drop("text").join(cleaned, "doc_id").select(*df.columns)
 
 
 def _scrub(df: DataFrame, span_k: int, hash_fn: str) -> DataFrame:
@@ -130,6 +146,7 @@ def run_curation(
     valid_frac: float = 0.01,
     hash_fn: str = "xxhash64",
     resume: bool = True,
+    c4: bool = False,
 ) -> dict:
     """Run (or resume) the curation stage graph. Returns run metrics."""
     manifest = Manifest(os.path.join(out_dir, "_manifest"))
@@ -137,13 +154,14 @@ def run_curation(
     params = (
         f"span_k={span_k}|neardup={neardup}|n={decontam_n}"
         f"|t={test_frac}|v={valid_frac}|hash={hash_fn}"
-        f"|bench={benchmark_path}"
+        f"|bench={benchmark_path}|c4={c4}"
     )
     bench = (
         spark.read.parquet(benchmark_path) if benchmark_path is not None else None
     )
 
     stages: list[tuple[str, Callable[[DataFrame], DataFrame], str | None]] = [
+        *([("c4", _c4, None)] if c4 else []),
         ("scrub", lambda d: _scrub(d, span_k, hash_fn), None),
         ("dedup", lambda d: _dedup(d, neardup, hash_fn), None),
         ("quality", _quality, None),
@@ -215,6 +233,11 @@ def main() -> None:
     ap.add_argument("--test-frac", type=float, default=0.01)
     ap.add_argument("--valid-frac", type=float, default=0.01)
     ap.add_argument("--hash-fn", default="xxhash64", choices=["xxhash64", "md5"])
+    ap.add_argument(
+        "--c4-clean",
+        action="store_true",
+        help="prepend the C4 line-level boilerplate stage",
+    )
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -234,6 +257,7 @@ def main() -> None:
         valid_frac=args.valid_frac,
         hash_fn=args.hash_fn,
         resume=not args.no_resume,
+        c4=args.c4_clean,
     )
     print(json.dumps(stats))
     sys.stdout.flush()

@@ -47,3 +47,33 @@ def test_empty_corpus_halts_instead_of_crashing(spark, tmpdir_path):
     )
     assert r["halted_empty_at"] in {"decontam", "split"}
     assert r["stages"]["decontam"]["rows_out"] == 0
+
+
+def test_c4_stage_prepends_and_cleans(spark, tmpdir_path):
+    """--c4-clean prepends the boilerplate stage: driver docs have no
+    terminal punctuation, so a doctored corpus (half the docs get a
+    punctuated line appended) loses exactly the unpunctuated half at the
+    c4 stage, and the kept docs carry the cleaned text downstream."""
+    from pyspark.sql import functions as F
+
+    src = f"{tmpdir_path}/docs_in"
+    docs = spark.read.parquet(SF_DOCS)
+    doctored = docs.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+            F.concat(F.col("text"), F.lit("\nA clean closing sentence.")),
+        ).otherwise(F.col("text")),
+    )
+    doctored.write.parquet(src)
+    out = f"{tmpdir_path}/cur_c4"
+    r = run_curation(spark, src, out, span_k=6, c4=True)
+    assert r["stages_run"][0] == "c4"
+    c4 = r["stages"]["c4"]
+    assert c4["rows_in"] == 500 and c4["rows_out"] == 250
+    cleaned = spark.read.parquet(f"{out}/stage_c4")
+    assert cleaned.filter(~F.col("text").endswith("A clean closing sentence.")).count() == 0
+
+    # flipping the flag off invalidates the graph (param fingerprint)
+    r2 = run_curation(spark, src, out, span_k=6, c4=False)
+    assert "scrub" in r2["stages_run"]
