@@ -1955,6 +1955,34 @@ def q_ivfpq_topk_indexed(spark, sf_dir):
     )
 
 
+def q_term_lookup(spark, sf_dir):
+    """Materialized inverted index (term -> postings partitioned by term
+    hash bucket, operators/inverted.py): conjunctive lookup for two
+    terms reads exactly two of 64 bucket directories (partition pruning
+    at file-listing time — the text member of the materialized-index
+    family). Index cached across reps like the IVF-PQ index; oracle
+    recomputes the same answer straight from the documents table."""
+    import hashlib
+    import os
+
+    from log_analysis_spark.operators.inverted import (
+        terms_lookup_all,
+        write_inverted_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{src}|{os.stat(src).st_mtime_ns}|inv64".encode()
+    ).hexdigest()[:12]
+    idx = f"/tmp/las_inv_idx_{key}"
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        write_inverted_index(d, idx, hash_fn="md5")
+    return terms_lookup_all(
+        spark, idx, ["table", "row"], hash_fn="md5"
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (binary payload metadata; kernel stubbed, see module)
 # ---------------------------------------------------------------------------
@@ -2066,6 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "ivfpq_topk_indexed": q_ivfpq_topk_indexed,
+        "term_lookup": q_term_lookup,
         "corpus_curation": q_corpus_curation,
         "winnow_pairs": q_winnow_pairs,
         "semdedup": q_semdedup,
@@ -3138,6 +3167,18 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _dsir_select_sql(),
         "domain_quota": _domain_quota_sql(),
         "canonical_urls": _canonical_urls_sql(),
+        "term_lookup": (
+            # Recomputes the conjunctive postings lookup straight from
+            # documents: docs containing BOTH terms, summed tf.
+            "WITH tok AS (SELECT doc_id, "
+            f"unnest({_TOKENS.format(t='text')}) AS term FROM documents), "
+            "tfs AS (SELECT term, doc_id, count(*)::BIGINT AS tf "
+            "FROM tok GROUP BY 1, 2), "
+            "sel AS (SELECT doc_id, count(DISTINCT term) AS nt, "
+            "sum(tf)::BIGINT AS sum_tf FROM tfs "
+            "WHERE term IN ('table', 'row') GROUP BY doc_id) "
+            "SELECT doc_id, sum_tf FROM sel WHERE nt = 2 ORDER BY doc_id"
+        ),
         "c4_line_filter": (
             # Replays q_c4_line_filter: same synthetic multi-line text,
             # same keep rule (terminal punct + >=3 words + no deny
