@@ -125,3 +125,107 @@ def test_quality_chunking_parity_on_random_ascii(spark, duck, texts):
             assert got == want, sql[:80]
     finally:
         duck.unregister("documents")
+
+
+_URLISH = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126), max_size=60
+)
+_CANON_SQL = (
+    "CASE WHEN lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) = '' "
+    "THEN u ELSE "
+    "lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) || '://' || "
+    "(CASE WHEN lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) = 'http' "
+    "THEN regexp_replace(lower(regexp_extract(u, '^[^:/?]+://([^/?]*)', 1)), ':80$', '') "
+    "WHEN lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) = 'https' "
+    "THEN regexp_replace(lower(regexp_extract(u, '^[^:/?]+://([^/?]*)', 1)), ':443$', '') "
+    "ELSE lower(regexp_extract(u, '^[^:/?]+://([^/?]*)', 1)) END) || "
+    "(CASE WHEN regexp_extract(u, '^[^:/?]+://[^/?]*(/[^?]*)?', 1) = '' THEN '/' "
+    "ELSE regexp_extract(u, '^[^:/?]+://[^/?]*(/[^?]*)?', 1) END) || "
+    "(CASE WHEN array_to_string(list_sort(list_filter(str_split("
+    "regexp_extract(u, '\\?(.*)$', 1), '&'), x -> x != '')), '&') <> '' "
+    "THEN '?' || array_to_string(list_sort(list_filter(str_split("
+    "regexp_extract(u, '\\?(.*)$', 1), '&'), x -> x != '')), '&') ELSE '' END) END"
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(urls=st.lists(_URLISH, min_size=1, max_size=6))
+def test_canonical_url_parity_on_random_ascii(spark, duck, urls):
+    """canonical_url vs the exact oracle fragment on arbitrary
+    non-space printable-ASCII strings — most are NOT URLs, which is the
+    point: the pass-through and partial-match branches must agree too.
+    (Spaces excluded: a space cannot appear un-encoded in a URL and the
+    anchored regexes treat it as an ordinary char in both engines —
+    tested via the structured generator in the gate query instead.)"""
+    from log_analysis_spark.functions.parse import canonical_url
+
+    pdf = pd.DataFrame({"i": range(len(urls)), "u0": urls})
+    sdf = spark.createDataFrame(pdf)
+    got = [
+        r["c"]
+        for r in sdf.select(
+            "i", canonical_url(F.col("u0")).alias("c")
+        ).orderBy("i").collect()
+    ]
+    duck.register("u_tbl", pdf)
+    want = [
+        r[0]
+        for r in duck.execute(
+            "SELECT "
+            + _CANON_SQL
+            + " AS c FROM (SELECT i, regexp_replace(u0, '#.*', '') AS u "
+            "FROM u_tbl) ORDER BY i"
+        ).fetchall()
+    ]
+    duck.unregister("u_tbl")
+    assert got == want
+
+
+_C4_KEEP_SQL = (
+    "list_filter(ls, x -> regexp_matches(x, '[.!?\"]$') AND "
+    "len(list_filter(regexp_split_to_array(trim(x), '\\s+'), t -> t != '')) >= 3 "
+    "AND NOT contains(lower(x), 'javascript') "
+    "AND NOT contains(lower(x), 'lorem ipsum') "
+    "AND NOT contains(lower(x), 'all rights reserved') "
+    "AND NOT contains(lower(x), 'cookie policy') "
+    "AND NOT contains(lower(x), 'terms of use'))"
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    docs=st.lists(
+        st.lists(_ASCII, min_size=0, max_size=5).map(lambda ls: "\n".join(ls)),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_c4_line_filter_parity_on_random_ascii(spark, duck, docs):
+    from log_analysis_spark.operators.quality import c4_line_filter
+
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    sdf = spark.createDataFrame(pdf)
+    got = [
+        (r["n_lines"], r["n_kept"], r["page_dropped"], r["clean_text"])
+        for r in c4_line_filter(sdf).orderBy("doc_id").collect()
+    ]
+    duck.register("d_tbl", pdf)
+    want = duck.execute(
+        "WITH l AS (SELECT doc_id, text, str_split(text, chr(10)) AS ls FROM d_tbl), "
+        f"k AS (SELECT doc_id, text, len(ls)::BIGINT AS n_lines, {_C4_KEEP_SQL} AS kept FROM l) "
+        "SELECT n_lines, len(kept)::BIGINT, "
+        "(contains(text, '{') OR len(kept) < 1), "
+        "CASE WHEN contains(text, '{') OR len(kept) < 1 THEN '' "
+        "ELSE array_to_string(kept, chr(10)) END "
+        "FROM k ORDER BY doc_id"
+    ).fetchall()
+    duck.unregister("d_tbl")
+    assert got == [(int(a), int(b), bool(c), d) for a, b, c, d in want]
