@@ -365,6 +365,74 @@ def start_bloom_stream(
     )
 
 
+def start_ingest_gate_stream(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+    max_files_per_trigger: int = 100000,
+):
+    """The `dedup.dedup_against` ingest gate run CONTINUOUSLY: documents
+    stream in, each micro-batch is (1) internally exact-deduped (min-id
+    survivor), (2) anti-joined against the corpus hash index, and the
+    survivors append to ``{out}/corpus`` while their hashes append to
+    ``{out}/hash_index`` — the 8-bytes/doc relation that makes the next
+    batch's gate a hash anti-join instead of a corpus scan.
+
+    Delivery semantics (same contract note as the typed router): the two
+    appends are not atomic, so a crash between corpus- and index-append
+    followed by a REPLAYED trigger can duplicate that batch's rows in the
+    corpus (at-least-once); every LATER batch is content-exactly-once
+    because its gate sees the index. Exactly-once for the batch itself
+    needs a transactional table format (Iceberg — MIGRATION.md); a
+    downstream `exact_dedup` also self-heals. Unbounded state lives in
+    the index DIRECTORY, not in streaming state — the streaming query
+    itself keeps zero aggregation state.
+    """
+    import os
+
+    from ..operators.dedup import _base_hash, exact_dedup
+
+    schema = spark.read.parquet(input_path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    idx_path = os.path.join(out_dir, "hash_index")
+    corpus_path = os.path.join(out_dir, "corpus")
+
+    def _sink(batch: DataFrame, _bid: int) -> None:
+        sp = batch.sparkSession
+        keep = exact_dedup(batch, id_col, text_col).select(
+            F.col("keep_id").alias(id_col)
+        )
+        b = batch.join(keep, id_col).withColumn(
+            "_bh", _base_hash(F.col(text_col), hash_fn)
+        )
+        try:
+            idx = sp.read.parquet(idx_path)
+            b = b.join(idx, "_bh", "left_anti")
+        except Exception:  # noqa: BLE001 - first batch: no index yet
+            pass
+        b = b.persist()
+        try:
+            b.drop("_bh").write.mode("append").parquet(corpus_path)
+            b.select("_bh").distinct().write.mode("append").parquet(idx_path)
+        finally:
+            b.unpersist()
+
+    return (
+        src.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_zeek_typed_router_stream(
     spark: SparkSession,
     path_glob: str,

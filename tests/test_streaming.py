@@ -364,3 +364,37 @@ def test_bloom_stream_matches_batch_words(spark, tmpdir_path):
         .count()
     )
     assert missed == 0
+
+
+def test_ingest_gate_stream_content_exactly_once(spark, tmpdir_path):
+    """Streaming ingest-dedup gate: two arrivals with in-batch dups and
+    cross-arrival dups; every distinct text lands in the corpus exactly
+    once and the hash index covers exactly the corpus contents."""
+    from log_analysis_spark.streaming.stream_job import start_ingest_gate_stream
+
+    inp = f"{tmpdir_path}/docs_in"
+    out = f"{tmpdir_path}/gate_out"
+    a1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        "doc_id long, text string",
+    )
+    a1.write.parquet(inp)
+    args = (spark, inp, out, f"{tmpdir_path}/ckpt_gate")
+    q = start_ingest_gate_stream(*args)
+    q.awaitTermination(300)
+
+    a2 = spark.createDataFrame(
+        [(10, "alpha text"), (11, "gamma text"), (12, "gamma text")],
+        "doc_id long, text string",
+    )
+    a2.write.mode("append").parquet(inp)
+    q2 = start_ingest_gate_stream(*args)
+    q2.awaitTermination(300)
+
+    corpus = spark.read.parquet(f"{out}/corpus")
+    texts = sorted(r["text"] for r in corpus.collect())
+    assert texts == ["alpha text", "beta text", "gamma text"]
+    # min-id survivor within the batch; first-arrival wins across batches
+    ids = {r["text"]: r["doc_id"] for r in corpus.collect()}
+    assert ids == {"alpha text": 1, "beta text": 2, "gamma text": 11}
+    assert spark.read.parquet(f"{out}/hash_index").distinct().count() == 3
