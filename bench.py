@@ -92,6 +92,10 @@ BENCH_QUERIES = [
     "bloom_prefilter",
     "dsir_select",
     "domain_quota",
+    "canonical_urls",
+    "binned_quantiles",
+    "c4_line_filter",
+    "term_lookup",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at
