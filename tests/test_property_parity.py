@@ -229,3 +229,65 @@ def test_c4_line_filter_parity_on_random_ascii(spark, duck, docs):
     ).fetchall()
     duck.unregister("d_tbl")
     assert got == [(int(a), int(b), bool(c), d) for a, b, c, d in want]
+
+
+_HOSTISH = st.text(
+    alphabet=st.sampled_from(list("abcz019.-CK")), max_size=24
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(hosts=st.lists(_HOSTISH, min_size=1, max_size=8))
+def test_registrable_domain_parity_on_random_hosts(spark, duck, hosts):
+    """PSL longest-match vs the oracle CTE chain on arbitrary dot/dash
+    strings — degenerate label shapes ('', '.', 'a.', '..b', trailing
+    dots, uppercase) must resolve identically through Spark's
+    substring_index path and DuckDB's str_split/slice path."""
+    from log_analysis_spark.operators.domains import (
+        keyed_rules_sql_values,
+        max_key_labels,
+        registrable_domain,
+    )
+
+    pdf = pd.DataFrame({"i": range(len(hosts)), "host": hosts})
+    sdf = spark.createDataFrame(pdf)
+    got = [
+        (r["public_suffix"], r["registrable_domain"])
+        for r in registrable_domain(sdf).orderBy("i").collect()
+    ]
+
+    k = max_key_labels()
+    cands = ", ".join(
+        f"CASE WHEN n >= {i} THEN array_to_string(l[n-{i - 1}:n], '.') END AS c{i}"
+        for i in range(1, k + 1)
+    )
+    joins = " ".join(
+        f"LEFT JOIN dim d{i} ON cand.c{i} = d{i}.suffix_key" for i in range(1, k + 1)
+    )
+    msel = ", ".join(
+        f"d{i}.p AS p{i}, d{i}.w AS w{i}, d{i}.e AS e{i}" for i in range(1, k + 1)
+    )
+    exc = ", ".join(f"e{i}" for i in range(k, 0, -1))
+    prev = ", ".join(
+        f"CASE WHEN p{i} IS NOT NULL THEN {i} END, "
+        f"CASE WHEN w{i} IS NOT NULL AND n >= {i + 1} THEN {i + 1} END"
+        for i in range(1, k + 1)
+    )
+    duck.register("h_tbl", pdf)
+    want = duck.execute(
+        f"WITH dim(suffix_key, p, w, e) AS (VALUES {keyed_rules_sql_values()}), "
+        "lab AS (SELECT i, str_split(lower(host), '.') AS l, "
+        "len(str_split(lower(host), '.')) AS n FROM h_tbl), "
+        f"cand AS (SELECT *, {cands} FROM lab), "
+        f"m AS (SELECT cand.*, {msel} FROM cand {joins}), "
+        f"ps AS (SELECT i, l, n, coalesce({exc}, greatest({prev}, 1)) AS psn FROM m) "
+        "SELECT array_to_string(l[n-psn+1:n], '.') AS public_suffix, "
+        "CASE WHEN n > psn THEN array_to_string(l[n-psn:n], '.') END "
+        "AS registrable_domain FROM ps ORDER BY i"
+    ).fetchall()
+    duck.unregister("h_tbl")
+    assert got == [(a, b) for a, b in want]
