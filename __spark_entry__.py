@@ -1191,6 +1191,49 @@ def q_regex_parse(spark, sf_dir):
     )
 
 
+GROK_LINE_PATTERN = (
+    "%{TIMESTAMP_ISO8601:lts} %{LOGLEVEL:level} "
+    "user=%{INT:uid:int} type=%{WORD:etype}"
+)
+
+
+def q_grok_parse(spark, sf_dir):
+    """Grok-pattern log-line parse (the north star's 'grok/regex field
+    extraction', reference parse loop `zeek_search.rs:94-141` recast as a
+    compiled-regex projection). Synthesizes syslog-ish lines from events
+    (1 in 10 corrupted), grok-extracts typed fields with malformed-line
+    drop, and aggregates per (level, type). All native regexp — no
+    Python, no extra shuffle beyond the final groupBy."""
+    from log_analysis_spark.functions.grok import grok_extract
+
+    ev = _t(spark, sf_dir, "events")
+    level = F.element_at(
+        F.array(F.lit("INFO"), F.lit("WARN"), F.lit("ERROR")),
+        (F.pmod(F.col("event_id"), F.lit(3)) + 1).cast("int"),
+    )
+    line = F.concat_ws(
+        " ",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        level,
+        F.concat(F.lit("user="), F.col("user_id").cast("string")),
+        F.concat(F.lit("type="), F.col("event_type")),
+    )
+    line = F.when(
+        F.pmod(F.col("event_id"), F.lit(10)) == 0, F.concat(F.lit("## "), line)
+    ).otherwise(line)
+    parsed = grok_extract(ev.select(line.alias("line")), "line", GROK_LINE_PATTERN)
+    return (
+        parsed.groupBy("level", "etype")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("uid").alias("n_users"),
+            F.sum("uid").alias("sum_uid"),
+            F.min("lts").alias("min_ts"),
+        )
+        .orderBy("level", "etype")
+    )
+
+
 def q_token_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -2007,7 +2050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     topk_users, event_gaps, bpe_tokens /
     tfidf_top_terms / quality_filter vs the in-window text rows,
     ssl_version_counts / weird_name_counts vs the four in-window typed-Zeek
-    reps, ...) ride at the tail."""
+    reps, regex_parse vs the in-window grok_parse which supersedes it as
+    the parse-family representative, ...) ride at the tail."""
     return {
         # --- SURVEY §2 core pipeline (scan/filter/route/agg/enrich) ---
         "filter_eq": q_filter_eq,
@@ -2043,7 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "membership_antijoin": q_membership_antijoin,
         # --- text analysis ---
-        "regex_parse": q_regex_parse,
+        "grok_parse": q_grok_parse,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "langid": q_langid,
@@ -2072,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family already has a green representative above ----
         "window_topn": q_window_topn,
         "percentiles": q_percentiles,
+        "regex_parse": q_regex_parse,
         "dup_clusters_star": q_dup_clusters_star,
         "ssl_version_counts": q_ssl_version_counts,
         "weird_name_counts": q_weird_name_counts,
@@ -2665,6 +2710,29 @@ def _domain_quota_sql(cap: int = 3) -> str:
         f"(PARTITION BY registrable_domain ORDER BY {rk} ASC, doc_id ASC) "
         "AS _rank FROM fin) "
         f"WHERE _rank <= {cap} ORDER BY registrable_domain, _rank"
+    )
+
+
+def _grok_parse_oracle() -> str:
+    """Replays q_grok_parse: same line construction, the SAME compiled
+    regex string (grok_oracle_exprs shares grok_compile with the Spark
+    path), same match-drop and typed casts."""
+    from log_analysis_spark.functions.grok import grok_oracle_exprs
+
+    pred, exprs = grok_oracle_exprs(GROK_LINE_PATTERN, "line")
+    return (
+        "WITH l AS (SELECT "
+        "CASE WHEN event_id % 10 = 0 THEN '## ' ELSE '' END || "
+        "strftime(ts, '%Y-%m-%d %H:%M:%S') || ' ' || "
+        "CASE (event_id % 3) WHEN 0 THEN 'INFO' WHEN 1 THEN 'WARN' "
+        "ELSE 'ERROR' END || "
+        "' user=' || CAST(user_id AS VARCHAR) || ' type=' || event_type "
+        "AS line FROM events), "
+        f"p AS (SELECT {', '.join(exprs)} FROM l WHERE {pred}) "
+        "SELECT level, etype, count(*) AS n, "
+        "count(DISTINCT uid) AS n_users, sum(uid)::BIGINT AS sum_uid, "
+        "min(lts) AS min_ts "
+        "FROM p GROUP BY level, etype ORDER BY level, etype"
     )
 
 
@@ -3345,6 +3413,7 @@ def oracle_sql() -> dict[str, str]:
             "min(sec)::DOUBLE AS min_ts "
             "FROM n GROUP BY note ORDER BY note"
         ),
+        "grok_parse": _grok_parse_oracle(),
         "regex_parse": (
             "SELECT doc_id, regexp_extract(text, '^(\\w+)', 1) AS first_word, "
             f"len({_TOKENS.format(t='text')})::BIGINT AS n_tokens FROM documents"
