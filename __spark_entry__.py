@@ -1234,6 +1234,22 @@ def q_grok_parse(spark, sf_dir):
     )
 
 
+def q_normalize_text(spark, sf_dir):
+    """Unicode NFC + control-strip + whitespace-collapse — the canonical
+    pre-hash cleaning pass (C4/CCNet step 0). NFC is the one pandas-UDF
+    stage (no Spark builtin); everything else codegen. Proof of
+    byte-exactness: md5 of the cleaned text replayed by DuckDB's
+    utf8proc nfc_normalize."""
+    from log_analysis_spark.functions.normalize import clean_text
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(clean_text(F.col("text"))).alias("clean_md5"),
+        F.length(clean_text(F.col("text"))).cast("long").alias("clean_len"),
+    )
+
+
 def q_token_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -2117,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topn": q_window_topn,
         "percentiles": q_percentiles,
         "regex_parse": q_regex_parse,
+        "normalize_text": q_normalize_text,
         "dup_clusters_star": q_dup_clusters_star,
         "ssl_version_counts": q_ssl_version_counts,
         "weird_name_counts": q_weird_name_counts,
@@ -2733,6 +2750,16 @@ def _grok_parse_oracle() -> str:
         "count(DISTINCT uid) AS n_users, sum(uid)::BIGINT AS sum_uid, "
         "min(lts) AS min_ts "
         "FROM p GROUP BY level, etype ORDER BY level, etype"
+    )
+
+
+def _normalize_text_oracle() -> str:
+    from log_analysis_spark.functions.normalize import clean_text_oracle
+
+    e = clean_text_oracle("text")
+    return (
+        f"SELECT doc_id, md5({e}) AS clean_md5, "
+        f"length({e})::BIGINT AS clean_len FROM documents"
     )
 
 
@@ -3414,6 +3441,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM n GROUP BY note ORDER BY note"
         ),
         "grok_parse": _grok_parse_oracle(),
+        "normalize_text": _normalize_text_oracle(),
         "regex_parse": (
             "SELECT doc_id, regexp_extract(text, '^(\\w+)', 1) AS first_word, "
             f"len({_TOKENS.format(t='text')})::BIGINT AS n_tokens FROM documents"
