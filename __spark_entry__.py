@@ -277,6 +277,32 @@ def q_canonical_urls(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+BLOCK_SUFFIXES = ["co.uk", "site8.com", "site7.uk"]
+ALLOW_SUFFIXES = ["site9.co.uk"]
+BLOCK_PREFIXES = ["http://cdn.site5.www.ck:8080", "https://site4.github.io"]
+
+
+def q_blocklist_filter(spark, sf_dir):
+    """Crawl deny/allow-list verdicts (operators/domains.py
+    blocklist_filter): host-suffix bans (hosts-file semantics, case-
+    folded), raw url-prefix bans, allow-rule override — all bounded
+    broadcast joins, zero fact shuffle. Audit mode: per-url boolean
+    verdict (site7.uk proves case folding on an upper-cased host;
+    site9.co.uk proves allow-beats-block under the co.uk ban)."""
+    from log_analysis_spark.operators.domains import blocklist_filter
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", _url_expr().alias("url"))
+    out = blocklist_filter(
+        d,
+        url_col="url",
+        block_suffixes=BLOCK_SUFFIXES,
+        block_prefixes=BLOCK_PREFIXES,
+        allow_suffixes=ALLOW_SUFFIXES,
+        flag_col="blocked",
+    )
+    return out.select("doc_id", "url", "blocked").orderBy("doc_id")
+
+
 def q_domain_quota(spark, sf_dir):
     """Per-registrable-domain quota sampling (host balancing): PSL
     resolve composed with keyed_quota_sample — keep <= 3 docs per domain
@@ -2134,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "regex_parse": q_regex_parse,
         "normalize_text": q_normalize_text,
+        "blocklist_filter": q_blocklist_filter,
         "dup_clusters_star": q_dup_clusters_star,
         "ssl_version_counts": q_ssl_version_counts,
         "weird_name_counts": q_weird_name_counts,
@@ -2628,18 +2655,22 @@ def _hosts_ctes() -> str:
     )
 
 
+# SQL twin of _url_expr() (evaluated over the `hosts` CTE)
+_URL_SQL = (
+    "(['http','https','HTTP'])[(doc_id % 3) + 1] || '://' || "
+    "(CASE WHEN doc_id % 7 = 0 THEN upper(host) ELSE host END) || "
+    "([':80', ':443', ':8080', '', ''])[(doc_id % 5) + 1] || "
+    "(['/A/b', '', '/index.html'])[((doc_id + 1) % 3) + 1] || "
+    "(['?b=2&a=1', '?z=9&y=8&z=1', '', '?', '?a=1#frag'])"
+    "[((doc_id + 2) % 5) + 1]"
+)
+
+
 def _canonical_urls_sql() -> str:
     """DuckDB replay of q_canonical_urls: same synthetic URLs, same
     anchored basic regexes (identical Java-regex/RE2 semantics), same
     sort-and-rejoin of query parameters."""
-    url = (
-        "(['http','https','HTTP'])[(doc_id % 3) + 1] || '://' || "
-        "(CASE WHEN doc_id % 7 = 0 THEN upper(host) ELSE host END) || "
-        "([':80', ':443', ':8080', '', ''])[(doc_id % 5) + 1] || "
-        "(['/A/b', '', '/index.html'])[((doc_id + 1) % 3) + 1] || "
-        "(['?b=2&a=1', '?z=9&y=8&z=1', '', '?', '?a=1#frag'])"
-        "[((doc_id + 2) % 5) + 1]"
-    )
+    url = _URL_SQL
     return _hosts_ctes() + (
         f"urls AS (SELECT doc_id, {url} AS url FROM hosts), "
         "s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u "
@@ -2727,6 +2758,27 @@ def _domain_quota_sql(cap: int = 3) -> str:
         f"(PARTITION BY registrable_domain ORDER BY {rk} ASC, doc_id ASC) "
         "AS _rank FROM fin) "
         f"WHERE _rank <= {cap} ORDER BY registrable_domain, _rank"
+    )
+
+
+def _blocklist_sql() -> str:
+    """Replays q_blocklist_filter: same synthetic urls, lowercased
+    port-stripped host, suffix/prefix/allow semantics."""
+
+    def sfx(h: str, rules: list[str]) -> str:
+        return " OR ".join(
+            f"(h = '{r}' OR h LIKE '%.{r}')" for r in rules
+        )
+
+    pfx = " OR ".join(f"starts_with(url, '{p}')" for p in BLOCK_PREFIXES)
+    return _hosts_ctes() + (
+        f"urls AS (SELECT doc_id, {_URL_SQL} AS url FROM hosts), "
+        "w AS (SELECT doc_id, url, lower(regexp_extract(url, "
+        "'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#:]*)', 1)) AS h FROM urls) "
+        "SELECT doc_id, url, "
+        f"(({sfx('h', BLOCK_SUFFIXES)} OR {pfx}) "
+        f"AND NOT ({sfx('h', ALLOW_SUFFIXES)})) AS blocked "
+        "FROM w ORDER BY doc_id"
     )
 
 
@@ -3442,6 +3494,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "grok_parse": _grok_parse_oracle(),
         "normalize_text": _normalize_text_oracle(),
+        "blocklist_filter": _blocklist_sql(),
         "regex_parse": (
             "SELECT doc_id, regexp_extract(text, '^(\\w+)', 1) AS first_word, "
             f"len({_TOKENS.format(t='text')})::BIGINT AS n_tokens FROM documents"

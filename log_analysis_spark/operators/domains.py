@@ -188,3 +188,110 @@ def keyed_rules_sql_values(rules: list[str] | None = None) -> str:
 def max_key_labels(rules: list[str] | None = None) -> int:
     keyed = _keyed_rules(rules if rules is not None else DEFAULT_RULES)
     return max(len(k.split(".")) for k in keyed)
+
+
+# ---------------------------------------------------------------------------
+# crawl deny/allow lists
+# ---------------------------------------------------------------------------
+def blocklist_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    host_col: str | None = None,
+    block_suffixes: list[str] | None = None,
+    block_prefixes: list[str] | None = None,
+    allow_suffixes: list[str] | None = None,
+    allow_prefixes: list[str] | None = None,
+    flag_col: str | None = None,
+) -> DataFrame:
+    """Crawl-hygiene deny/allow filtering — the stage every web-corpus
+    pipeline runs right after URL canonicalization (spam/adult/banned
+    host lists, per-path opt-outs).
+
+    Rule kinds (all matched against the lowercased registrable host,
+    port excluded, and the raw url string):
+      - ``block_suffixes``:  host equals the rule or ends with
+        ``.<rule>`` — the hosts-file semantic ("example.com" blocks the
+        apex and every subdomain).
+      - ``block_prefixes``:  raw ``url.startswith(prefix)`` — per-path
+        bans. Rules should be in canonical case (compose with
+        ``canonical_url`` upstream for case-robust matching).
+      - ``allow_*``: same shapes; an allow match overrides any block
+        (the exception-rule semantic of public deny-list formats).
+
+    NULL urls/hosts match nothing and pass through.
+
+    Scale design — zero fact-side shuffle, like :func:`registrable_domain`:
+    suffix rules group by their label count into at most K tiny dims,
+    matched by K broadcast equi-joins on ``substring_index(host,'.',-i)``
+    (never a per-row rule scan, never an explode); prefix rules group by
+    their url host into one broadcast dim carrying a sorted prefix array,
+    matched map-side with ONE ``exists(startswith)`` over that row's (few)
+    candidate prefixes. At 10^12 rows the whole filter is map-side hash
+    probes inside codegen.
+
+    ``flag_col=None`` drops blocked rows; a name instead keeps every row
+    and adds a boolean verdict column (audit mode).
+    """
+    spark = df.sparkSession
+    host = (
+        F.lower(F.col(host_col))
+        if host_col
+        else F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    )
+    out = df.withColumn("_blh", host)
+    n = F.length("_blh") - F.length(F.translate(F.col("_blh"), ".", "")) + 1
+    out = out.withColumn("_bln", n)
+
+    match_cols: dict[str, list[Column]] = {"block": [], "allow": []}
+    tag = 0
+    for kind, suffixes in (("block", block_suffixes), ("allow", allow_suffixes)):
+        by_len: dict[int, list[str]] = {}
+        for s in suffixes or []:
+            by_len.setdefault(len(s.split(".")), []).append(s.lower())
+        for i, rules_i in sorted(by_len.items()):
+            tag += 1
+            c = f"_blsfx{tag}"
+            dim = spark.createDataFrame(
+                [(r, True) for r in sorted(set(rules_i))], f"{c} string, _blhit{tag} boolean"
+            )
+            cand = F.when(F.col("_bln") >= i, F.substring_index(F.col("_blh"), ".", -i))
+            out = out.withColumn(c, cand).join(F.broadcast(dim), on=c, how="left")
+            match_cols[kind].append(F.col(f"_blhit{tag}").isNotNull() & F.col(f"_blhit{tag}"))
+
+    prefix_exprs: dict[str, Column] = {}
+    for kind, prefixes in (("block", block_prefixes), ("allow", allow_prefixes)):
+        if not prefixes:
+            continue
+        tag += 1
+        by_host: dict[str, list[str]] = {}
+        for p in prefixes:
+            import re as _re
+
+            m = _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", p)
+            if not m or not m.group(1):
+                raise ValueError(f"prefix rule must be an absolute URL: {p!r}")
+            by_host.setdefault(m.group(1).lower(), []).append(p)
+        dim = spark.createDataFrame(
+            [(h, sorted(ps)) for h, ps in sorted(by_host.items())],
+            f"_blph{tag} string, _blpfx{tag} array<string>",
+        )
+        out = out.join(
+            F.broadcast(dim), on=out["_blh"] == F.col(f"_blph{tag}"), how="left"
+        ).drop(f"_blph{tag}")
+        u = F.col(url_col)
+        match_cols[kind].append(
+            F.col(f"_blpfx{tag}").isNotNull()
+            & F.exists(F.col(f"_blpfx{tag}"), lambda p: u.startswith(p))
+        )
+
+    def _any(cols: list[Column]) -> Column:
+        acc = F.lit(False)
+        for c in cols:
+            acc = acc | F.coalesce(c, F.lit(False))
+        return acc
+
+    blocked = _any(match_cols["block"]) & ~_any(match_cols["allow"])
+    drop = [c for c in out.columns if c.startswith("_bl")]
+    if flag_col is None:
+        return out.filter(~blocked).drop(*drop)
+    return out.withColumn(flag_col, blocked).drop(*drop)

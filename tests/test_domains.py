@@ -85,3 +85,63 @@ def test_enrich_includes_registrable_domain(spark):
     assert out["a.b.example.co.uk"].public_suffix == "co.uk"
     assert out["www.example.de"].registrable_domain == "example.de"
     assert out["www.example.de"].tld == "de"
+
+
+# ---------------------------------------------------------------------------
+# blocklist_filter
+# ---------------------------------------------------------------------------
+def _bl_df(spark):
+    rows = [
+        (1, "http://www.banned.com/x"),         # suffix block (subdomain)
+        (2, "https://banned.com"),               # suffix block (apex)
+        (3, "https://ok.org/a"),                 # clean
+        (4, "http://WWW.BANNED.COM:80/y"),       # case-folded host still blocked
+        (5, "https://good.banned.com/z"),        # allow_suffix override
+        (6, "http://tracker.net/ads/1?x=1"),     # prefix block
+        (7, "http://tracker.net/content"),       # same host, prefix miss
+        (8, None),                               # NULL url passes
+        (9, "http://notbanned.com/x"),           # 'banned.com' is not a suffix of 'notbanned.com'
+    ]
+    return spark.createDataFrame(rows, "id long, url string")
+
+
+_BL_KW = dict(
+    block_suffixes=["banned.com"],
+    block_prefixes=["http://tracker.net/ads/", "http://tracker.net/beacon"],
+    allow_suffixes=["good.banned.com"],
+)
+
+
+def test_blocklist_flag_mode(spark):
+    from log_analysis_spark.operators.domains import blocklist_filter
+
+    out = {
+        r.id: r.blocked
+        for r in blocklist_filter(_bl_df(spark), flag_col="blocked", **_BL_KW).collect()
+    }
+    assert out == {1: True, 2: True, 3: False, 4: True, 5: False,
+                   6: True, 7: False, 8: False, 9: False}
+
+
+def test_blocklist_filter_mode_drops(spark):
+    from log_analysis_spark.operators.domains import blocklist_filter
+
+    kept = sorted(
+        r.id for r in blocklist_filter(_bl_df(spark), **_BL_KW).collect()
+    )
+    assert kept == [3, 5, 7, 8, 9]
+    # no helper columns leak
+    assert blocklist_filter(_bl_df(spark), **_BL_KW).columns == ["id", "url"]
+
+
+def test_blocklist_host_col_and_errors(spark):
+    from log_analysis_spark.operators.domains import blocklist_filter
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, "Sub.Banned.COM")], "id long, host string")
+    out = blocklist_filter(
+        df, host_col="host", block_suffixes=["banned.com"], flag_col="b"
+    ).collect()
+    assert out[0].b is True
+    with _pt.raises(ValueError, match="absolute URL"):
+        blocklist_filter(_bl_df(spark), block_prefixes=["/relative/only"]).collect()
