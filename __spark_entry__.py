@@ -1731,6 +1731,43 @@ def q_hll_distinct_pairs(spark, sf_dir):
     return hll_estimate(ev, v, p=8, hash_fn="md5")
 
 
+def q_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance (operators/incremental.py): events
+    split into three disjoint 'snapshots' by event_id residue, each
+    reduced to mergeable per-event_type state (count / long sum / min /
+    max / HLL registers), states merged, merged state finalized. The
+    oracle aggregates the FULL table directly — equality IS the
+    merge-associativity proof (refreshing a 10^12-row rollup costs the
+    new batch, never a history rescan). HLL merge = element-wise register
+    max, exactly the full-input registers; estimate replayed bit-for-bit
+    via the slot-ordered harmonic fold."""
+    from log_analysis_spark.operators.incremental import (
+        Metric,
+        agg_state,
+        finalize_state,
+        merge_states,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    metrics = [
+        Metric("n", "count"),
+        Metric("sum_uid", "sum", "user_id"),
+        Metric("min_val", "min", "value"),
+        Metric("max_val", "max", "value"),
+        Metric("users", "hll", "user_id"),
+    ]
+    batches = [
+        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)
+    ]
+    states = [
+        agg_state(b, ["event_type"], metrics, p=6, hash_fn="md5") for b in batches
+    ]
+    merged = merge_states(states, ["event_type"], metrics, p=6)
+    return finalize_state(merged, ["event_type"], metrics, p=6).orderBy(
+        "event_type"
+    )
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-Min heavy hitters: top-10 users by estimated frequency from
     a 4x512 integer sketch (broadcastable — probes never shuffle the
@@ -2093,7 +2130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tfidf_top_terms / quality_filter vs the in-window text rows,
     ssl_version_counts / weird_name_counts vs the four in-window typed-Zeek
     reps, regex_parse vs the in-window grok_parse which supersedes it as
-    the parse-family representative, ...) ride at the tail."""
+    the parse-family representative, membership_antijoin vs the in-window
+    semi_join — demoted to admit incremental_agg, a NEW family
+    (mergeable-state view maintenance), ...) ride at the tail."""
     return {
         # --- SURVEY §2 core pipeline (scan/filter/route/agg/enrich) ---
         "filter_eq": q_filter_eq,
@@ -2117,6 +2156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_pairs": q_hll_distinct_pairs,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_prefilter": q_bloom_prefilter,
+        # --- incremental view maintenance (mergeable state) ---
+        "incremental_agg": q_incremental_agg,
         # --- relational / windowed analytics ---
         "tpch_q1": q_tpch_q1,
         "rollup_agg": q_rollup_agg,
@@ -2127,7 +2168,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "semi_join": q_semi_join,
-        "membership_antijoin": q_membership_antijoin,
         # --- text analysis ---
         "grok_parse": q_grok_parse,
         "token_stats": q_token_stats,
@@ -2159,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topn": q_window_topn,
         "percentiles": q_percentiles,
         "regex_parse": q_regex_parse,
+        "membership_antijoin": q_membership_antijoin,
         "normalize_text": q_normalize_text,
         "blocklist_filter": q_blocklist_filter,
         "dup_clusters_star": q_dup_clusters_star,
@@ -2779,6 +2820,42 @@ def _blocklist_sql() -> str:
         f"(({sfx('h', BLOCK_SUFFIXES)} OR {pfx}) "
         f"AND NOT ({sfx('h', ALLOW_SUFFIXES)})) AS blocked "
         "FROM w ORDER BY doc_id"
+    )
+
+
+def _incremental_agg_sql() -> str:
+    """Full-table recompute twin of q_incremental_agg (equality = the
+    merge-associativity proof). p=6 -> m=64, rest==0 rho cap 55; the HLL
+    fold runs over all 64 slots in slot order with absent slots at rho=0
+    (2^0 terms inline) — the exact addition order of finalize_state."""
+    from log_analysis_spark.operators.sketches import hll_alpha
+
+    a_mm = hll_alpha(64) * 64 * 64
+    return (
+        "WITH hh AS (SELECT event_type, "
+        f"{_sql_h60('user_id::VARCHAR')} AS h FROM events), "
+        "rr AS (SELECT event_type, h % 64 AS reg, h // 64 AS rest FROM hh), "
+        "rho AS (SELECT event_type, reg, CASE WHEN rest = 0 THEN 55 ELSE "
+        "1 + length(bin(rest)) - length(rtrim(bin(rest), '0')) END AS rho "
+        "FROM rr), "
+        "regs AS (SELECT event_type, reg, max(rho) AS mr FROM rho "
+        "GROUP BY 1, 2), "
+        "slots AS (SELECT et.event_type, r.i AS reg FROM "
+        "(SELECT DISTINCT event_type FROM events) et, range(64) r(i)), "
+        "fullr AS (SELECT s.event_type, s.reg, coalesce(mr, 0) AS mr "
+        "FROM slots s LEFT JOIN regs ON s.event_type = regs.event_type "
+        "AND s.reg = regs.reg), "
+        "folds AS (SELECT event_type, "
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        "list(pow(2.0, -mr) ORDER BY reg)), (a, b) -> a + b) AS s, "
+        "sum(CASE WHEN mr > 0 THEN 1 ELSE 0 END)::BIGINT AS users_present "
+        "FROM fullr GROUP BY event_type), "
+        "base AS (SELECT event_type, count(*) AS n, "
+        "sum(user_id)::BIGINT AS sum_uid, min(value) AS min_val, "
+        "max(value) AS max_val FROM events GROUP BY event_type) "
+        "SELECT b.event_type, n, sum_uid, min_val, max_val, "
+        f"{a_mm!r} / s AS users_est, users_present "
+        "FROM base b JOIN folds USING (event_type) ORDER BY event_type"
     )
 
 
@@ -3495,6 +3572,7 @@ def oracle_sql() -> dict[str, str]:
         "grok_parse": _grok_parse_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "blocklist_filter": _blocklist_sql(),
+        "incremental_agg": _incremental_agg_sql(),
         "regex_parse": (
             "SELECT doc_id, regexp_extract(text, '^(\\w+)', 1) AS first_word, "
             f"len({_TOKENS.format(t='text')})::BIGINT AS n_tokens FROM documents"
