@@ -1768,6 +1768,30 @@ def q_incremental_agg(spark, sf_dir):
     )
 
 
+def q_token_shards(spark, sf_dir):
+    """Token-budget output sharding (chunking.shard_assign): whole
+    documents in id order, shard = floor(prefix-tokens / 5000); per-shard
+    balance stats. The bound sum_tokens < budget + max_doc is the
+    balanced-shard-writer contract (write_token_shards materializes
+    shard=K directories). Two-phase distributed prefix sum; oracle
+    replays it as one serial window."""
+    from log_analysis_spark.operators.chunking import shard_assign
+
+    a = shard_assign(
+        _t(spark, sf_dir, "documents"), shard_tokens=5000, num_partitions=8
+    )
+    return (
+        a.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("doc_id").alias("first_id"),
+            F.max("doc_id").alias("last_id"),
+        )
+        .orderBy("shard")
+    )
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-Min heavy hitters: top-10 users by estimated frequency from
     a 4x512 integer sketch (broadcastable — probes never shuffle the
@@ -2218,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_bigram_scores": q_char_bigram_scores,
         "quality_funnel": q_quality_funnel,
         "pack_offsets": q_pack_offsets,
+        "token_shards": q_token_shards,
         "ssh_auth_stats": q_ssh_auth_stats,
         "smtp_tls_stats": q_smtp_tls_stats,
         "notice_action_counts": q_notice_action_counts,
@@ -3493,6 +3518,18 @@ def oracle_sql() -> dict[str, str]:
             'SELECT doc_id, n_tokens, "offset", '
             '("offset" // 512)::BIGINT AS pack_id, '
             '("offset" % 512)::BIGINT AS offset_in_pack FROM o'
+        ),
+        "token_shards": (
+            "WITH t AS (SELECT doc_id, "
+            f"len({_TOKENS.format(t='text')})::BIGINT AS n_tokens FROM documents), "
+            "o AS (SELECT doc_id, n_tokens, "
+            "coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT "
+            'AS "offset" FROM t) '
+            'SELECT ("offset" // 5000)::BIGINT AS shard, '
+            "count(*) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens, "
+            "min(doc_id) AS first_id, max(doc_id) AS last_id "
+            "FROM o GROUP BY 1 ORDER BY 1"
         ),
         "quality_funnel": (
             "WITH d AS (SELECT doc_id, lang, text, length(text)::BIGINT AS len, "

@@ -141,3 +141,77 @@ def pack_offsets(
         F.floor(F.col("offset") / context_tokens).cast("long").alias("pack_id"),
         (F.col("offset") % context_tokens).cast("long").alias("offset_in_pack"),
     )
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_tokens: int = 1 << 20,
+    num_partitions: int | None = None,
+    unpersist_handles: list | None = None,
+) -> DataFrame:
+    """(id, n_tokens, offset, shard) — contiguous token-budget sharding:
+    documents in id order, shard = floor(exclusive-prefix-tokens /
+    shard_tokens), documents NEVER split (a doc straddling a boundary
+    belongs wholly to the shard where it starts). Per-shard token mass is
+    bounded by ``shard_tokens + max_doc_tokens`` — the balanced-output
+    layout a tokenizer-ingest job wants ("~1M tokens per file"), without
+    next-fit bin packing's sequential scan (whose fill-state crosses
+    partition boundaries and cannot be stitched exactly).
+
+    Same two-phase distributed prefix sum as :func:`pack_offsets` (never
+    a global single-partition window); deterministic in id order, so
+    shard membership is stable across partitionings and re-runs.
+    """
+    out = pack_offsets(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        context_tokens=shard_tokens,
+        num_partitions=num_partitions,
+        unpersist_handles=unpersist_handles,
+    )
+    return out.select(
+        id_col, "n_tokens", "offset", F.col("pack_id").alias("shard")
+    )
+
+
+def write_token_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_tokens: int = 1 << 20,
+    num_partitions: int | None = None,
+) -> dict:
+    """Materialize the corpus as token-balanced shard directories:
+    ``path/shard=K/``, each holding whole documents totalling ~
+    ``shard_tokens`` tokens (bound: < shard_tokens + max doc). Returns
+    balance stats. One keyed shuffle (clustering rows by shard before the
+    partitionBy write keeps one file per shard instead of one per
+    (task, shard) pair); shard directories are partition-pruned on read.
+    """
+    handles: list = []
+    assigned = shard_assign(
+        df, id_col, text_col, shard_tokens, num_partitions, unpersist_handles=handles
+    )
+    data = df.join(assigned.select(id_col, "n_tokens", "shard"), on=id_col)
+    data.repartition("shard").write.mode("overwrite").partitionBy("shard").parquet(path)
+    for h in handles:
+        h.unpersist()
+    spark = df.sparkSession
+    stats = (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.sum("n_tokens").alias("tok"), F.count(F.lit(1)).alias("docs"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.min("tok").alias("min_tokens"),
+            F.max("tok").alias("max_tokens"),
+            F.sum("tok").alias("total_tokens"),
+            F.sum("docs").alias("total_docs"),
+        )
+        .collect()[0]
+    )
+    return {k: stats[k] for k in stats.asDict()}

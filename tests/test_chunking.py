@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from log_analysis_spark.operators.chunking import chunk_documents
 
@@ -115,3 +116,64 @@ def test_pack_offsets_independent_of_partitioning(spark):
     a = sorted(tuple(r) for r in pack_offsets(df, context_tokens=16, num_partitions=2).collect())
     b = sorted(tuple(r) for r in pack_offsets(df, context_tokens=16, num_partitions=8).collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# token-budget sharding
+# ---------------------------------------------------------------------------
+def test_shard_assign_bounds_and_continuity(spark):
+    from log_analysis_spark.operators.chunking import shard_assign
+
+    rows = [(i, " ".join(["w"] * (20 + (i * 37) % 180))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = shard_assign(df, shard_tokens=1000, num_partitions=4).collect()
+    by_shard = {}
+    max_doc = max((20 + (i * 37) % 180) for i in range(200))
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) > 3
+    for s, docs in by_shard.items():
+        tok = sum(d.n_tokens for d in docs)
+        assert tok < 1000 + max_doc  # budget + one straddling doc
+        if s + 1 in by_shard:  # shards are contiguous id ranges
+            assert max(d.doc_id for d in docs) < min(
+                d.doc_id for d in by_shard[s + 1]
+            )
+
+
+def test_shard_assign_stable_under_partitioning(spark):
+    from log_analysis_spark.operators.chunking import shard_assign
+
+    rows = [(i, " ".join(["w"] * (5 + i % 50))) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: r.shard for r in shard_assign(df, shard_tokens=300, num_partitions=2).collect()}
+    b = {
+        r.doc_id: r.shard
+        for r in shard_assign(
+            df.repartition(11), shard_tokens=300, num_partitions=7
+        ).collect()
+    }
+    assert a == b
+
+
+def test_write_token_shards_roundtrip_and_pruning(spark, tmpdir_path):
+    from log_analysis_spark.operators.chunking import write_token_shards
+
+    rows = [(i, " ".join(["tok"] * (30 + (i * 13) % 90)), f"l{i%2}") for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    path = f"{tmpdir_path}/shards"
+    stats = write_token_shards(df, path, shard_tokens=1500)
+    assert stats["total_docs"] == 150
+    assert stats["n_shards"] >= 3
+    assert stats["max_tokens"] < 1500 + 120
+    back = spark.read.parquet(path)
+    assert back.count() == 150
+    assert set(back.columns) >= {"doc_id", "text", "lang", "n_tokens", "shard"}
+    # partition pruning: one shard directory read shows a PartitionFilters plan
+    one = back.filter(F.col("shard") == 0)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard" in plan
+    # shard dirs on disk
+    import os
+
+    assert any(d.startswith("shard=") for d in os.listdir(path))
