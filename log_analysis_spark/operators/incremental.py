@@ -204,6 +204,19 @@ def finalize_state(
     return state.select(*cols)
 
 
+def read_state_meta(state_path: str) -> dict | None:
+    """The committed ``_meta.json`` riding inside the state directory
+    (underscore prefix: invisible to parquet readers), or None."""
+    import json
+    import os
+
+    f = os.path.join(state_path, "_meta.json")
+    if not os.path.exists(f):
+        return None
+    with open(f) as fh:
+        return json.load(fh)
+
+
 def update_state(
     spark,
     state_path: str,
@@ -212,11 +225,18 @@ def update_state(
     metrics: list[Metric],
     p: int = 6,
     hash_fn: str = "xxhash64",
+    meta: dict | None = None,
 ) -> DataFrame:
     """Read-merge-write refresh of a persisted state table. Writes to a
     tmp directory then swaps (same torn-write discipline as
     operators/route.py sinks); first call bootstraps from the batch
-    alone. Returns the refreshed state (read back from the new path)."""
+    alone. Returns the refreshed state (read back from the new path).
+
+    ``meta`` (e.g. a streaming batch id) is written as ``_meta.json``
+    INSIDE the tmp directory before the swap, so state content and its
+    commit marker become visible in ONE rename — the idempotence anchor
+    for the streaming twin's replayed micro-batches."""
+    import json
     import os
     import shutil
 
@@ -227,6 +247,9 @@ def update_state(
     tmp = state_path.rstrip("/") + "._state_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     new.write.mode("overwrite").parquet(tmp)
+    if meta is not None:
+        with open(os.path.join(tmp, "_meta.json"), "w") as fh:
+            json.dump(meta, fh)
     back = state_path.rstrip("/") + "._state_old"
     shutil.rmtree(back, ignore_errors=True)
     if os.path.exists(state_path):

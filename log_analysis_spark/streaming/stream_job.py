@@ -539,3 +539,50 @@ def start_router_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_state_stream(
+    spark: SparkSession,
+    input_path: str,
+    state_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    metrics,
+    p: int = 6,
+    hash_fn: str = "xxhash64",
+    max_files_per_trigger: int = 100000,
+):
+    """Continuously maintain a mergeable-aggregate state table
+    (operators/incremental.py) from a growing directory — the streaming
+    twin of ``update_state``. Unlike the HLL/Bloom twins (idempotent
+    max/bit_or state), count/sum merges are NOT replay-safe, so each
+    micro-batch merge is made exactly-once by hand: the micro-batch id
+    commits inside ``_meta.json`` written into the state tmp directory
+    BEFORE the atomic swap (state content + commit marker land in one
+    rename), and a replayed batch id after a crash-restart is skipped.
+    State stays O(groups) rows regardless of history; each trigger costs
+    one batch aggregation plus a state-sized merge."""
+    from ..operators.incremental import read_state_meta, update_state
+
+    schema = spark.read.parquet(input_path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+    def _sink(batch_df: DataFrame, bid: int) -> None:
+        committed = read_state_meta(state_path)
+        if committed is not None and bid <= committed.get("last_batch_id", -1):
+            return  # replayed micro-batch after crash-restart
+        update_state(
+            spark, state_path, batch_df, keys, metrics, p, hash_fn,
+            meta={"last_batch_id": bid},
+        )
+
+    return (
+        src.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

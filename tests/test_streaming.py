@@ -398,3 +398,60 @@ def test_ingest_gate_stream_content_exactly_once(spark, tmpdir_path):
     ids = {r["text"]: r["doc_id"] for r in corpus.collect()}
     assert ids == {"alpha text": 1, "beta text": 2, "gamma text": 11}
     assert spark.read.parquet(f"{out}/hash_index").distinct().count() == 3
+
+
+def test_state_stream_matches_batch_and_skips_replay(spark, tmpdir_path):
+    """Streaming mergeable-state maintenance: after two incremental file
+    arrivals the finalized state equals batch agg_state over the full
+    input; a replayed micro-batch id is a no-op (count/sum are not
+    idempotent — the _meta.json batch-id commit makes the merge
+    exactly-once)."""
+    from log_analysis_spark.operators.incremental import (
+        Metric,
+        agg_state,
+        finalize_state,
+        read_state_meta,
+        update_state,
+    )
+    from log_analysis_spark.streaming.stream_job import start_state_stream
+
+    metrics = [
+        Metric("n", "count"),
+        Metric("sum_uid", "sum", "user_id"),
+        Metric("users", "hll", "user_id"),
+    ]
+    keys = ["event_type"]
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    inp = f"{tmpdir_path}/ev_in"
+    state = f"{tmpdir_path}/state"
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(inp)
+    args = (spark, inp, state, f"{tmpdir_path}/ckpt_state", keys, metrics)
+    start_state_stream(*args, p=5).awaitTermination(300)
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(inp)
+    start_state_stream(*args, p=5).awaitTermination(300)
+
+    def fin(df):
+        return {
+            tuple(r)[0]: tuple(r)[1:]
+            for r in finalize_state(df, keys, metrics, p=5).collect()
+        }
+
+    got = fin(spark.read.parquet(state))
+    want = fin(agg_state(ev, keys, metrics, p=5))
+    assert got == want and len(got) > 0
+
+    # end-to-end replay: a FRESH checkpoint reprocesses every input file
+    # as micro-batch 0; its bid <= the committed id, so the guard must
+    # skip it and the state must not double-count
+    meta = read_state_meta(state)
+    assert meta is not None and meta["last_batch_id"] >= 1
+    start_state_stream(
+        spark, inp, state, f"{tmpdir_path}/ckpt_state_replay", keys, metrics, p=5
+    ).awaitTermination(300)
+    assert fin(spark.read.parquet(state)) == want
+    assert read_state_meta(state)["last_batch_id"] == meta["last_batch_id"]
+
+    # and a genuinely new meta id does merge (sanity of the guard)
+    update_state(spark, state, ev.limit(50), keys, metrics, p=5,
+                 meta={"last_batch_id": meta["last_batch_id"] + 1})
+    assert fin(spark.read.parquet(state)) != want
