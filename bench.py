@@ -96,6 +96,11 @@ BENCH_QUERIES = [
     "binned_quantiles",
     "c4_line_filter",
     "term_lookup",
+    "grok_parse",
+    "normalize_text",
+    "blocklist_filter",
+    "incremental_agg",
+    "token_shards",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at
