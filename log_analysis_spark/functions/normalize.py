@@ -75,18 +75,21 @@ def collapse_whitespace(col: Column) -> Column:
 
 
 def clean_text(col: Column, form: str = "NFC") -> Column:
-    """The canonical pre-hash normalization: NFC (or NFKC) -> control
-    strip -> whitespace collapse -> trim. Order matters and is part of
-    the contract: normalization first (it can produce the characters the
-    later passes inspect), whitespace collapse last (so controls removed
-    mid-run don't leave double spaces)."""
+    """The canonical pre-hash normalization: control strip -> NFC (or
+    NFKC) -> whitespace collapse -> trim. Order is part of the contract
+    and load-bearing: stripping a control can bring a base character and
+    a combining mark together (``Y \\x0B ̀`` -> ``Y ̀``), so
+    normalization must run AFTER the strip or the output is not
+    NFC-normalized (found by the hypothesis fuzz; regression-pinned).
+    Whitespace collapse substitutes single spaces — no character removal
+    — so it cannot denormalize and runs last."""
     if form == "NFC":
-        c = nfc(col)
+        f = nfc
     elif form == "NFKC":
-        c = nfkc(col)
+        f = nfkc
     else:
         raise ValueError(f"unsupported form {form!r} (NFC or NFKC)")
-    return collapse_whitespace(strip_controls(c))
+    return collapse_whitespace(f(strip_controls(col)))
 
 
 def clean_text_oracle(expr: str) -> str:
@@ -94,6 +97,6 @@ def clean_text_oracle(expr: str) -> str:
     same regexes, same order. (No NFKC replay: DuckDB exposes only
     nfc_normalize; NFKC parity is pinned by pytest instead.)"""
     return (
-        f"trim(regexp_replace(regexp_replace(nfc_normalize({expr}), "
-        f"'{CONTROL_RX}', '', 'g'), '{WS_RX}', ' ', 'g'))"
+        f"trim(regexp_replace(nfc_normalize(regexp_replace({expr}, "
+        f"'{CONTROL_RX}', '', 'g')), '{WS_RX}', ' ', 'g'))"
     )

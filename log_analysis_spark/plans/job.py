@@ -166,9 +166,25 @@ def run_once(
 
 
 def finalize(spark: SparkSession, out_dir: str, k: int = 10) -> DataFrame:
-    """Cross-day final aggregates (single small stage over per-day partials)."""
-    http = spark.read.parquet(os.path.join(out_dir, "sinks", "http_like"))
-    top = topk_domains(http, k=k, host_col="host")
+    """Cross-day final aggregates from the per-day PARTIALS, not the raw
+    sink: topk_domains = sum of events_per_host_hour counts per host
+    (same rows as counting the http_like sink — each sink row lands in
+    exactly one (host, hour) cell — pinned by
+    test_topk_from_partials_equals_sink_recount). The partials are
+    O(hosts x hours) rows and re-runs of a day OVERWRITE that day's
+    partition, so this stays correct under resume/param-change re-runs
+    with no retraction problem — incremental view maintenance by
+    materialized partial aggregates (operators/incremental.py holds the
+    generic mergeable-state form). At 10^12 rows the previous form
+    (re-counting the whole sink) was an O(corpus) rescan per refresh;
+    this is O(aggregate rows)."""
+    partials = spark.read.parquet(os.path.join(out_dir, "agg", "events_per_host_hour"))
+    top = (
+        partials.groupBy("host")
+        .agg(F.sum("n_events").alias("n_pages"))
+        .orderBy(F.desc("n_pages"), F.asc("host"))
+        .limit(k)
+    )
     top.write.mode("overwrite").parquet(os.path.join(out_dir, "agg", "topk_domains"))
     return top
 

@@ -24,6 +24,9 @@ CASES = [
     ("", ""),
     ("   ", ""),
     ("é", "é"),  # already NFC: unchanged
+    # fuzz-found: stripping the control joins Y and the combining grave;
+    # NFC must run AFTER the strip so they compose (U+1EF2)
+    ("Y\x0b̀", "Ỳ"),
 ]
 
 

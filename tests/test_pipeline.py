@@ -313,3 +313,32 @@ def test_torn_sink_write_without_manifest_is_healed(spark, tmpdir_path):
     assert m2["days_processed"] == ["2024-07-03"]
     assert spark.read.parquet(sink).count() == total1
     assert not glob.glob(os.path.join(day_dir, "*.tmp"))
+
+
+def test_topk_from_partials_equals_sink_recount(spark, tmpdir_path):
+    """finalize() computes topk_domains from the per-day
+    events_per_host_hour PARTIALS (O(aggregate rows)); it must equal the
+    old O(corpus) form — recounting the whole http_like sink — including
+    after a day-unit re-run (partition overwrite keeps partials exact)."""
+    from log_analysis_spark.plans.job import finalize, run_pipeline
+
+    inp = os.path.join(tmpdir_path, "pages")
+    out = os.path.join(tmpdir_path, "out")
+    write_pages(spark, 600, inp, partitions=4)
+    run_pipeline(spark, inp, out)
+
+    # force one unit to re-run (the overwrite path), then re-finalize
+    os.remove(os.path.join(out, "_manifest", "pipeline__2024-07-03.json"))
+    run_pipeline(spark, inp, out)
+
+    got = [
+        (r["host"], r["n_pages"])
+        for r in spark.read.parquet(os.path.join(out, "agg", "topk_domains"))
+        .orderBy(F.desc("n_pages"), F.asc("host"))
+        .collect()
+    ]
+    http = spark.read.parquet(os.path.join(out, "sinks", "http_like"))
+    want = [
+        (r["host"], r["n_pages"]) for r in topk_domains(http, k=10).collect()
+    ]
+    assert got == want and len(got) == 10
