@@ -1755,6 +1755,9 @@ def q_incremental_agg(spark, sf_dir):
         Metric("min_val", "min", "value"),
         Metric("max_val", "max", "value"),
         Metric("users", "hll", "user_id"),
+        # histogram cells merge by addition; finalize = binned_quantiles'
+        # upper-edge estimator (width 4.0 exact)
+        Metric("val_q", "hist", "value", lo=0.0, hi=512.0, bins=128, qs=(0.5, 0.9)),
     ]
     batches = [
         ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)
@@ -2877,10 +2880,25 @@ def _incremental_agg_sql() -> str:
         "FROM fullr GROUP BY event_type), "
         "base AS (SELECT event_type, count(*) AS n, "
         "sum(user_id)::BIGINT AS sum_uid, min(value) AS min_val, "
-        "max(value) AS max_val FROM events GROUP BY event_type) "
+        "max(value) AS max_val FROM events GROUP BY event_type), "
+        # hist metric replay = the binned_quantiles recipe per group
+        "hb AS (SELECT event_type, "
+        "least(greatest(floor((value - 0.0) * 128 / 512.0), 0), 127)::BIGINT "
+        "AS bin, count(*) AS c FROM events WHERE value IS NOT NULL "
+        "GROUP BY 1, 2), "
+        "hcum AS (SELECT event_type, bin, c, "
+        "sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cm, "
+        "sum(c) OVER (PARTITION BY event_type) AS hn FROM hb), "
+        "hq AS (SELECT event_type, max(hn)::BIGINT AS val_q_n, "
+        "0.0::DOUBLE + (min(CASE WHEN cm >= ceil(0.5 * hn) THEN bin END) + 1) "
+        "* 4.0::DOUBLE AS val_q_p50, "
+        "0.0::DOUBLE + (min(CASE WHEN cm >= ceil(0.9 * hn) THEN bin END) + 1) "
+        "* 4.0::DOUBLE AS val_q_p90 FROM hcum GROUP BY event_type) "
         "SELECT b.event_type, n, sum_uid, min_val, max_val, "
-        f"{a_mm!r} / s AS users_est, users_present "
-        "FROM base b JOIN folds USING (event_type) ORDER BY event_type"
+        f"{a_mm!r} / s AS users_est, users_present, "
+        "val_q_n, val_q_p50, val_q_p90 "
+        "FROM base b JOIN folds USING (event_type) "
+        "JOIN hq USING (event_type) ORDER BY event_type"
     )
 
 

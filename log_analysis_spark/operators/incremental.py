@@ -20,9 +20,14 @@ Supported metric kinds and their merge monoids:
   recipe as operators/sketches.py, so merged state over k batches is
   EXACTLY the state of the concatenated input — max is associative —
   and the estimate replays in DuckDB bit-for-bit)
+- ``hist``             -> array<long> of fixed-bin counts (clamped end
+  bins, sketches.histogram_bins), merge = element-wise sum; finalize
+  emits binned_quantiles' upper-edge quantile estimates (one-sided
+  error < bin width), replayable bit-for-bit
 
 State layout: one row per group; metric columns named ``<name>__cnt``,
-``<name>__sum``, ``<name>__min``, ``<name>__max``, ``<name>__regs``.
+``<name>__sum``, ``<name>__min``, ``<name>__max``, ``<name>__regs``,
+``<name>__hist``.
 State is an ordinary DataFrame — persist it as parquet keyed by the
 group columns; a 10^12-row corpus with 10^6 groups keeps state at 10^6
 rows regardless of history length.
@@ -51,19 +56,50 @@ from .sketches import HASH_BITS, _h60, hll_alpha
 @dataclass(frozen=True)
 class Metric:
     name: str
-    kind: str  # count | sum | min | max | hll
+    kind: str  # count | sum | min | max | hll | hist
     col: str | None = None  # source column (None for count)
+    # hist-only knobs (sketches.histogram_bins semantics: clamped end
+    # bins; dyadic (hi-lo)/bins keeps the width literal exact)
+    lo: float = 0.0
+    hi: float = 1.0
+    bins: int = 128
+    qs: tuple = (0.5, 0.9)
 
     def __post_init__(self):
-        if self.kind not in ("count", "sum", "min", "max", "hll"):
+        if self.kind not in ("count", "sum", "min", "max", "hll", "hist"):
             raise ValueError(f"unknown metric kind {self.kind!r}")
         if self.kind != "count" and not self.col:
             raise ValueError(f"metric {self.name!r}: kind {self.kind} needs a col")
+        if self.kind == "hist" and not self.hi > self.lo:
+            raise ValueError(f"metric {self.name!r}: hist needs hi > lo")
 
 
 def _state_col(m: Metric) -> str:
-    suffix = {"count": "cnt", "sum": "sum", "min": "min", "max": "max", "hll": "regs"}
+    suffix = {
+        "count": "cnt", "sum": "sum", "min": "min", "max": "max",
+        "hll": "regs", "hist": "hist",
+    }
     return f"{m.name}__{suffix[m.kind]}"
+
+
+def _dense_long_array(rows: DataFrame, keys: list[str], idx: str, val: str,
+                      length: int, out_name: str) -> DataFrame:
+    """(keys, idx, val) -> (keys, array<long>[length]) with zeros for
+    absent indices — the fixed-slot layout both hll and hist states use
+    (slot order pins every downstream fold)."""
+    return (
+        rows.groupBy(*keys)
+        .agg(F.map_from_entries(F.collect_list(F.struct(idx, val))).alias("_map"))
+        .select(
+            *keys,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(length - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("_map"), i.cast("long")), F.lit(0)
+                ).cast("long"),
+            ).alias(out_name),
+        )
+    )
 
 
 def agg_state(
@@ -112,27 +148,30 @@ def agg_state(
             .otherwise(F.lit(1) + tz)
             .cast("long")
         )
-        regs = (
+        maxes = (
             rows.select(*keys, "_reg", rho.alias("_rho"))
             .groupBy(*keys, "_reg")
             .agg(F.max("_rho").alias("_mr"))
-            .groupBy(*keys)
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("_reg", "_mr"))
-                ).alias("_map")
-            )
+        )
+        regs = _dense_long_array(maxes, keys, "_reg", "_mr", m_regs, _state_col(m))
+        out = out.join(regs, on=keys, how="left")
+
+    for m in metrics:
+        if m.kind != "hist":
+            continue
+        from .sketches import histogram_bins
+
+        counts = (
+            df.filter(F.col(m.col).isNotNull())
             .select(
                 *keys,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(m_regs - 1)),
-                    lambda i: F.coalesce(
-                        F.element_at(F.col("_map"), i.cast("long") % m_regs), F.lit(0)
-                    ).cast("long"),
-                ).alias(_state_col(m)),
+                histogram_bins(F.col(m.col), m.lo, m.hi, m.bins).alias("_b"),
             )
+            .groupBy(*keys, "_b")
+            .agg(F.count(F.lit(1)).alias("_c"))
         )
-        out = out.join(regs, on=keys, how="left")
+        hist = _dense_long_array(counts, keys, "_b", "_c", m.bins, _state_col(m))
+        out = out.join(hist, on=keys, how="left")
     return out.drop(*drop_after)
 
 
@@ -154,7 +193,9 @@ def merge_states(
     for s in states[1:]:
         u = u.unionByName(s, allowMissingColumns=True)
 
-    zeros = F.array_repeat(F.lit(0).cast("long"), m_regs)
+    def _zeros(n: int) -> Column:
+        return F.array_repeat(F.lit(0).cast("long"), n)
+
     aggs: list[Column] = []
     for m in metrics:
         c = _state_col(m)
@@ -168,8 +209,16 @@ def merge_states(
             aggs.append(
                 F.aggregate(
                     F.collect_list(c),
-                    zeros,
+                    _zeros(m_regs),
                     lambda acc, r: F.zip_with(acc, r, lambda a, b: F.greatest(a, b)),
+                ).alias(c)
+            )
+        elif m.kind == "hist":
+            aggs.append(
+                F.aggregate(
+                    F.collect_list(c),
+                    _zeros(m.bins),
+                    lambda acc, r: F.zip_with(acc, r, lambda a, b: a + b),
                 ).alias(c)
             )
     return u.groupBy(*keys).agg(*aggs)
@@ -190,17 +239,53 @@ def finalize_state(
     cols: list[Column] = [F.col(k) for k in keys]
     for m in metrics:
         c = _state_col(m)
-        if m.kind != "hll":
+        if m.kind == "hll":
+            regs = F.coalesce(F.col(c), F.array_repeat(F.lit(0).cast("long"), m_regs))
+            fold = F.aggregate(
+                regs, F.lit(0.0), lambda a, v: a + F.pow(F.lit(2.0), -v)
+            )
+            cols.append((F.lit(a_mm) / fold).alias(f"{m.name}_est"))
+            cols.append(
+                F.size(F.filter(regs, lambda v: v > 0)).cast("long").alias(f"{m.name}_present")
+            )
+        elif m.kind == "hist":
+            # binned_quantiles' upper-edge estimator over the dense cell
+            # array: rank = ceil(q*n); estimate = lo + (first bin whose
+            # cumulative count reaches rank + 1) * width. Fold state is a
+            # (cum, idx, hit) struct walked in slot order — exact integer
+            # work until the single edge multiplication.
+            hist = F.coalesce(F.col(c), F.array_repeat(F.lit(0).cast("long"), m.bins))
+            n = F.aggregate(hist, F.lit(0).cast("long"), lambda a, v: a + v)
+            width = (m.hi - m.lo) / m.bins
+            cols.append(n.alias(f"{m.name}_n"))
+            for q in m.qs:
+                rank = F.ceil(F.lit(q) * n)
+                hit = F.aggregate(
+                    hist,
+                    F.struct(
+                        F.lit(0).cast("long").alias("cum"),
+                        F.lit(0).cast("int").alias("idx"),
+                        F.lit(-1).cast("int").alias("hit"),
+                    ),
+                    lambda a, v: F.struct(
+                        (a["cum"] + v).alias("cum"),
+                        (a["idx"] + 1).alias("idx"),
+                        F.when(a["hit"] >= 0, a["hit"])
+                        .otherwise(
+                            F.when((a["cum"] + v) >= rank, a["idx"]).otherwise(
+                                F.lit(-1)
+                            )
+                        )
+                        .alias("hit"),
+                    ),
+                    lambda a: a["hit"],
+                )
+                est = F.when(
+                    n > 0, F.lit(m.lo) + (hit + 1) * F.lit(width)
+                )
+                cols.append(est.alias(f"{m.name}_p{int(q * 100)}"))
+        else:
             cols.append(F.col(c).alias(m.name))
-            continue
-        regs = F.coalesce(F.col(c), F.array_repeat(F.lit(0).cast("long"), m_regs))
-        fold = F.aggregate(
-            regs, F.lit(0.0), lambda a, v: a + F.pow(F.lit(2.0), -v)
-        )
-        cols.append((F.lit(a_mm) / fold).alias(f"{m.name}_est"))
-        cols.append(
-            F.size(F.filter(regs, lambda v: v > 0)).cast("long").alias(f"{m.name}_present")
-        )
     return state.select(*cols)
 
 

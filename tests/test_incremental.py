@@ -18,6 +18,7 @@ METRICS = [
     Metric("lo", "min", "x"),
     Metric("hi", "max", "x"),
     Metric("d", "hll", "u"),
+    Metric("q", "hist", "x", lo=-4.0, hi=12.0, bins=16, qs=(0.5, 0.9)),
 ]
 KEYS = ["g"]
 
@@ -37,7 +38,7 @@ def _collect(state_df):
     return {
         r["g"]: (
             r["n__cnt"], r["s__sum"], r["lo__min"], r["hi__max"],
-            tuple(r["d__regs"]),
+            tuple(r["d__regs"]), tuple(r["q__hist"]),
         )
         for r in state_df.collect()
     }
@@ -80,6 +81,32 @@ def test_new_group_appears_only_in_one_batch(spark):
     assert got == want
 
 
+def test_hist_quantile_estimator_bound(spark):
+    """Merged-histogram quantile estimates obey the one-sided bound:
+    true quantile <= estimate < true + bin width (in-range data)."""
+    import math
+
+    rows = [(f"g{i % 2}", i, float((i * 7) % 13) - 3.0, i) for i in range(400)]
+    df = _df(spark, rows)
+    parts = [df.filter(F.pmod("v", F.lit(2)) == i) for i in range(2)]
+    merged = merge_states(
+        [agg_state(p, KEYS, METRICS, p=4) for p in parts], KEYS, METRICS, 4
+    )
+    fin = {r["g"]: r for r in finalize_state(merged, KEYS, METRICS, p=4).collect()}
+    width = (12.0 - (-4.0)) / 16
+    for g in ("g0", "g1"):
+        xs = sorted(r[2] for r in rows if r[0] == g)
+        assert fin[g]["q_n"] == len(xs)
+        for q, col in ((0.5, "q_p50"), (0.9, "q_p90")):
+            true = xs[math.ceil(q * len(xs)) - 1]
+            assert true <= fin[g][col] < true + width + 1e-9
+
+
+def test_metric_hist_validation():
+    with pytest.raises(ValueError, match="hi > lo"):
+        Metric("q", "hist", "x", lo=1.0, hi=1.0)
+
+
 def test_finalize_columns_and_estimate_sanity(spark):
     # distinct-per-group (~200) >> m (16): the raw harmonic estimator's
     # operative regime (small-range small-n inputs bias high by design —
@@ -87,7 +114,9 @@ def test_finalize_columns_and_estimate_sanity(spark):
     rows = [(f"g{i % 3}", i, float(i % 7), i * 131 + 7) for i in range(600)]
     df = _df(spark, rows)
     out = finalize_state(agg_state(df, KEYS, METRICS, p=4), KEYS, METRICS, p=4)
-    assert out.columns == ["g", "n", "s", "lo", "hi", "d_est", "d_present"]
+    assert out.columns == [
+        "g", "n", "s", "lo", "hi", "d_est", "d_present", "q_n", "q_p50", "q_p90",
+    ]
     for r in out.collect():
         exact = df.filter(F.col("g") == r.g).select("u").distinct().count()
         assert r.d_present <= 16
