@@ -1,0 +1,205 @@
+"""Link-graph analytics: href extraction -> host edge list -> PageRank.
+
+The missing graph member next to ``dedup.dup_clusters`` (connected
+components): PageRank (Brin & Page 1998; Page et al. 1999) is the
+canonical link-authority signal a web-corpus pipeline computes per crawl
+snapshot — crawl prioritization, spam down-weighting, quality priors for
+training-data selection. Reference parity note: the reference pipeline
+(endepointe/log-analysis) has no graph stage; this extends the same
+enrich/aggregate surface its ip.db export feeds (src/ip2location.rs),
+re-expressed over the web-pages domain.
+
+Scale shape (10^12 pages -> ~10^8 hosts):
+
+- ``extract_links`` is pure codegen (``regexp_extract_all`` over the
+  decoded html column) — no Python in the hot path, pushdown-friendly.
+- ``host_edges`` collapses page-level links to weighted (src, dst) HOST
+  pairs before any iteration: map-side partial aggregation absorbs
+  hot-host fan-out (everyone links to the same two hubs in the synth
+  corpus, deliberately), so iteration state is O(host-pairs), never
+  O(page-links).
+- Each ``pagerank`` iteration is one join of ranks to edges on src (both
+  sides hash-partitioned on the key; AQE reuses the exchange) plus one
+  keyed shuffle (groupBy dst). Lineage is truncated with
+  ``localCheckpoint`` every ``checkpoint_every`` iterations — the same
+  discipline as ``dedup.dup_clusters``, without it the plan doubles per
+  iteration.
+- Determinism contract (the oracle gate): with ``deterministic=True``
+  per-dst contributions are summed as a LEFT FOLD over the src-sorted
+  contribution list, and each contribution is the single
+  correctly-rounded expression ``(rank * w) / out_w`` — every
+  intermediate is a deterministic function of the input rows, so DuckDB
+  replays all iterations bit-for-bit. A plain ``sum()`` would be
+  partition-order-dependent in its last ulp. The fold materializes an
+  in-degree-sized list per dst (bounded by n_hosts); at 10^12 scale pass
+  ``deterministic=False`` for the associative partial-agg sum — bitwise
+  replay is a test-time contract, not a production need.
+- Dangling hosts (no out-links) keep their teleport share and their rank
+  mass leaks (the classic simplified variant); total rank then sums to
+  < 1. The damping teleport term keeps every rank positive; relative
+  order among non-dangling hosts is unaffected for ranking purposes.
+  Redistribution would need a per-iteration global scalar (one extra
+  tiny action) — deliberately omitted to keep each iteration one-pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HREF_RE = r'href="([^"]+)"'
+
+
+def host_of(url: Column) -> Column:
+    """scheme://host/... -> host (ports kept; non-URLs -> empty string)."""
+    return F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+
+
+def extract_links(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, dst_url) — one row per href anchor in the page html.
+
+    Pure codegen: decode + regexp_extract_all + explode; rows without
+    anchors vanish (explode, not explode_outer — a page with no links
+    contributes no edges).
+    """
+    html_str = F.col(html_col).cast("string")
+    return df.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(F.regexp_extract_all(html_str, F.lit(HREF_RE), F.lit(1))).alias(
+            "dst_url"
+        ),
+    )
+
+
+def host_edges(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    drop_self: bool = True,
+) -> DataFrame:
+    """Weighted host-level edge list (src, dst, w) from page html.
+
+    Aggregates BEFORE any downstream iteration: partial aggregation
+    collapses the hot-host link skew map-side, so the edge relation is
+    O(host-pairs) regardless of how many pages link to the same hub.
+    ``drop_self`` removes same-host navigation links (they dominate real
+    pages and only feed rank back to the emitter).
+    """
+    links = extract_links(df, url_col, html_col).select(
+        host_of(F.col("src_url")).alias("src"),
+        host_of(F.col("dst_url")).alias("dst"),
+    )
+    links = links.filter((F.col("src") != "") & (F.col("dst") != ""))
+    if drop_self:
+        links = links.filter(F.col("src") != F.col("dst"))
+    return links.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = "w",
+    iters: int = 5,
+    damping: float = 0.85,
+    deterministic: bool = True,
+    checkpoint_every: int = 3,
+    unpersist_handles: list | None = None,
+) -> DataFrame:
+    """(node, rank) after ``iters`` fixed power iterations.
+
+    rank'(v) = (1-d)/N + d * sum_{u->v} rank(u) * w(u,v) / out_w(u)
+
+    Fixed iteration count (not tolerance-based) so a replay — including
+    the DuckDB oracle — runs the identical computation; see the module
+    docstring for the determinism and dangling-mass contracts. One
+    bounded action up front (N = distinct node count); each iteration is
+    one src-keyed join + one dst-keyed aggregation.
+    """
+    if weight is None:
+        edges = edges.select(src, dst).withColumn("_w", F.lit(1).cast("long"))
+    else:
+        edges = edges.select(src, dst, F.col(weight).cast("long").alias("_w"))
+
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # bounded action: node count only
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(None).cast("double"))
+
+    out_w = edges.groupBy(src).agg(F.sum("_w").alias("_ow"))
+    # contribution fraction is fixed across iterations — compute once
+    ew = (
+        edges.join(out_w, on=src)
+        .select(
+            F.col(src).alias("_src"),
+            F.col(dst).alias("_dst"),
+            F.col("_w"),
+            F.col("_ow"),
+        )
+        .persist()
+    )
+    ew.count()  # materialize once; every iteration re-reads the cache
+
+    teleport = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+
+    for i in range(iters):
+        contribs = ew.join(
+            ranks, on=ew["_src"] == ranks["node"], how="inner"
+        ).select(
+            F.col("_dst").alias("node"),
+            F.col("_src").alias("_from"),
+            (
+                (F.col("rank") * F.col("_w").cast("double"))
+                / F.col("_ow").cast("double")
+            ).alias("_c"),
+        )
+        if deterministic:
+            summed = contribs.groupBy("node").agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("_from", "_c"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["_c"],
+                ).alias("_s")
+            )
+        else:
+            summed = contribs.groupBy("node").agg(F.sum("_c").alias("_s"))
+        new_ranks = nodes.join(summed, on="node", how="left").select(
+            "node",
+            (
+                F.lit(teleport) + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        ranks = new_ranks
+
+    if unpersist_handles is not None:
+        # same seam as dedup.minhash_lsh_pairs: caller releases the two
+        # persisted relations after consuming the result
+        unpersist_handles.extend([nodes, ew])
+    return ranks
+
+
+def host_pagerank(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    iters: int = 5,
+    damping: float = 0.85,
+    deterministic: bool = False,
+) -> DataFrame:
+    """End-to-end: page html -> host edges -> (host, rank)."""
+    return pagerank(
+        host_edges(pages, url_col, html_col),
+        iters=iters,
+        damping=damping,
+        deterministic=deterministic,
+    )

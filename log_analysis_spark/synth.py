@@ -22,7 +22,10 @@ Corpus properties baked in:
 - html embeds the exact text payload between sentinel markers so extraction
   byte-identity is testable;
 - ~2.4% exact-duplicate rows and ~2.3% near-duplicate rows (content derived
-  from the previous id) to exercise the dedup operators.
+  from the previous id) to exercise the dedup operators;
+- 3 anchor links per page AFTER the text markers (same zipf-ish host
+  distribution from independent hash streams), feeding the link-graph
+  operators (operators/graph.py) without touching extracted-text bytes.
 """
 
 from __future__ import annotations
@@ -160,15 +163,44 @@ def gen_batch(ids: np.ndarray) -> pd.DataFrame:
             body = body + " extraword"
         texts.append(body)
 
+    # --- outlinks: 3 deterministic anchors per page AFTER the text markers
+    # (extracted text stays byte-identical; operators/graph.py consumes
+    # these). dst hosts reuse the zipf-ish selection from independent hash
+    # streams, so the link graph has the same two hubs as the page
+    # distribution — hot hosts earn hot in-degree, the skew PageRank and
+    # host_edges must absorb.
+    link_hosts: list[list[str]] = []
+    for k, (sel_salt, cold_salt) in enumerate(((9, 10), (11, 12), (13, 14))):
+        lsel_k = (_h(uids, sel_salt) % _U64(100)).astype(np.int64)
+        cold_k = _cold_host((_h(uids, cold_salt) % _U64(10_000)).astype(np.int64))
+        link_hosts.append(
+            list(
+                np.where(
+                    lsel_k < 25,
+                    HOT_HOSTS[0],
+                    np.where(lsel_k < 40, HOT_HOSTS[1], cold_k),
+                )
+            )
+        )
+    navs = [
+        "<nav>"
+        + "".join(
+            f'<a href="https://{link_hosts[k][j]}/l/{int(ids[j])}-{k}.html">l{k}</a>'
+            for k in range(3)
+        )
+        + "</nav>"
+        for j in range(n)
+    ]
+
     # --- html: embeds status marker + the exact text payload between markers
     status = [STATUS_CODES[int(x)] for x in (_h(uids, 8) % _U64(len(STATUS_CODES))).astype(np.int64)]
     html = [
         (
             f'<html><head><title>{h} p{int(i)}</title>'
             f'<meta name="status" content="{st}"/></head>'
-            f"<body><!--BEGIN_TEXT-->{t}<!--END_TEXT--></body></html>"
+            f"<body><!--BEGIN_TEXT-->{t}<!--END_TEXT-->{nav}</body></html>"
         ).encode("utf-8")
-        for h, i, st, t in zip(host, ids, status, texts)
+        for h, i, st, t, nav in zip(host, ids, status, texts, navs)
     ]
 
     return pd.DataFrame(

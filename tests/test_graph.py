@@ -1,0 +1,130 @@
+"""Link-graph operators: href extraction, host edges, PageRank."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_spark.operators.graph import (
+    extract_links,
+    host_edges,
+    host_pagerank,
+    pagerank,
+)
+from log_analysis_spark.synth import HOT_HOSTS, gen_pages, gen_pages_local
+
+_HREF = re.compile(r'href="([^"]+)"')
+_HOST = re.compile(r"^[a-z][a-z0-9+.-]*://([^/]+)")
+
+
+def _pages(spark, n=400):
+    return gen_pages(spark, n)
+
+
+def test_extract_links_matches_golden_regex(spark):
+    """Spark extraction == independent Python re over the same spec."""
+    n = 300
+    got = {
+        (r["src_url"], r["dst_url"])
+        for r in extract_links(_pages(spark, n)).collect()
+    }
+    want = set()
+    for _, row in gen_pages_local(n).iterrows():
+        for m in _HREF.finditer(row["html"].decode("utf-8")):
+            want.add((row["url"], m.group(1)))
+    assert got == want
+    assert len(want) == 3 * n  # spec: exactly 3 anchors per page
+
+
+def test_extracted_text_bytes_unchanged_by_links(spark):
+    """Anchors live outside the sentinel markers: extraction byte-identity
+    (the north-star per-row invariant) is untouched."""
+    pdf = gen_pages_local(50)
+    for _, row in pdf.iterrows():
+        h = row["html"].decode("utf-8")
+        begin, end = h.index("<!--BEGIN_TEXT-->") + 17, h.index("<!--END_TEXT-->")
+        assert h[begin:end] == row["text"]
+
+
+def test_host_edges_weights_and_self_drop(spark):
+    n = 400
+    edges = {(r["src"], r["dst"]): r["w"] for r in host_edges(_pages(spark, n)).collect()}
+    want: dict[tuple[str, str], int] = {}
+    for _, row in gen_pages_local(n).iterrows():
+        src = _HOST.match(row["url"]).group(1)
+        for m in _HREF.finditer(row["html"].decode("utf-8")):
+            dst = _HOST.match(m.group(1)).group(1)
+            if dst != src:
+                want[(src, dst)] = want.get((src, dst), 0) + 1
+    assert edges == want
+    assert all(s != d for s, d in edges)
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    """On a 3-cycle every iteration is a fixed point: rank = 1/3."""
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)], ["src", "dst", "w"]
+    )
+    for det in (True, False):
+        out = {r["node"]: r["rank"] for r in pagerank(edges, iters=4, deterministic=det).collect()}
+        assert out == pytest.approx({"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
+
+
+def test_pagerank_star_hand_computed(spark):
+    """a->c, b->c with damping 0.85, 1 iteration, from uniform 1/3:
+    rank(c) = 0.15/3 + 0.85*(1/3 + 1/3); a,b get teleport only.
+    c is dangling -> its mass leaks (documented contract)."""
+    edges = spark.createDataFrame([("a", "c", 1), ("b", "c", 1)], ["src", "dst", "w"])
+    out = {r["node"]: r["rank"] for r in pagerank(edges, iters=1).collect()}
+    t = 0.15 / 3
+    assert out["a"] == pytest.approx(t)
+    assert out["b"] == pytest.approx(t)
+    assert out["c"] == pytest.approx(t + 0.85 * (2 / 3))
+    assert sum(out.values()) < 1.0  # leaked dangling mass
+
+
+def test_pagerank_weighted_split(spark):
+    """Weights split a source's vote proportionally: a->b w=3, a->c w=1."""
+    edges = spark.createDataFrame([("a", "b", 3), ("a", "c", 1)], ["src", "dst", "w"])
+    out = {r["node"]: r["rank"] for r in pagerank(edges, iters=1).collect()}
+    t = 0.15 / 3
+    assert out["b"] == pytest.approx(t + 0.85 * (1 / 3) * 0.75)
+    assert out["c"] == pytest.approx(t + 0.85 * (1 / 3) * 0.25)
+
+
+def test_pagerank_deterministic_equals_plain_sum(spark):
+    """The fold-deterministic path computes the same ranks as the
+    associative-sum scale path (up to reassociation ulps)."""
+    pages = _pages(spark, 400)
+    edges = host_edges(pages).persist()
+    det = {r["node"]: r["rank"] for r in pagerank(edges, iters=3).collect()}
+    fast = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iters=3, deterministic=False).collect()
+    }
+    edges.unpersist()
+    assert set(det) == set(fast)
+    for k in det:
+        assert det[k] == pytest.approx(fast[k], rel=1e-12)
+
+
+def test_host_pagerank_hubs_rank_highest(spark):
+    """The two hot hosts take ~40% of in-links by construction — they must
+    own the top-2 ranks, and ranks must be positive with bounded total."""
+    ranks = host_pagerank(_pages(spark, 600), iters=5).collect()
+    by_rank = sorted(ranks, key=lambda r: -r["rank"])
+    assert {by_rank[0]["node"], by_rank[1]["node"]} == set(HOT_HOSTS)
+    total = sum(r["rank"] for r in ranks)
+    assert 0 < total <= 1.0 + 1e-9
+    assert all(r["rank"] > 0 for r in ranks)
+
+
+def test_pagerank_unpersist_seam(spark):
+    edges = spark.createDataFrame([("a", "b", 1)], ["src", "dst", "w"])
+    handles: list = []
+    pagerank(edges, iters=1, unpersist_handles=handles).collect()
+    assert len(handles) == 2
+    for h in handles:
+        h.unpersist()
