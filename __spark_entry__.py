@@ -2146,6 +2146,66 @@ def q_binary_meta(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# link-graph analytics (operators/graph.py): href extraction -> host edges
+# -> PageRank. The testdata tables carry no html, so the gate constructs
+# page html DETERMINISTICALLY from event rows (host ids from plain modulo
+# streams) and the oracle replays the identical strings + regexes.
+# ---------------------------------------------------------------------------
+def q_host_edges(spark, sf_dir):
+    """Weighted host-level edge list through the real extraction path
+    (regexp_extract_all href anchors -> host parse -> self-drop ->
+    map-side weighted aggregation)."""
+    from log_analysis_spark.operators import graph as GR
+
+    ev = _t(spark, sf_dir, "events")
+    pages = ev.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".example.net/e/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<html><body><a href="https://h'),
+            (F.col("event_id") % 17).cast("string"),
+            F.lit('.example.net/x.html">x</a><a href="https://h'),
+            ((F.col("event_id") * 7 + 3) % 20).cast("string"),
+            F.lit('.example.net/y.html">y</a></body></html>'),
+        ).alias("html"),
+    )
+    return GR.host_edges(pages).orderBy("src", "dst")
+
+
+def q_nation_pagerank(spark, sf_dir):
+    """PageRank (3 fold-deterministic power iterations, damping 0.85)
+    over the customer-nation -> supplier-nation trade graph: one edge per
+    lineitem (via orders/customer/supplier), self-trade dropped, weights
+    collapsed BEFORE iteration so state is O(nation pairs). The oracle
+    unrolls the identical three iterations with the same src-sorted
+    left-fold summation — ranks match bit-for-bit."""
+    from log_analysis_spark.operators import graph as GR
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n_cust = n.select(F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("src"))
+    n_supp = n.select(F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("dst"))
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n_cust), c["c_nationkey"] == F.col("_ck"))
+        .join(F.broadcast(n_supp), s["s_nationkey"] == F.col("_sk"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return GR.pagerank(edges, iters=3, deterministic=True).orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so that ONE representative of EVERY operator family from
     SURVEY.md §2 and the LLM-pipeline capability table sits inside the
@@ -2159,7 +2219,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reps, regex_parse vs the in-window grok_parse which supersedes it as
     the parse-family representative, membership_antijoin vs the in-window
     semi_join — demoted to admit incremental_agg, a NEW family
-    (mergeable-state view maintenance), ...) ride at the tail."""
+    (mergeable-state view maintenance), dedup_keep_best vs the in-window
+    dup_clusters — demoted to admit nation_pagerank, a NEW family
+    (iterative link-graph analytics; host_edges is its tail variant),
+    ...) ride at the tail."""
     return {
         # --- SURVEY §2 core pipeline (scan/filter/route/agg/enrich) ---
         "filter_eq": q_filter_eq,
@@ -2212,7 +2275,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
-        "dedup_keep_best": q_dedup_keep_best,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
@@ -2221,8 +2283,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "ivf_topk": q_ivf_topk,
         "binary_meta": q_binary_meta,
+        # --- link-graph analytics (iterative PageRank) ---
+        "nation_pagerank": q_nation_pagerank,
         # ---- entries past the driver's 50-row window: variants whose
         # family already has a green representative above ----
+        "host_edges": q_host_edges,
+        "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
         "percentiles": q_percentiles,
         "regex_parse": q_regex_parse,
@@ -2932,6 +2998,44 @@ def _normalize_text_oracle() -> str:
     return (
         f"SELECT doc_id, md5({e}) AS clean_md5, "
         f"length({e})::BIGINT AS clean_len FROM documents"
+    )
+
+
+def _sql_nation_pagerank(iters: int = 3) -> str:
+    """DuckDB replay of q_nation_pagerank: identical edge derivation,
+    then the power iterations UNROLLED with the same arithmetic — every
+    double literal cast (DuckDB parses 0.85 as DECIMAL by default, which
+    would change the rounding), contributions (rank * w)/ow in the same
+    order, per-dst summation as the same src-sorted left fold."""
+    head = (
+        "WITH e AS (SELECT src, dst, count(*)::BIGINT AS w FROM ("
+        "SELECT n1.n_name AS src, n2.n_name AS dst "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation n1 ON c.c_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON s.s_nationkey = n2.n_nationkey "
+        "WHERE n1.n_name != n2.n_name) GROUP BY src, dst), "
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+        "nn AS (SELECT count(*)::BIGINT AS n FROM nodes), "
+        "ow AS (SELECT src, sum(w)::BIGINT AS ow FROM e GROUP BY src), "
+        "ew AS (SELECT e.src, e.dst, e.w, ow.ow FROM e JOIN ow USING (src)), "
+        "r0 AS (SELECT node, 1.0::DOUBLE / nn.n AS rank FROM nodes CROSS JOIN nn)"
+    )
+    its = []
+    for i in range(1, iters + 1):
+        its.append(
+            f"c{i} AS (SELECT ew.dst AS node, ew.src AS f, "
+            f"(r{i - 1}.rank * ew.w::DOUBLE) / ew.ow::DOUBLE AS c "
+            f"FROM ew JOIN r{i - 1} ON ew.src = r{i - 1}.node), "
+            f"s{i} AS (SELECT node, list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list(c ORDER BY f)), (a, v) -> a + v) AS s FROM c{i} GROUP BY node), "
+            f"r{i} AS (SELECT nodes.node, (1.0::DOUBLE - 0.85::DOUBLE) / nn.n "
+            f"+ 0.85::DOUBLE * coalesce(s{i}.s, 0.0::DOUBLE) AS rank "
+            f"FROM nodes LEFT JOIN s{i} USING (node) CROSS JOIN nn)"
+        )
+    return (
+        head + ", " + ", ".join(its) + f" SELECT node, rank FROM r{iters} ORDER BY node"
     )
 
 
@@ -3859,6 +3963,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, "
             "md5(text) AS payload_md5 FROM documents"
         ),
+        "host_edges": (
+            "WITH p AS (SELECT "
+            "'https://h' || (user_id % 20)::VARCHAR || '.example.net/e/' || "
+            "event_id::VARCHAR AS url, "
+            "'<html><body><a href=\"https://h' || (event_id % 17)::VARCHAR || "
+            "'.example.net/x.html\">x</a><a href=\"https://h' || "
+            "((event_id * 7 + 3) % 20)::VARCHAR || "
+            "'.example.net/y.html\">y</a></body></html>' AS html FROM events), "
+            "lk AS (SELECT "
+            "regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS src, "
+            "unnest(regexp_extract_all(html, 'href=\"([^\"]+)\"', 1)) AS du FROM p), "
+            "e AS (SELECT src, "
+            "regexp_extract(du, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS dst FROM lk) "
+            "SELECT src, dst, count(*)::BIGINT AS w FROM e "
+            "WHERE src != '' AND dst != '' AND src != dst "
+            "GROUP BY src, dst ORDER BY src, dst"
+        ),
+        "nation_pagerank": _sql_nation_pagerank(iters=3),
     }
     # identical labels from a different resolution algorithm — same oracle
     sql["dup_clusters_star"] = sql["dup_clusters"]

@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "blocklist_filter",
     "incremental_agg",
     "token_shards",
+    "host_edges",
+    "nation_pagerank",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at
