@@ -2177,6 +2177,36 @@ def q_host_edges(spark, sf_dir):
     return GR.host_edges(pages).orderBy("src", "dst")
 
 
+def q_anchor_texts(spark, sf_dir):
+    """Per destination-host anchor-text histogram through the real
+    extraction path (zipped two-group regexp_extract_all, inline-tag
+    strip, whitespace collapse) with the distinct-linking-hosts
+    spam-resistance column."""
+    from log_analysis_spark.operators import graph as GR
+
+    ev = _t(spark, sf_dir, "events")
+    pages = ev.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".example.net/e/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<html><body><a class="nav" href="https://h'),
+            (F.col("event_id") % 17).cast("string"),
+            F.lit('.example.net/x.html"> <b>Link</b> to  '),
+            (F.col("event_id") % 3).cast("string"),
+            F.lit(' </a><a href="https://h'),
+            ((F.col("event_id") * 7 + 3) % 20).cast("string"),
+            F.lit('.example.net/y.html">plain '),
+            (F.col("event_id") % 2).cast("string"),
+            F.lit("</a></body></html>"),
+        ).alias("html"),
+    )
+    return GR.anchor_text_summary(pages).orderBy("dst", "anchor")
+
+
 def q_nation_pagerank(spark, sf_dir):
     """PageRank (3 fold-deterministic power iterations, damping 0.85)
     over the customer-nation -> supplier-nation trade graph: one edge per
@@ -2204,6 +2234,41 @@ def q_nation_pagerank(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("w"))
     )
     return GR.pagerank(edges, iters=3, deterministic=True).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# generic html -> text extraction (functions/html.py): the no-markers
+# boilerplate strip real crawl pages need. The gate wraps document text in
+# a deterministic page template exercising every rule family (script/style
+# subtrees, comments, block vs inline tags, entities, whitespace).
+# ---------------------------------------------------------------------------
+_HT_P1 = "<html><head><title>Doc "
+_HT_P2 = (
+    "</title><style>p {color: red}</style>"
+    '<script type="text/javascript">if (1 < 2) { x = "</div>"; }</script>'
+    '</head><body><!-- nav --><div class="main"><h1>Heading</h1><p>'
+)
+_HT_P3 = (
+    "</p><p>A &amp; B &lt;ok&gt; &quot;q&quot; &#39;s&#39;&nbsp;.</p>"
+    "<ul><li>alpha</li><li>beta</li></ul></div></body></html>"
+)
+
+
+def q_html_text(spark, sf_dir):
+    """Generic html -> text (functions/html.py): one codegen
+    regexp_replace/replace chain shared verbatim with the DuckDB oracle
+    (HTML_TEXT_STEPS is the single source of truth for both engines)."""
+    from log_analysis_spark.functions.html import html_to_text
+
+    d = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(_HT_P1),
+        F.col("doc_id").cast("string"),
+        F.lit(_HT_P2),
+        F.col("text"),
+        F.lit(_HT_P3),
+    )
+    return d.select("doc_id", html_to_text(page).alias("clean")).orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2288,6 +2353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- entries past the driver's 50-row window: variants whose
         # family already has a green representative above ----
         "host_edges": q_host_edges,
+        "anchor_texts": q_anchor_texts,
+        "html_text": q_html_text,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
         "percentiles": q_percentiles,
@@ -3036,6 +3103,53 @@ def _sql_nation_pagerank(iters: int = 3) -> str:
         )
     return (
         head + ", " + ", ".join(its) + f" SELECT node, rank FROM r{iters} ORDER BY node"
+    )
+
+
+def _anchor_texts_oracle_sql() -> str:
+    """DuckDB replay of q_anchor_texts: identical page-template strings,
+    the shared ANCHOR_RE literal (two-group extract_all zipped by
+    list_zip), the same tag-strip/ws-collapse cleanup chain."""
+    from log_analysis_spark.operators.graph import ANCHOR_RE
+
+    host = "'^[a-z][a-z0-9+.-]*://([^/]+)'"
+    return (
+        "WITH p AS (SELECT "
+        "'https://h' || (user_id % 20)::VARCHAR || '.example.net/e/' || "
+        "event_id::VARCHAR AS url, "
+        "'<html><body><a class=\"nav\" href=\"https://h' || "
+        "(event_id % 17)::VARCHAR || "
+        "'.example.net/x.html\"> <b>Link</b> to  ' || "
+        "(event_id % 3)::VARCHAR || "
+        "' </a><a href=\"https://h' || "
+        "((event_id * 7 + 3) % 20)::VARCHAR || "
+        "'.example.net/y.html\">plain ' || (event_id % 2)::VARCHAR || "
+        "'</a></body></html>' AS html FROM events), "
+        f"z AS (SELECT regexp_extract(url, {host}, 1) AS src, "
+        f"unnest(list_zip(regexp_extract_all(html, '{ANCHOR_RE}', 1), "
+        f"regexp_extract_all(html, '{ANCHOR_RE}', 2))) AS pr FROM p), "
+        f"e AS (SELECT src, regexp_extract(pr[1], {host}, 1) AS dst, "
+        "trim(regexp_replace(regexp_replace(pr[2], '(?s)<[^<>]*>', ' ', 'g'), "
+        "'\\s+', ' ', 'g')) AS anchor FROM z) "
+        "SELECT dst, anchor, count(*)::BIGINT AS w, "
+        "count(DISTINCT src)::BIGINT AS n_src_hosts FROM e "
+        "WHERE src != '' AND dst != '' AND src != dst "
+        "GROUP BY dst, anchor ORDER BY dst, anchor"
+    )
+
+
+def _html_text_oracle_sql() -> str:
+    """DuckDB replay of q_html_text: identical page template literals
+    (module constants shared with the Spark side), identical step chain
+    (html_to_text_oracle folds the same HTML_TEXT_STEPS patterns)."""
+    from log_analysis_spark.functions.html import html_to_text_oracle
+
+    page = (
+        f"'{_HT_P1}' || doc_id::VARCHAR || '{_HT_P2}' || text || '{_HT_P3}'"
+    )
+    return (
+        f"SELECT doc_id, {html_to_text_oracle(page)} AS clean "
+        "FROM documents ORDER BY doc_id"
     )
 
 
@@ -3981,6 +4095,8 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY src, dst ORDER BY src, dst"
         ),
         "nation_pagerank": _sql_nation_pagerank(iters=3),
+        "html_text": _html_text_oracle_sql(),
+        "anchor_texts": _anchor_texts_oracle_sql(),
     }
     # identical labels from a different resolution algorithm — same oracle
     sql["dup_clusters_star"] = sql["dup_clusters"]

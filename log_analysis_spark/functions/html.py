@@ -1,0 +1,109 @@
+"""Generic HTML -> text extraction (boilerplate strip, entity decode).
+
+The pipeline's own pages carry sentinel markers (synth spec), so
+``functions/parse.py`` extracts payload text positionally. Real crawl
+html has no markers — the standard first content step of a C4/CCNet-style
+corpus is a structural strip: drop non-content subtrees (script/style/
+comments), convert block boundaries to line breaks, drop the remaining
+tags, decode the few entities that survive into text, and normalize
+whitespace. This module is that stage, built so the OUTPUT feeds the
+line-oriented cleaners directly (``quality.c4_line_filter`` consumes the
+``\\n``-separated lines this emits).
+
+Execution: the whole transform is ONE chain of native ``regexp_replace``
+/ ``replace`` calls — JVM whole-stage codegen, zero Python, zero shuffle;
+at 10^12 pages it runs entirely map-side inside the scan projection.
+
+Determinism/oracle: the step list below is the single source of truth —
+:func:`html_to_text` folds it into a Column and
+:func:`html_to_text_oracle` folds the IDENTICAL patterns into a DuckDB
+expression. Every regex is written in the common subset of Java regex and
+RE2 (inline ``(?is)`` flags, lazy quantifiers, character classes — no
+backrefs, no lookaround), so both engines replay byte-for-byte.
+
+Scope caps (documented, not silent):
+- a real HTML5 parser this is not — tags are recognized lexically, so
+  pathological markup (unclosed ``<script>``, ``>`` inside attribute
+  values) degrades gracefully rather than exactly;
+- entity decode covers the named set a text extractor meets in practice
+  (lt/gt/quot/apos/#39/nbsp/amp — amp LAST, the correct single-pass
+  unescape so ``&amp;lt;`` yields the literal ``&lt;``); numeric
+  ``&#NNN;`` forms other than ``&#39;`` are left as-is (decoding them
+  needs a compute-from-match replacement no regex engine's replace
+  primitive has — a ``mapInPandas`` variant would be the escape hatch,
+  deliberately not the default hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tags whose open/close marks a block boundary -> line break.
+_BLOCK_TAGS = (
+    "p|div|h[1-6]|li|ul|ol|dl|dt|dd|tr|td|th|table|thead|tbody|blockquote"
+    "|pre|title|section|article|header|footer|nav|aside|form|hr|br"
+)
+
+# Ordered (kind, pattern, replacement) steps; kind "re" = regex (global),
+# "lit" = literal substring replace. THE contract — both engines fold it.
+HTML_TEXT_STEPS: list[tuple[str, str, str]] = [
+    # non-content subtrees first (their text must never surface)
+    ("re", r"(?is)<script\b[^<>]*>.*?</script>", " "),
+    ("re", r"(?is)<style\b[^<>]*>.*?</style>", " "),
+    ("re", r"(?s)<!--.*?-->", " "),
+    # block-tag boundaries (open or close) -> newline
+    ("re", r"(?is)</?(?:" + _BLOCK_TAGS + r")\b[^<>]*>", "\n"),
+    # every remaining tag -> space (inline tags must not glue words);
+    # [^<>] (not [^>]) so a stray text '<' never swallows the words up
+    # to the next real tag — the graceful-degradation contract
+    ("re", r"(?s)<[^<>]*>", " "),
+    # entity decode — amp LAST (single-pass unescape semantics)
+    ("lit", "&lt;", "<"),
+    ("lit", "&gt;", ">"),
+    ("lit", "&quot;", '"'),
+    ("lit", "&#39;", "'"),
+    ("lit", "&apos;", "'"),
+    ("lit", "&nbsp;", " "),
+    ("lit", "&amp;", "&"),
+    # whitespace: horizontal runs -> one space; strip spaces around
+    # newlines; newline runs -> one; trim the ends
+    ("re", r"[ \t\r\f\x0B]+", " "),
+    ("re", r" ?\n ?", "\n"),
+    ("re", r"\n+", "\n"),
+    ("re", r"^\s+|\s+$", ""),
+]
+
+
+def html_to_text(col: Column) -> Column:
+    """Page html -> cleaned text with ``\\n`` block separators.
+
+    NULL html -> NULL; a page with no textual content -> ``''``. Pure
+    codegen (one projection); compose with ``quality.c4_line_filter``
+    (line rules) and ``normalize.clean_text`` (pre-hash canonicalization)
+    downstream.
+    """
+    out = col
+    for kind, pat, repl in HTML_TEXT_STEPS:
+        if kind == "re":
+            out = F.regexp_replace(out, pat, repl)
+        else:
+            out = F.replace(out, F.lit(pat), F.lit(repl))
+    return out
+
+
+def html_to_text_oracle(expr: str) -> str:
+    """DuckDB replay of :func:`html_to_text` over SQL ``expr`` — the same
+    step list, regexp_replace with the 'g' flag (inline ``(?is)`` flags
+    ride in the pattern so the pattern bytes are identical)."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    out = expr
+    for kind, pat, repl in HTML_TEXT_STEPS:
+        if kind == "re":
+            out = f"regexp_replace({out}, {q(pat)}, {q(repl)}, 'g')"
+        else:
+            out = f"replace({out}, {q(pat)}, {q(repl)})"
+    return out

@@ -48,6 +48,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 HREF_RE = r'href="([^"]+)"'
+# full anchor elements: group 1 = href target, group 2 = anchor body.
+# Written in the Java-regex/RE2 common subset (inline flags, lazy .*?,
+# [^<>] tag bodies) so the DuckDB oracle reuses the literal verbatim.
+ANCHOR_RE = r'(?is)<a\s[^<>]*href="([^"]+)"[^<>]*>(.*?)</a>'
 
 
 def host_of(url: Column) -> Column:
@@ -70,6 +74,63 @@ def extract_links(
         F.explode(F.regexp_extract_all(html_str, F.lit(HREF_RE), F.lit(1))).alias(
             "dst_url"
         ),
+    )
+
+
+def extract_anchors(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, dst_url, anchor) — one row per ``<a href=...>`` element,
+    with the anchor's visible text (inline tags stripped, whitespace
+    collapsed, NOT entity-decoded — compose ``functions.html`` upstream
+    for full decoding).
+
+    Anchor text is the classic link-based relevance/label signal (what
+    OTHER pages call this page) — used for quality priors and retrieval
+    training pairs. Pure codegen: two ``regexp_extract_all`` passes over
+    the SAME regex (so the two arrays are equal-length by construction)
+    zipped and exploded; no Python, no shuffle.
+    """
+    h = F.col(html_col).cast("string")
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(h, F.lit(ANCHOR_RE), F.lit(1)).alias("d"),
+        F.regexp_extract_all(h, F.lit(ANCHOR_RE), F.lit(2)).alias("r"),
+    )
+    out = df.select(F.col(url_col).alias("src_url"), F.explode(pairs).alias("_p"))
+    anchor = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("_p.r"), r"(?s)<[^<>]*>", " "), r"\s+", " "
+        )
+    )
+    return out.select(
+        "src_url", F.col("_p.d").alias("dst_url"), anchor.alias("anchor")
+    )
+
+
+def anchor_text_summary(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    drop_self: bool = True,
+) -> DataFrame:
+    """(dst, anchor, w, n_src_hosts) — per destination-HOST anchor-text
+    histogram. ``n_src_hosts`` (distinct linking hosts) is the
+    spam-resistance column: one host repeating an anchor a million times
+    moves ``w`` but not ``n_src_hosts``. Same scale shape as
+    :func:`host_edges` — map-side partials collapse the hub skew before
+    the keyed aggregation; count-distinct stays a two-level agg on
+    (dst, anchor, src), never a corpus-wide distinct."""
+    a = extract_anchors(df, url_col, html_col).select(
+        host_of(F.col("src_url")).alias("src"),
+        host_of(F.col("dst_url")).alias("dst"),
+        "anchor",
+    )
+    a = a.filter((F.col("src") != "") & (F.col("dst") != ""))
+    if drop_self:
+        a = a.filter(F.col("src") != F.col("dst"))
+    return a.groupBy("dst", "anchor").agg(
+        F.count(F.lit(1)).alias("w"),
+        F.countDistinct("src").alias("n_src_hosts"),
     )
 
 

@@ -128,3 +128,58 @@ def test_pagerank_unpersist_seam(spark):
     assert len(handles) == 2
     for h in handles:
         h.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# anchor text
+# ---------------------------------------------------------------------------
+def test_extract_anchors_golden(spark):
+    """Target + cleaned visible text per anchor; independent Python re."""
+    from log_analysis_spark.operators.graph import extract_anchors
+
+    html = (
+        '<p><a class="nav" href="https://a.net/1"> <b>Bold</b>\n link </a>'
+        '<a href="https://b.net/2">plain</a>'
+        "<a no-href>skipped</a></p>"
+    )
+    df = spark.createDataFrame([("https://s.net/p", html)], "url string, html string")
+    got = [
+        (r["src_url"], r["dst_url"], r["anchor"])
+        for r in extract_anchors(df).collect()
+    ]
+    assert got == [
+        ("https://s.net/p", "https://a.net/1", "Bold link"),
+        ("https://s.net/p", "https://b.net/2", "plain"),
+    ]
+
+
+def test_extract_anchors_on_synth_pages(spark):
+    """Every synth page's 3 nav anchors extract with their texts."""
+    from log_analysis_spark.operators.graph import extract_anchors
+
+    rows = extract_anchors(_pages(spark, 120)).collect()
+    assert len(rows) == 3 * 120
+    assert all(r["anchor"] != "" for r in rows)
+
+
+def test_anchor_text_summary_spam_resistance(spark):
+    """w counts every link; n_src_hosts counts distinct linking hosts —
+    a single host repeating an anchor moves w only."""
+    from log_analysis_spark.operators.graph import anchor_text_summary
+
+    mk = '<a href="https://t.net/x">buy this</a>'
+    rows = [
+        ("https://spam.net/1", mk * 5),  # one host, 5 repeats
+        ("https://real-a.net/1", mk),
+        ("https://real-b.net/1", mk),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    out = anchor_text_summary(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["dst"], r["anchor"], r["w"], r["n_src_hosts"]) == (
+        "t.net",
+        "buy this",
+        7,
+        3,
+    )

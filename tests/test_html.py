@@ -1,0 +1,88 @@
+"""html_to_text: rule matrix, DuckDB parity, plan shape."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_spark.functions.html import html_to_text, html_to_text_oracle
+
+
+def _clean_one(spark, html: str) -> str:
+    df = spark.createDataFrame([(html,)], "html string")
+    return df.select(html_to_text(F.col("html")).alias("t")).first()["t"]
+
+
+CASES = [
+    # script/style subtrees vanish entirely (incl. tag-like JS strings)
+    (
+        '<p>keep</p><script>if (1 < 2) { x = "</div>"; }</script><p>tail</p>',
+        "keep\ntail",
+    ),
+    ("<style>p {color: red}</style><p>body</p>", "body"),
+    # comments vanish
+    ("a<!-- hidden <b>bold</b> -->b", "a b"),
+    # block tags (open and close) become line breaks; runs collapse
+    ("<div><h1>Title</h1><p>one</p><p>two</p></div>", "Title\none\ntwo"),
+    ("<ul><li>x</li><li>y</li></ul>", "x\ny"),
+    ("line one<br/>line two<br >line three", "line one\nline two\nline three"),
+    # inline tags become spaces, never gluing words
+    ("be<b>fore</b>after", "be fore after"),
+    ("<span>a</span><em>b</em>", "a b"),
+    # entities: named set + single-pass amp semantics
+    ("A &amp; B &lt;ok&gt; &quot;q&quot; &#39;s&#39;&nbsp;end", "A & B <ok> \"q\" 's' end"),
+    ("double &amp;lt; stays literal", "double &lt; stays literal"),
+    # whitespace normalization around breaks and ends
+    ("  <p>  padded\t text  </p>\n\n", "padded text"),
+    # stray '<' without '>' survives (lexical, not parsed — documented)
+    ("1 < 2 but <b>tagged</b>", "1 < 2 but tagged"),
+    # empty / no-content pages
+    ("<html><head><title></title></head><body></body></html>", ""),
+]
+
+
+@pytest.mark.parametrize("html,want", CASES)
+def test_rule_matrix(spark, html, want):
+    assert _clean_one(spark, html) == want
+
+
+@pytest.mark.parametrize("html,_", CASES)
+def test_duckdb_parity_on_cases(spark, html, _):
+    got_spark = _clean_one(spark, html)
+    got_duck = duckdb.execute(
+        "SELECT " + html_to_text_oracle("?::VARCHAR") + " AS t", [html]
+    ).fetchone()[0]
+    assert got_spark == got_duck
+
+
+def test_null_propagates(spark):
+    df = spark.createDataFrame([(None,)], "html string")
+    assert df.select(html_to_text(F.col("html")).alias("t")).first()["t"] is None
+
+
+def test_feeds_c4_line_filter(spark):
+    """The output's \\n lines are what c4_line_filter consumes: block
+    structure must survive as line boundaries."""
+    from log_analysis_spark.operators.quality import c4_line_filter
+
+    html = (
+        "<div><p>This line has enough words and ends properly.</p>"
+        "<p>javascript required</p>"
+        "<p>Another full sentence with plenty of words in it.</p></div>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string").select(
+        "doc_id", html_to_text(F.col("html")).alias("text")
+    )
+    out = c4_line_filter(df, text_col="text", min_words=4).first()["clean_text"]
+    assert "javascript" not in out
+    assert "ends properly" in out and "plenty of words" in out
+
+
+def test_single_projection_no_shuffle(spark):
+    df = spark.createDataFrame([("x",)], "html string")
+    plan = (
+        df.select(html_to_text(F.col("html")).alias("t"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
