@@ -2177,6 +2177,60 @@ def q_host_edges(spark, sf_dir):
     return GR.host_edges(pages).orderBy("src", "dst")
 
 
+def q_robots_filter(spark, sf_dir):
+    """RFC 9309 crawl-exclusion audit (operators/robots.py): per-host
+    robots.txt bodies (synthesized deterministically from nation rows,
+    exercising specific-agent groups, star fallback, prefix rules, a
+    longer-Allow override, a */$ wildcard rule, comments, and ignored
+    directives) applied to the events-derived URL table; output is the
+    per-host blocked/allowed tally. The oracle replays parse, group
+    selection, and the segment-walk wildcard match relationally with the
+    same regex literals and substr/instr arithmetic."""
+    from log_analysis_spark.operators.robots import robots_filter
+
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 20)
+    k = F.col("n_nationkey").cast("string")
+    d = (F.col("n_nationkey") % 10).cast("string")
+    robots = n.select(
+        F.concat(F.lit("h"), k, F.lit(".example.net")).alias("host"),
+        F.concat(
+            F.lit(
+                "# synth policy\nUser-agent: gptbot\nDisallow: /\n\n"
+                "User-agent: *\nDisallow: /e/"
+            ),
+            k,
+            F.lit("\nAllow: /e/"),
+            k,
+            d,
+            F.lit("\nDisallow: /*"),
+            d,
+            F.lit("$\nCrawl-delay: 2\n"),
+        ).alias("robots_txt"),
+    )
+    ev = _t(spark, sf_dir, "events")
+    urls = ev.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".example.net/e/"),
+            F.col("event_id").cast("string"),
+        ).alias("url")
+    )
+    audited = robots_filter(urls, robots, agent="*", flag_col="blocked")
+    return (
+        audited.groupBy(
+            F.regexp_extract(F.col("url"), r"^[a-z][a-z0-9+.-]*://([^/]+)", 1).alias(
+                "host"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum(F.col("blocked").cast("long")).alias("n_blocked"),
+        )
+        .orderBy("host")
+    )
+
+
 def q_anchor_texts(spark, sf_dir):
     """Per destination-host anchor-text histogram through the real
     extraction path (zipped two-group regexp_extract_all, inline-tag
@@ -2355,6 +2409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_edges": q_host_edges,
         "anchor_texts": q_anchor_texts,
         "html_text": q_html_text,
+        "robots_filter": q_robots_filter,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
         "percentiles": q_percentiles,
@@ -3135,6 +3190,86 @@ def _anchor_texts_oracle_sql() -> str:
         "count(DISTINCT src)::BIGINT AS n_src_hosts FROM e "
         "WHERE src != '' AND dst != '' AND src != dst "
         "GROUP BY dst, anchor ORDER BY dst, anchor"
+    )
+
+
+def _robots_filter_oracle_sql() -> str:
+    """DuckDB replay of q_robots_filter. Parse (posexplode + comment
+    strip + directive regex + group-id windows), agent selection (merge
+    matched groups, star fallback), and the wildcard segment walk all
+    replay with the regex literals imported from operators/robots.py and
+    the same substr/instr arithmetic. The verdict is expressed
+    relationally — rules exploded against URLs, max over (l, allow)
+    structs — which is fold-equivalent to the Spark array fold (the fold
+    keeps the last match of the (l, allow)-ascending array = the max)."""
+    from log_analysis_spark.operators import robots as RB
+
+    drx, srx = RB.DIRECTIVE_RX, RB.DIRECTIVE_STRIP_RX
+    hrx, prx = RB.URL_HOST_RX, RB.URL_PATH_RX
+    walk = (
+        "list_reduce(list_prepend(struct_pack(t := NULL::VARCHAR, i := 1::INT), "
+        "list_transform(c.segs, (s, si) -> struct_pack(t := s, i := si::INT))), "
+        "(a, x) -> struct_pack(t := NULL::VARCHAR, i := (CASE "
+        "WHEN a.i = -1 THEN -1 "
+        "WHEN x.t = '' THEN a.i "
+        "WHEN x.i = 1 THEN (CASE WHEN starts_with(u.path2, x.t) "
+        "THEN length(x.t)::INT + 1 ELSE -1 END) "
+        "WHEN strpos(substring(u.path2, a.i), x.t) = 0 THEN -1 "
+        "ELSE strpos(substring(u.path2, a.i), x.t)::INT + a.i - 1 "
+        "+ length(x.t)::INT END)::INT)).i != -1"
+    )
+    return (
+        "WITH r AS (SELECT 'h' || n_nationkey::VARCHAR || '.example.net' AS host, "
+        "'# synth policy' || chr(10) || 'User-agent: gptbot' || chr(10) || "
+        "'Disallow: /' || chr(10) || chr(10) || 'User-agent: *' || chr(10) || "
+        "'Disallow: /e/' || n_nationkey::VARCHAR || chr(10) || "
+        "'Allow: /e/' || n_nationkey::VARCHAR || (n_nationkey % 10)::VARCHAR "
+        "|| chr(10) || 'Disallow: /*' || (n_nationkey % 10)::VARCHAR || '$' "
+        "|| chr(10) || 'Crawl-delay: 2' || chr(10) AS robots_txt "
+        "FROM nation WHERE n_nationkey < 20), "
+        "lines AS (SELECT host, generate_subscripts(string_split(robots_txt, "
+        "chr(10)), 1) AS pos, unnest(string_split(robots_txt, chr(10))) AS line "
+        "FROM r), "
+        f"d0 AS (SELECT host, pos, lower(regexp_extract(trim(regexp_replace("
+        f"line, '#.*', '', 'g')), '{drx}', 1)) AS kind, "
+        f"trim(regexp_replace(trim(regexp_replace(line, '#.*', '', 'g')), "
+        f"'{srx}', '', 'g')) AS value FROM lines), "
+        "d1 AS (SELECT *, lag(CASE WHEN kind = 'user-agent' THEN 1 ELSE 0 END) "
+        "OVER (PARTITION BY host ORDER BY pos) AS lua FROM d0 WHERE kind != ''), "
+        "d2 AS (SELECT host, pos, kind, value, sum(CASE WHEN kind = 'user-agent' "
+        "AND coalesce(lua, 0) = 0 THEN 1 ELSE 0 END) OVER (PARTITION BY host "
+        "ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid FROM d1), "
+        "parsed AS (SELECT host, gid, kind, CASE WHEN kind = 'user-agent' "
+        "THEN lower(value) ELSE value END AS value FROM d2 "
+        "WHERE gid >= 1 AND (kind = 'user-agent' OR value != '')), "
+        "agents AS (SELECT host, gid, value FROM parsed "
+        "WHERE kind = 'user-agent'), "
+        # the gate queries agent='*', so the matched-group set IS the
+        # star set; a parameterized replay would swap the first literal
+        "matched AS (SELECT DISTINCT host, gid FROM agents WHERE value = '*'), "
+        "star AS (SELECT DISTINCT host, gid FROM agents WHERE value = '*'), "
+        "chosen AS (SELECT * FROM matched UNION ALL SELECT * FROM star "
+        "WHERE host NOT IN (SELECT DISTINCT host FROM matched)), "
+        "rules AS (SELECT p.host, p.value AS pattern, (p.kind = 'allow') AS "
+        "allow FROM parsed p JOIN chosen c USING (host, gid) "
+        "WHERE p.kind != 'user-agent'), "
+        "compiled AS (SELECT host, allow, length(pattern)::INT AS l, "
+        "string_split(CASE WHEN pattern LIKE '%$' THEN "
+        "substring(pattern, 1, length(pattern) - 1) || chr(1) "
+        "ELSE pattern END, '*') AS segs FROM rules), "
+        "urls AS (SELECT 'https://h' || (user_id % 20)::VARCHAR || "
+        "'.example.net/e/' || event_id::VARCHAR AS url FROM events), "
+        f"u AS (SELECT url, regexp_extract(url, '{hrx}', 1) AS h, "
+        f"(CASE WHEN regexp_extract(url, '{prx}', 1) = '' THEN '/' "
+        f"ELSE regexp_extract(url, '{prx}', 1) END) || chr(1) AS path2 "
+        "FROM urls), "
+        f"m AS (SELECT u.url, u.h, c.l, c.allow, ({walk}) AS ok "
+        "FROM u LEFT JOIN compiled c ON u.h = c.host), "
+        "v AS (SELECT url, h, max(CASE WHEN ok THEN struct_pack(l := l, "
+        "allow := allow) END) AS best FROM m GROUP BY url, h) "
+        "SELECT h AS host, count(*)::BIGINT AS n_urls, "
+        "sum(CASE WHEN best IS NOT NULL AND NOT best.allow THEN 1 ELSE 0 "
+        "END)::BIGINT AS n_blocked FROM v GROUP BY h ORDER BY host"
     )
 
 
@@ -4097,6 +4232,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_pagerank": _sql_nation_pagerank(iters=3),
         "html_text": _html_text_oracle_sql(),
         "anchor_texts": _anchor_texts_oracle_sql(),
+        "robots_filter": _robots_filter_oracle_sql(),
     }
     # identical labels from a different resolution algorithm — same oracle
     sql["dup_clusters_star"] = sql["dup_clusters"]
