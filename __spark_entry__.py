@@ -2177,6 +2177,76 @@ def q_host_edges(spark, sf_dir):
     return GR.host_edges(pages).orderBy("src", "dst")
 
 
+def q_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval over the materialized inverted index
+    (operators/inverted.py, with_doclen layout): probed buckets only,
+    df from the probed postings, rational-idf replay mode (the
+    bit-exact witness; the production 'lucene' ln-idf mode is
+    pytest-pinned instead — same split as the HLL linear-counting
+    branch). Oracle recomputes postings + doc lengths + the identical
+    single-rounding score arithmetic from the documents table, with the
+    per-doc sum as the same term-sorted left fold."""
+    import hashlib
+    import os
+
+    from log_analysis_spark.operators.inverted import (
+        bm25_search,
+        write_inverted_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{src}|{os.stat(src).st_mtime_ns}|inv64dl".encode()
+    ).hexdigest()[:12]
+    idx = f"/tmp/las_inv_idxdl_{key}"
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        write_inverted_index(d, idx, hash_fn="md5", with_doclen=True)
+    return bm25_search(
+        spark, idx, ["table", "row", "merge"], topk=15, hash_fn="md5",
+        idf_mode="rational",
+    )
+
+
+def _bm25_oracle_sql(
+    terms: tuple[str, ...] = ("table", "row", "merge"),
+    topk: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB replay of q_bm25_search straight from documents: same
+    tokenizer, same df/dl/avgdl integer derivations, the same literal
+    doubles (repr round-trip + ::DOUBLE casts — DuckDB parses bare
+    decimals as DECIMAL, the binned_quantiles lesson), the same
+    single-rounding expression tree, the same term-sorted fold."""
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    k1p1, one_b = repr(k1 + 1.0), repr(1.0 - b)
+    return (
+        f"WITH tok AS (SELECT doc_id, {_TOKENS.format(t='text')} AS w "
+        "FROM documents), "
+        "dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM tok), "
+        "stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl "
+        "FROM dl), "
+        "tfs AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM "
+        "(SELECT doc_id, unnest(w) AS term FROM tok) GROUP BY 1, 2), "
+        f"probed AS (SELECT * FROM tfs WHERE term IN ({tl})), "
+        "wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS dfq "
+        "FROM probed), "
+        "wt AS (SELECT p.doc_id, p.term, "
+        "(((stats.n - p.dfq)::DOUBLE + 0.5::DOUBLE) / "
+        "(p.dfq::DOUBLE + 0.5::DOUBLE) + 1.0::DOUBLE) * "
+        f"((p.tf::DOUBLE * {k1p1}::DOUBLE) / (p.tf::DOUBLE + "
+        f"{repr(k1)}::DOUBLE * ({one_b}::DOUBLE + {repr(b)}::DOUBLE * "
+        "(dl.dl::DOUBLE / (stats.sdl::DOUBLE / stats.n::DOUBLE))))) AS w "
+        "FROM wdf p JOIN dl USING (doc_id) CROSS JOIN stats), "
+        "s AS (SELECT doc_id, list_reduce(list_prepend(0.0::DOUBLE, "
+        "list(w ORDER BY term)), (a, v) -> a + v) AS score FROM wt "
+        "GROUP BY doc_id) "
+        f"SELECT doc_id, score FROM s ORDER BY score DESC, doc_id "
+        f"LIMIT {topk}"
+    )
+
+
 def q_robots_filter(spark, sf_dir):
     """RFC 9309 crawl-exclusion audit (operators/robots.py): per-host
     robots.txt bodies (synthesized deterministically from nation rows,
@@ -2410,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "html_text": q_html_text,
         "robots_filter": q_robots_filter,
+        "bm25_search": q_bm25_search,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
         "percentiles": q_percentiles,
@@ -4233,6 +4304,7 @@ def oracle_sql() -> dict[str, str]:
         "html_text": _html_text_oracle_sql(),
         "anchor_texts": _anchor_texts_oracle_sql(),
         "robots_filter": _robots_filter_oracle_sql(),
+        "bm25_search": _bm25_oracle_sql(),
     }
     # identical labels from a different resolution algorithm — same oracle
     sql["dup_clusters_star"] = sql["dup_clusters"]

@@ -103,6 +103,9 @@ BENCH_QUERIES = [
     "token_shards",
     "host_edges",
     "nation_pagerank",
+    "html_text",
+    "anchor_texts",
+    "robots_filter",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at

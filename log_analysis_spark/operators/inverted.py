@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.textstats import tokens
+from ..functions.textstats import token_count, tokens
 from .dedup import _base_hash
 
 
@@ -44,10 +44,15 @@ def postings(
     n_buckets: int = 64,
     hash_fn: str = "xxhash64",
     max_df_frac: float | None = None,
+    with_doclen: bool = False,
 ) -> DataFrame:
-    """(term, id, tf, _b) postings rows. ``max_df_frac`` drops terms
-    whose document frequency exceeds that fraction of the corpus (the
-    df relation is vocabulary-bounded and the join is term-keyed)."""
+    """(term, id, tf, [dl,] _b) postings rows. ``max_df_frac`` drops
+    terms whose document frequency exceeds that fraction of the corpus
+    (the df relation is vocabulary-bounded and the join is term-keyed).
+    ``with_doclen`` denormalizes the document's token count onto every
+    posting row — the classic ranked-retrieval layout: BM25 scoring then
+    needs NO join against a corpus-sized doc-length table at query time,
+    at the cost of one long per posting."""
     out = (
         df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy("term", id_col)
@@ -58,6 +63,11 @@ def postings(
         dfreq = out.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
         keep = dfreq.filter(F.col("_df") <= int(max_df_frac * n_docs)).select("term")
         out = out.join(keep, "term")
+    if with_doclen:
+        dl = df.select(
+            F.col(id_col), token_count(F.col(text_col)).cast("long").alias("dl")
+        )
+        out = out.join(dl, id_col)  # id-keyed build-time shuffle, once
     return out.withColumn("_b", term_bucket(F.col("term"), n_buckets, hash_fn))
 
 
@@ -69,9 +79,22 @@ def write_inverted_index(
     n_buckets: int = 64,
     hash_fn: str = "xxhash64",
     max_df_frac: float | None = None,
+    with_doclen: bool = False,
 ) -> None:
-    rows = postings(df, id_col, text_col, n_buckets, hash_fn, max_df_frac)
+    """``with_doclen`` additionally writes the corpus stats BM25 needs
+    (n_docs, sum_dl — two longs) under ``path/_stats``: the underscore
+    prefix hides it from Spark's directory listing, so plain index reads
+    never see it, while :func:`bm25_search` reads it by explicit path."""
+    rows = postings(
+        df, id_col, text_col, n_buckets, hash_fn, max_df_frac, with_doclen
+    )
     rows.write.mode("overwrite").partitionBy("_b").parquet(path)
+    if with_doclen:
+        stats = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(token_count(F.col(text_col))).cast("long").alias("sum_dl"),
+        )
+        stats.write.mode("overwrite").parquet(f"{path}/_stats")
 
 
 def _bucket_of(spark: SparkSession, term: str, n_buckets: int, hash_fn: str) -> int:
@@ -81,15 +104,18 @@ def _bucket_of(spark: SparkSession, term: str, n_buckets: int, hash_fn: str) -> 
     return int(row["b"])
 
 
-def _read_index(spark: SparkSession, path: str, id_col: str) -> DataFrame:
+def _read_index(
+    spark: SparkSession, path: str, id_col: str, with_dl: bool = False
+) -> DataFrame:
     """Read the postings layout; an index whose build emptied the
     postings (e.g. max_df_frac dropped everything) has no part files and
     no inferable schema — that is an EMPTY index, not an error."""
     try:
         return spark.read.parquet(path)
     except Exception:  # noqa: BLE001 - fileless dir <=> AnalysisException
+        dl = "dl long, " if with_dl else ""
         return spark.createDataFrame(
-            [], f"term string, {id_col} long, tf long, _b long"
+            [], f"term string, {id_col} long, tf long, {dl}_b long"
         )
 
 
@@ -136,3 +162,84 @@ def terms_lookup_all(
         F.sum("tf").cast("long").alias("sum_tf"),
     )
     return agg.filter(F.col("_nt") == len(uniq)).drop("_nt")
+
+
+def bm25_search(
+    spark: SparkSession,
+    path: str,
+    terms: list[str],
+    topk: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    hash_fn: str = "xxhash64",
+    idf_mode: str = "lucene",
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson et al., TREC-3) over an index
+    written with ``with_doclen=True`` — (id, score), best first.
+
+        score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))
+
+    Disjunctive (OR) semantics, the standard ranked-retrieval contract.
+    Reads ONLY the probed buckets' directories (partition pruning) plus
+    the two-long ``_stats`` row; document frequency per term is a window
+    count over the probed postings (a term's probed list IS its full
+    postings list, so the count is the true corpus df). No corpus-sized
+    join at query time — ``dl`` rides on every posting row by layout.
+
+    ``idf_mode``:
+      - ``'lucene'`` (default): idf = ln(1 + (N-df+0.5)/(df+0.5)) — the
+        BM25+ variant every search engine ships. ln() is not correctly
+        rounded across libms, so this mode's cross-engine replay is
+        approximate (pytest pins it against a Python-computed oracle at
+        rel 1e-12 instead).
+      - ``'rational'``: idf = 1 + (N-df+0.5)/(df+0.5) — drops the log.
+        Every operation is then a single-rounding IEEE step, so the
+        DuckDB oracle replays scores bit-for-bit (the same
+        determinism-contract split as the HLL linear-counting branch).
+        Rankings agree with 'lucene' when per-term df values are of the
+        same magnitude; it is the replay witness, not the production
+        default.
+
+    Ties at the cut break by ascending id, so top-k is deterministic
+    under any partitioning.
+    """
+    if not terms:
+        raise ValueError("bm25_search: empty term list")
+    uniq = sorted(set(terms))
+    buckets = sorted({_bucket_of(spark, t, n_buckets, hash_fn) for t in uniq})
+    rows = _read_index(spark, path, id_col, with_dl=True).filter(
+        F.col("_b").isin(buckets) & F.col("term").isin(uniq)
+    )
+    st = spark.read.parquet(f"{path}/_stats").first()
+    n_docs, sum_dl = int(st["n_docs"]), int(st["sum_dl"])
+    if n_docs == 0:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    avgdl = sum_dl / n_docs  # one IEEE division; the oracle replays it
+
+    from pyspark.sql import Window
+
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    idf_rational = ((F.lit(n_docs) - dfreq).cast("double") + F.lit(0.5)) / (
+        dfreq.cast("double") + F.lit(0.5)
+    ) + F.lit(1.0)
+    if idf_mode == "lucene":
+        idf = F.log(idf_rational)
+    elif idf_mode == "rational":
+        idf = idf_rational
+    else:
+        raise ValueError(f"unknown idf_mode {idf_mode!r}")
+    tf_d = F.col("tf").cast("double")
+    dl_part = F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.lit(avgdl))
+    wgt = idf * ((tf_d * F.lit(k1 + 1.0)) / (tf_d + F.lit(k1) * dl_part))
+    scored = rows.select(F.col(id_col), F.col("term"), wgt.alias("_w"))
+    # term-sorted left fold — the per-doc sum is order-pinned for replay
+    per_doc = scored.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "_w"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["_w"],
+        ).alias("score")
+    )
+    return per_doc.orderBy(F.col("score").desc(), F.col(id_col)).limit(topk)

@@ -61,3 +61,97 @@ def test_max_df_frac_drops_stopwords(spark, corpus, tmpdir_path):
     write_inverted_index(df, p2, n_buckets=16, max_df_frac=0.5)
     assert term_lookup(spark, p2, "common", 16).count() == 0  # df=100% > 50%
     assert term_lookup(spark, p, "parquet", 16).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def bm25_index(corpus, spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("inv25") / "idx")
+    write_inverted_index(corpus, p, n_buckets=16, with_doclen=True)
+    return p
+
+
+def _py_bm25(corpus_rows, terms, k1=1.2, b=0.75, ln=True):
+    """Independent Python implementation of the identical formula."""
+    import math
+
+    docs = {i: t.split() for i, t in corpus_rows}
+    n = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / n
+    scores = {}
+    for t in sorted(set(terms)):
+        df = sum(1 for w in docs.values() if t in w)
+        if df == 0:
+            continue
+        raw = (n - df + 0.5) / (df + 0.5) + 1.0
+        idf = math.log(raw) if ln else raw
+        for i, w in docs.items():
+            tf = w.count(t)
+            if tf:
+                dl = len(w)
+                scores[i] = scores.get(i, 0.0) + idf * (
+                    (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (dl / avgdl)))
+                )
+    return scores
+
+
+CORPUS_ROWS = [
+    (1, "spark loves parquet and parquet loves spark"),
+    (2, "spark joins tables"),
+    (3, "tables of parquet data"),
+    (4, "the the the the the"),
+]
+
+
+@pytest.mark.parametrize("mode,ln", [("lucene", True), ("rational", False)])
+def test_bm25_matches_python_oracle(spark, bm25_index, mode, ln):
+    from log_analysis_spark.operators.inverted import bm25_search
+
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_search(
+            spark, bm25_index, ["spark", "parquet"], n_buckets=16, idf_mode=mode
+        ).collect()
+    }
+    want = _py_bm25(CORPUS_ROWS, ["spark", "parquet"], ln=ln)
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i] == pytest.approx(want[i], rel=1e-12)
+    # doc 1 (both terms, high tf) must rank first
+    assert max(got, key=got.get) == 1
+
+
+def test_bm25_prunes_and_skips_stats_dir(spark, bm25_index):
+    from log_analysis_spark.operators.inverted import bm25_search, term_lookup
+
+    plan = (
+        bm25_search(spark, bm25_index, ["parquet"], n_buckets=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "_b" in plan
+    # the _stats side-table is invisible to plain index reads
+    got = {r["doc_id"]: r["tf"] for r in term_lookup(spark, bm25_index, "parquet", 16).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_bm25_unknown_terms_and_empty(spark, bm25_index):
+    from log_analysis_spark.operators.inverted import bm25_search
+
+    assert bm25_search(spark, bm25_index, ["zzz"], n_buckets=16).count() == 0
+    with pytest.raises(ValueError):
+        bm25_search(spark, bm25_index, [])
+
+
+def test_bm25_tie_break_deterministic(spark, tmpdir_path):
+    from log_analysis_spark.operators.inverted import bm25_search, write_inverted_index
+
+    rows = [(i, "same text here") for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = f"{tmpdir_path}/idx_tie"
+    write_inverted_index(df, p, n_buckets=8, with_doclen=True)
+    out = bm25_search(spark, p, ["same"], topk=3, n_buckets=8).collect()
+    assert [r["doc_id"] for r in out] == [1, 2, 3]  # equal scores -> id asc
