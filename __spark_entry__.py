@@ -2177,6 +2177,80 @@ def q_host_edges(spark, sf_dir):
     return GR.host_edges(pages).orderBy("src", "dst")
 
 
+def q_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means (similarity.kmeans), deterministic
+    replay mode: stride seeding, 2 iterations of map-side argmin
+    assignment + id-sorted zip-add fold means, final assignment. The
+    oracle UNROLLS both iterations with the identical IEEE steps —
+    cluster ids match bit-for-bit (same contract as nation_pagerank)."""
+    from log_analysis_spark.operators.similarity import kmeans
+
+    e = _t(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans(
+        e, k=8, iters=2, id_col="vec_id", vec_col="embedding",
+        deterministic=True,
+    )
+    return assigned.orderBy("vec_id")
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 2) -> str:
+    """DuckDB replay of q_kmeans with the iterations unrolled. Scores
+    are the same expanded form (c.c - 2 v.c) with both folds left-to-
+    right; the argmin tiebreak (first minimal = lowest index, Spark's
+    strict-< fold) is row_number ORDER BY (s, ci); cluster means are
+    the same id-ordered zip-add fold (exact zero init elided — 0.0 + x
+    is exact, so the no-init list_reduce is the identical sequence)
+    divided once per dimension; empty clusters coalesce to the previous
+    centroid."""
+    dot = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        "list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), "
+        "(x, y) -> x + y)"
+    )
+    sq = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        "list_transform({a}, q -> q * q)), (x, y) -> x + y)"
+    )
+
+    def assign(i: int, cent: str, out: str) -> str:
+        s = (
+            sq.format(a="c.v")
+            + " - 2.0::DOUBLE * "
+            + dot.format(a="e.v", b="c.v")
+        )
+        return (
+            f"a{i} AS (SELECT e.vec_id, e.v, c.ci, {s} AS s "
+            f"FROM e CROSS JOIN {cent} c), "
+            f"{out} AS (SELECT vec_id, v, ci FROM (SELECT *, row_number() "
+            f"OVER (PARTITION BY vec_id ORDER BY s, ci) AS rn FROM a{i}) "
+            "WHERE rn = 1)"
+        )
+
+    parts = [
+        "WITH e AS (SELECT vec_id, list_transform(embedding, "
+        "x -> x::DOUBLE) AS v FROM embeddings), "
+        f"ns AS (SELECT greatest(count(*) // {k}, 1) AS st FROM e), "
+        f"c0 AS (SELECT (vec_id // st)::INT AS ci, v FROM e, ns "
+        f"WHERE vec_id % st = 0 AND vec_id::DOUBLE / st::DOUBLE < {k})"
+    ]
+    for i in range(iters):
+        parts.append(assign(i, f"c{i}", f"b{i}"))
+        parts.append(
+            f"u{i} AS (SELECT ci, count(*)::BIGINT AS n, "
+            "list_reduce(list(v ORDER BY vec_id), (x, y) -> "
+            "list_transform(list_zip(x, y), p -> p[1] + p[2])) AS sv "
+            f"FROM b{i} GROUP BY ci), "
+            f"c{i + 1} AS (SELECT c.ci, CASE WHEN u.ci IS NULL THEN c.v "
+            "ELSE list_transform(u.sv, x -> x / u.n::DOUBLE) END AS v "
+            f"FROM c{i} c LEFT JOIN u{i} u ON c.ci = u.ci)"
+        )
+    parts.append(assign(iters, f"c{iters}", "fin"))
+    return (
+        ", ".join(parts)
+        + " SELECT vec_id, ci AS _c FROM fin ORDER BY vec_id"
+    )
+
+
 def q_bm25_search(spark, sf_dir):
     """BM25 ranked retrieval over the materialized inverted index
     (operators/inverted.py, with_doclen layout): probed buckets only,
@@ -2481,6 +2555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_text": q_html_text,
         "robots_filter": q_robots_filter,
         "bm25_search": q_bm25_search,
+        "kmeans": q_kmeans,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
         "percentiles": q_percentiles,
@@ -4305,6 +4380,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_texts": _anchor_texts_oracle_sql(),
         "robots_filter": _robots_filter_oracle_sql(),
         "bm25_search": _bm25_oracle_sql(),
+        "kmeans": _kmeans_oracle_sql(),
     }
     # identical labels from a different resolution algorithm — same oracle
     sql["dup_clusters_star"] = sql["dup_clusters"]

@@ -251,6 +251,114 @@ def ivf_centroids(
     return out
 
 
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    deterministic: bool = False,
+) -> tuple[DataFrame, np.ndarray]:
+    """Distributed Lloyd k-means (fixed iterations) -> (assignments,
+    centroids). Assignments are (id, _c) under the FINAL centroids;
+    centroids is a (k, dim) float64 array (driver state is k*dim doubles
+    — bounded, collected once per iteration like :func:`ivf_centroids`).
+
+    Each iteration is ONE corpus pass: a map-side
+    :func:`nearest_centroid` projection (codegen argmin over k literal
+    score expressions) into a k-group aggregation. The iterative-ML
+    sibling of ``graph.pagerank`` / ``dedup.dup_clusters``, with the
+    same determinism contract:
+
+    - ``deterministic=False`` (production): per-dimension associative
+      ``sum`` — map-side partials collapse each cluster before the
+      k-row shuffle; state is k*(dim+1) doubles per partition.
+    - ``deterministic=True`` (the oracle-replay witness): each
+      cluster's vector sum is a LEFT FOLD over its id-sorted members
+      (zip-add with an exact all-zeros init), and each mean dimension is
+      the single division sum/n — every intermediate is a deterministic
+      IEEE step DuckDB replays bit-for-bit by unrolling the iterations.
+      The fold materializes per-cluster member lists, so this mode is
+      for replay/testing scale, not 10^12 rows.
+
+    Seeding: the deterministic stride rule of :func:`ivf_centroids`
+    (every id ≡ 0 mod n//k, first k, id-ordered) — replayable, no RNG.
+    Empty clusters keep their previous centroid (the standard Lloyd
+    convention, and the replay needs it stated: the oracle coalesces).
+    Fixed ``iters`` rather than a convergence tolerance so a replay runs
+    the identical computation; callers wanting convergence detection
+    compare successive centroid arrays on the driver (k*dim doubles).
+    """
+    n = df.count()
+    if n == 0:
+        raise ValueError("kmeans: empty input")
+    stride = max(n // k, 1)
+    seeds = (
+        df.filter((F.col(id_col) % stride == 0) & (F.col(id_col) / stride < k))
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    cents = np.array([r[0] for r in seeds], dtype=np.float64)
+    dim = cents.shape[1]
+
+    for _ in range(iters):
+        assigned = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            nearest_centroid(F.col(vec_col), cents).alias("_c"),
+        )
+        if deterministic:
+            zeros = F.array(*([F.lit(0.0).cast("double")] * dim))
+            rows = assigned.groupBy("_c").agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(id_col).alias("i"), F.col(vec_col).alias("v")
+                            )
+                        )
+                    ),
+                    zeros,
+                    lambda acc, s: F.zip_with(
+                        acc, s["v"], lambda a, x: a + x.cast("double")
+                    ),
+                ).alias("_s"),
+            ).collect()
+            sums = {
+                int(r["_c"]): (int(r["_n"]), list(r["_s"]))
+                for r in rows
+                if r["_c"] is not None  # NULL-vector group updates nothing
+            }
+        else:
+            rows = assigned.groupBy("_c").agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(
+                        f"s{i}"
+                    )
+                    for i in range(dim)
+                ],
+            ).collect()
+            sums = {
+                int(r["_c"]): (int(r["_n"]), [r[f"s{i}"] for i in range(dim)])
+                for r in rows
+                if r["_c"] is not None
+            }
+        nxt = cents.copy()
+        for c, (cnt, svec) in sums.items():
+            # plain Python division per dimension — the single IEEE step
+            # the oracle replays as list_transform(s, x -> x / n)
+            nxt[c] = np.array([s / cnt for s in svec], dtype=np.float64)
+        cents = nxt
+
+    out = df.select(
+        F.col(id_col), nearest_centroid(F.col(vec_col), cents).alias("_c")
+    )
+    return out, cents
+
+
 def nearest_centroid(vec: Column, centroids: np.ndarray) -> Column:
     """argmin_c ||v - c||^2 as native expressions (expanded: c.c - 2 v.c;
     v.v is constant per row and drops out). Ties keep the lowest centroid

@@ -490,3 +490,71 @@ def test_semdedup_dominator_chain_not_cc(spark):
     t = math.cos(math.radians(30))  # cos25 >= t > cos50
     kept = [r["vec_id"] for r in SIM.semdedup(df, cents, threshold=t).collect()]
     assert kept == [1]
+
+
+# ---------------------------------------------------------------------------
+# distributed Lloyd k-means
+# ---------------------------------------------------------------------------
+def _planted(spark, per=30, dim=8):
+    """3 well-separated clusters at e0*10, e1*10, e2*10 + tiny offsets.
+    Clusters are CONTIGUOUS id blocks so the deterministic stride
+    seeding starts with one seed per planted cluster (interleaved ids
+    would hand Lloyd three seeds in one cluster — a genuine local
+    optimum, not a bug)."""
+    rows = []
+    for i in range(per * 3):
+        c = i // per
+        v = [0.0] * dim
+        v[c] = 10.0
+        v[(c + 3) % dim] = (i % 7) * 0.01  # deterministic jitter
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    from log_analysis_spark.operators.similarity import kmeans
+
+    df = _planted(spark)
+    assigned, cents = kmeans(df, k=3, iters=4, deterministic=False)
+    rows = assigned.collect()
+    # every planted cluster maps to exactly one k-means label
+    by_true = {}
+    for r in rows:
+        by_true.setdefault(r["vec_id"] // 30, set()).add(r["_c"])
+    assert all(len(s) == 1 for s in by_true.values())
+    assert len({next(iter(s)) for s in by_true.values()}) == 3
+    assert cents.shape == (3, 8)
+
+
+def test_kmeans_det_equals_fast_assignments(spark):
+    from log_analysis_spark.operators.similarity import kmeans
+
+    df = _planted(spark)
+    a_det, _ = kmeans(df, k=3, iters=3, deterministic=True)
+    a_fast, _ = kmeans(df, k=3, iters=3, deterministic=False)
+    d = {r["vec_id"]: r["_c"] for r in a_det.collect()}
+    f = {r["vec_id"]: r["_c"] for r in a_fast.collect()}
+    assert d == f  # separated data: summation order can't flip any argmin
+
+
+def test_kmeans_empty_cluster_keeps_seed(spark):
+    from log_analysis_spark.operators.similarity import kmeans
+
+    # k=4 over 3 planted clusters: at least one centroid goes empty and
+    # must keep its previous position instead of becoming NaN
+    df = _planted(spark, per=20)
+    assigned, cents = kmeans(df, k=4, iters=3, deterministic=True)
+    import numpy as np
+
+    assert not np.isnan(cents).any()
+    assert assigned.filter("_c IS NULL").count() == 0
+
+
+def test_kmeans_empty_input_raises(spark):
+    import pytest as _pt
+
+    from log_analysis_spark.operators.similarity import kmeans
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pt.raises(ValueError):
+        kmeans(df, k=2)
