@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "html_text",
     "anchor_texts",
     "robots_filter",
+    "bm25_search",
+    "kmeans",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at
