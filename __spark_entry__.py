@@ -2177,6 +2177,36 @@ def q_host_edges(spark, sf_dir):
     return GR.host_edges(pages).orderBy("src", "dst")
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Cross-snapshot crawl diff (incremental.snapshot_diff): old = the
+    documents table fingerprinted by md5; new = same minus every 11th
+    doc (removed), every 7th survivor's text appended (changed), every
+    13th doc respawned under a shifted key (added). One full-outer
+    fingerprint join; the oracle replays the identical derivation."""
+    from log_analysis_spark.operators.incremental import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.select("doc_id", F.md5(F.col("text")).alias("fp"))
+    new = (
+        d.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+                ).otherwise(F.col("text"))
+            ).alias("fp"),
+        )
+        .union(
+            d.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.md5(F.col("text")).alias("fp"),
+            )
+        )
+    )
+    return snapshot_diff(old, new, key_col="doc_id", fp_col="fp").orderBy("doc_id")
+
+
 def q_kmeans(spark, sf_dir):
     """Distributed Lloyd k-means (similarity.kmeans), deterministic
     replay mode: stride seeding, 2 iterations of map-side argmin
@@ -2556,6 +2586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "bm25_search": q_bm25_search,
         "kmeans": q_kmeans,
+        "snapshot_diff": q_snapshot_diff,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
         "percentiles": q_percentiles,
@@ -4381,6 +4412,20 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": _robots_filter_oracle_sql(),
         "bm25_search": _bm25_oracle_sql(),
         "kmeans": _kmeans_oracle_sql(),
+        "snapshot_diff": (
+            "WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents), "
+            "new AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN "
+            "text || ' v2' ELSE text END) AS fp FROM documents "
+            "WHERE doc_id % 11 != 0 "
+            "UNION ALL SELECT doc_id + 1000000, md5(text) FROM documents "
+            "WHERE doc_id % 13 = 0), "
+            "j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, "
+            "o.fp AS fo, n.fp AS fn FROM old o "
+            "FULL OUTER JOIN new n ON o.doc_id = n.doc_id) "
+            "SELECT doc_id, CASE WHEN fo IS NULL THEN 'added' "
+            "WHEN fn IS NULL THEN 'removed' WHEN fo != fn THEN 'changed' "
+            "ELSE 'unchanged' END AS status FROM j ORDER BY doc_id"
+        ),
     }
     # identical labels from a different resolution algorithm — same oracle
     sql["dup_clusters_star"] = sql["dup_clusters"]

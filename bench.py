@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "robots_filter",
     "bm25_search",
     "kmeans",
+    "snapshot_diff",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at

@@ -347,3 +347,39 @@ def update_state(
         raise
     shutil.rmtree(back, ignore_errors=True)
     return spark.read.parquet(state_path)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """(key, status) diff of two crawl snapshots by content fingerprint:
+    ``added`` (key only in new), ``removed`` (only in old), ``changed``
+    (both, fingerprints differ), ``unchanged``.
+
+    The change-detection step every incremental re-crawl pipeline runs
+    before spending downstream compute: only ``added``/``changed`` keys
+    re-enter parse -> clean -> dedup; ``removed`` keys feed deletion
+    sweeps. Fingerprints are whatever content hash the caller already
+    carries (md5 of the raw body, or of ``normalize.clean_text`` output
+    for render-noise-insensitive diffs — compose upstream).
+
+    Scale: one full-outer hash join keyed on ``key_col`` — both sides
+    shuffle once on the same key. Snapshots stored bucketed/partitioned
+    by the key (the ``plans/bucketing.py`` seam) make it a zero-shuffle
+    storage-partitioned join. Keys are assumed unique per snapshot
+    (canonical-url dedup runs upstream); duplicate keys would cross-pair
+    like any join.
+    """
+    o = old.select(F.col(key_col).alias("_k"), F.col(fp_col).alias("_fo"))
+    n = new.select(F.col(key_col).alias("_k"), F.col(fp_col).alias("_fn"))
+    j = o.join(n, on="_k", how="full_outer")
+    status = (
+        F.when(F.col("_fo").isNull(), F.lit("added"))
+        .when(F.col("_fn").isNull(), F.lit("removed"))
+        .when(F.col("_fo") != F.col("_fn"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col("_k").alias(key_col), status.alias("status"))

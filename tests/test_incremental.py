@@ -150,3 +150,21 @@ def test_update_state_roundtrip(spark, tmpdir_path):
 
     assert not os.path.exists(path + "._state_tmp")
     assert not os.path.exists(path + "._state_old")
+
+
+def test_snapshot_diff_statuses(spark):
+    from log_analysis_spark.operators.incremental import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", "h1"), ("b", "h2"), ("c", "h3")], "url string, fp string"
+    )
+    new = spark.createDataFrame(
+        [("a", "h1"), ("b", "hX"), ("d", "h4")], "url string, fp string"
+    )
+    got = {r["url"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        "a": "unchanged",
+        "b": "changed",
+        "c": "removed",
+        "d": "added",
+    }
