@@ -53,6 +53,24 @@ def list_days(input_path: str, start: str | None, end: str | None) -> list[str]:
     return days
 
 
+def _apply_robots(
+    spark: SparkSession,
+    pages: DataFrame,
+    robots_path: str | None,
+    robots_agent: str,
+) -> DataFrame:
+    """Optional crawl-exclusion stage (operators/robots.py): filter the
+    pages table against per-host robots.txt bodies BEFORE parse — the
+    retro-active opt-out sweep every crawl-derived pipeline needs. The
+    rule dim broadcasts; zero fact-side shuffle (see robots.py)."""
+    if not robots_path:
+        return pages
+    from ..operators.robots import robots_filter
+
+    bodies = spark.read.parquet(robots_path)
+    return robots_filter(pages, bodies, agent=robots_agent, url_col="url")
+
+
 def run_day(
     spark: SparkSession,
     input_path: str,
@@ -61,6 +79,8 @@ def run_day(
     host_filter: str | None = None,
     byte_exact: bool = True,
     proto_filter: str | None = None,
+    robots_path: str | None = None,
+    robots_agent: str = "*",
 ) -> UnitResult:
     """Process one day partition end-to-end (one declarative plan per sink
     family; the scan is pruned to the day's directory).
@@ -75,6 +95,7 @@ def run_day(
     pages = read_pages_table(spark, input_path, day, day).observe(
         obs_in, F.count(F.lit(1)).alias("n")
     )
+    pages = _apply_robots(spark, pages, robots_path, robots_agent)
 
     http = parse_http_like(pages, byte_exact=byte_exact)
     if host_filter:
@@ -199,6 +220,8 @@ def run_pipeline(
     resume: bool = True,
     byte_exact: bool = True,
     proto_filter: str | None = None,
+    robots_path: str | None = None,
+    robots_agent: str = "*",
 ) -> dict:
     """Full job with per-day lineage + resume. Returns run metrics."""
     manifest = Manifest(os.path.join(out_dir, "_manifest"))
@@ -214,12 +237,27 @@ def run_pipeline(
             dir_fingerprint(os.path.join(input_path, f"day={day}"))
             + f"|host={host_filter}|byte_exact={byte_exact}"
             + (f"|proto={proto_filter}" if proto_filter else "")
+            # robots bodies are INPUT: a changed/added/removed exclusion
+            # table must re-run the unit, not be silently skipped
+            + (
+                f"|robots={dir_fingerprint(robots_path)}:{robots_agent}"
+                if robots_path
+                else ""
+            )
         )
         if resume and manifest.is_done("pipeline", day, fp):
             skipped.append(day)
             continue
         res = run_day(
-            spark, input_path, out_dir, day, host_filter, byte_exact, proto_filter
+            spark,
+            input_path,
+            out_dir,
+            day,
+            host_filter,
+            byte_exact,
+            proto_filter,
+            robots_path,
+            robots_agent,
         )
         manifest.mark_done("pipeline", day, fp, res)
         processed.append(day)
@@ -243,6 +281,13 @@ def main() -> None:
     ap.add_argument("--end-date")
     ap.add_argument("--host", help="host filter (src_ip analog)")
     ap.add_argument("--proto", help="record-type filter (proto_type analog)")
+    ap.add_argument(
+        "--robots",
+        help="parquet table of (host, robots_txt) bodies; pages blocked "
+        "for --robots-agent are excluded before parse (RFC 9309; "
+        "operators/robots.py). Rides the resume fingerprint.",
+    )
+    ap.add_argument("--robots-agent", default="*")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument(
         "--single-pass",
@@ -292,6 +337,8 @@ def main() -> None:
             args.host,
             resume=not args.no_resume,
             proto_filter=args.proto,
+            robots_path=args.robots,
+            robots_agent=args.robots_agent,
         )
     print(json.dumps(metrics))
 

@@ -342,3 +342,42 @@ def test_topk_from_partials_equals_sink_recount(spark, tmpdir_path):
         (r["host"], r["n_pages"]) for r in topk_domains(http, k=10).collect()
     ]
     assert got == want and len(got) == 10
+
+
+def test_pipeline_robots_exclusion_and_resume_invalidation(spark, tmpdir_path):
+    """--robots excludes blocked pages before parse, and a changed
+    robots table invalidates the day's resume unit."""
+    from log_analysis_spark.synth import HOT_HOSTS
+
+    pages_dir = f"{tmpdir_path}/pages"
+    out_dir = f"{tmpdir_path}/out"
+    write_pages(spark, 600, pages_dir)
+
+    # robots: HOT_HOSTS[0] bans everything for *, other hosts have no body
+    rb1 = f"{tmpdir_path}/robots1"
+    spark.createDataFrame(
+        [(HOT_HOSTS[0], "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    ).write.parquet(rb1)
+
+    m1 = run_pipeline(spark, pages_dir, out_dir, robots_path=rb1)
+    assert m1["days_skipped"] == []
+    sink = spark.read.parquet(f"{out_dir}/sinks/http_like")
+    assert sink.filter(F.col("host") == HOT_HOSTS[0]).count() == 0
+    assert sink.filter(F.col("host") == HOT_HOSTS[1]).count() > 0
+
+    # identical rerun: all days resume-skipped
+    m2 = run_pipeline(spark, pages_dir, out_dir, robots_path=rb1)
+    assert m2["days_processed"] == []
+
+    # a DIFFERENT robots table must re-run (fingerprint includes bodies)
+    rb2 = f"{tmpdir_path}/robots2"
+    spark.createDataFrame(
+        [(HOT_HOSTS[1], "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    ).write.parquet(rb2)
+    m3 = run_pipeline(spark, pages_dir, out_dir, robots_path=rb2)
+    assert m3["days_skipped"] == []
+    sink = spark.read.parquet(f"{out_dir}/sinks/http_like")
+    assert sink.filter(F.col("host") == HOT_HOSTS[1]).count() == 0
+    assert sink.filter(F.col("host") == HOT_HOSTS[0]).count() > 0
