@@ -53,6 +53,25 @@ from pyspark.sql import functions as F
 from .checkpoint import Manifest, UnitResult, dir_bytes, dir_fingerprint
 
 
+def _extract(df: DataFrame) -> DataFrame:
+    """Leading stage for raw crawl input (``--html``): a pages table
+    (url, html[, lang]) becomes documents-shaped (doc_id, url, lang,
+    text) via the generic boilerplate strip (functions/html.py — one
+    zero-shuffle codegen projection). doc_id = xxhash64(url): stable
+    across runs and partitionings, so downstream manifests/dedup keys
+    survive re-extraction (collision odds at 64 bits are negligible
+    below ~10^9 urls; beyond that pass pre-assigned ids instead)."""
+    from ..functions.html import html_to_text
+
+    lang = F.col("lang") if "lang" in df.columns else F.lit("und")
+    return df.select(
+        F.xxhash64(F.col("url")).alias("doc_id"),
+        F.col("url"),
+        lang.alias("lang"),
+        html_to_text(F.col("html").cast("string")).alias("text"),
+    )
+
+
 def _c4(df: DataFrame) -> DataFrame:
     """Optional leading stage: C4 line-level boilerplate cleaning —
     line-filtered text replaces `text`, pages the filter drops leave the
@@ -147,6 +166,7 @@ def run_curation(
     hash_fn: str = "xxhash64",
     resume: bool = True,
     c4: bool = False,
+    html: bool = False,
 ) -> dict:
     """Run (or resume) the curation stage graph. Returns run metrics."""
     manifest = Manifest(os.path.join(out_dir, "_manifest"))
@@ -154,13 +174,14 @@ def run_curation(
     params = (
         f"span_k={span_k}|neardup={neardup}|n={decontam_n}"
         f"|t={test_frac}|v={valid_frac}|hash={hash_fn}"
-        f"|bench={benchmark_path}|c4={c4}"
+        f"|bench={benchmark_path}|c4={c4}|html={html}"
     )
     bench = (
         spark.read.parquet(benchmark_path) if benchmark_path is not None else None
     )
 
     stages: list[tuple[str, Callable[[DataFrame], DataFrame], str | None]] = [
+        *([("extract", _extract, None)] if html else []),
         *([("c4", _c4, None)] if c4 else []),
         ("scrub", lambda d: _scrub(d, span_k, hash_fn), None),
         ("dedup", lambda d: _dedup(d, neardup, hash_fn), None),
@@ -238,6 +259,13 @@ def main() -> None:
         action="store_true",
         help="prepend the C4 line-level boilerplate stage",
     )
+    ap.add_argument(
+        "--html",
+        action="store_true",
+        help="input is a raw crawl pages table (url, html[, lang]); an "
+        "extract stage (functions/html.py boilerplate strip, doc_id = "
+        "xxhash64(url)) runs first",
+    )
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -258,6 +286,7 @@ def main() -> None:
         hash_fn=args.hash_fn,
         resume=not args.no_resume,
         c4=args.c4_clean,
+        html=args.html,
     )
     print(json.dumps(stats))
     sys.stdout.flush()

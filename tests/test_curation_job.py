@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 
+from pyspark.sql import functions as F
+
 from log_analysis_spark.plans.curation_job import run_curation
 
 SF_DOCS = "/root/testdata/sf0.01/documents.parquet"
@@ -77,3 +79,35 @@ def test_c4_stage_prepends_and_cleans(spark, tmpdir_path):
     # flipping the flag off invalidates the graph (param fingerprint)
     r2 = run_curation(spark, src, out, span_k=6, c4=False)
     assert "scrub" in r2["stages_run"]
+
+
+def test_html_ingest_extract_stage(spark, tmpdir_path):
+    """--html: raw crawl pages run through the extract stage (html
+    boilerplate strip, xxhash64(url) ids) then the normal graph; resume
+    skips all stages including extract on identical rerun."""
+    from log_analysis_spark.plans.curation_job import run_curation
+    from log_analysis_spark.synth import write_pages
+
+    pages_dir = f"{tmpdir_path}/pages"
+    out_dir = f"{tmpdir_path}/out_html"
+    write_pages(spark, 400, pages_dir)
+
+    m1 = run_curation(
+        spark, pages_dir, out_dir, span_k=6, html=True, neardup=False
+    )
+    assert m1["stages_run"][0] == "extract"
+    assert m1["halted_empty_at"] is None
+    ext = spark.read.parquet(f"{out_dir}/stage_extract")
+    assert set(ext.columns) == {"doc_id", "url", "lang", "text"}
+    assert ext.count() == 400
+    assert ext.select("doc_id").distinct().count() == 400  # stable unique ids
+    # boilerplate stripped: no tags/comments survive in extracted text
+    assert ext.filter(F.col("text").contains("<")).count() == 0
+    assert ext.filter(F.col("text").contains("BEGIN_TEXT")).count() == 0
+    corpus = spark.read.parquet(f"{out_dir}/corpus")
+    assert corpus.count() > 0
+
+    m2 = run_curation(
+        spark, pages_dir, out_dir, span_k=6, html=True, neardup=False
+    )
+    assert m2["stages_run"] == [] and "extract" in m2["stages_skipped"]
