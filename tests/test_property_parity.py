@@ -291,3 +291,123 @@ def test_registrable_domain_parity_on_random_hosts(spark, duck, hosts):
     ).fetchall()
     duck.unregister("h_tbl")
     assert got == [(a, b) for a, b in want]
+
+
+# ---------------------------------------------------------------------------
+# html_to_text: Spark chain vs the DuckDB oracle chain on tag-soup fuzz
+# ---------------------------------------------------------------------------
+_TAGGY = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    max_size=60,
+).map(lambda s: s)
+_FRAGMENTS = st.lists(
+    st.one_of(
+        _TAGGY,
+        st.sampled_from(
+            [
+                "<script>x<y</script>",
+                "<style>a{b}</style>",
+                "<!--c-->",
+                "<p>",
+                "</p>",
+                "<br/>",
+                "<b>",
+                "</b>",
+                "&amp;",
+                "&lt;",
+                "&nbsp;",
+                "&amp;lt;",
+                "<",
+                ">",
+                "<div class='x'>",
+                "\n",
+                "  ",
+            ]
+        ),
+    ),
+    min_size=1,
+    max_size=8,
+).map("".join)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(pages=st.lists(_FRAGMENTS, min_size=1, max_size=5))
+def test_html_to_text_parity_on_tag_soup(spark, duck, pages):
+    from log_analysis_spark.functions.html import html_to_text, html_to_text_oracle
+
+    pdf = pd.DataFrame({"i": range(len(pages)), "h": pages})
+    sdf = spark.createDataFrame(pdf)
+    got = [
+        (r["i"], r["t"])
+        for r in sdf.select("i", html_to_text(F.col("h")).alias("t"))
+        .orderBy("i")
+        .collect()
+    ]
+    duck.register("h_tbl", pdf)
+    want = duck.execute(
+        f"SELECT i, {html_to_text_oracle('h')} AS t FROM h_tbl ORDER BY i"
+    ).fetchall()
+    duck.unregister("h_tbl")
+    assert got == [(int(i), t) for i, t in want]
+
+
+# ---------------------------------------------------------------------------
+# robots segment-walk: Spark fold vs an independent Python wildcard matcher
+# ---------------------------------------------------------------------------
+def _py_robots_match(path: str, pattern: str) -> bool:
+    """Independent reference: RFC 9309 path match with * and trailing $."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    rx = "^" + ".*".join(_re.escape(seg) for seg in core.split("*")) + (
+        "$" if anchored else ""
+    )
+    return _re.search(rx, path) is not None
+
+
+_PATH_CH = st.text(alphabet=list("/ab.z123?=_-"), min_size=1, max_size=12)
+_PATTERNS = st.lists(
+    st.tuples(
+        _PATH_CH.map(lambda s: "/" + s.lstrip("/")),
+        st.sampled_from(["", "*", "$", "*$"]),
+        st.booleans(),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(paths=st.lists(_PATH_CH.map(lambda s: "/" + s.lstrip("/")), min_size=1, max_size=4), rules=_PATTERNS)
+def test_robots_match_fuzz_vs_python_reference(spark, paths, rules):
+    """robots_filter's verdict on fuzzed (path, rule) sets must equal an
+    independent Python evaluation of RFC 9309 semantics (longest match
+    wins, allow wins ties, no match -> allowed)."""
+    from log_analysis_spark.operators.robots import robots_filter
+
+    body = "User-agent: *\n" + "\n".join(
+        ("Allow: " if allow else "Disallow: ")
+        + (pat if deco in ("", "$") else pat + "*")
+        + ("$" if deco in ("$", "*$") else "")
+        for pat, deco, allow in rules
+    )
+    robots = spark.createDataFrame([("f.net", body)], "host string, robots_txt string")
+    urls = spark.createDataFrame(
+        [(f"https://f.net{p}",) for p in paths], "url string"
+    )
+    got = {
+        r["url"]: r["blocked"]
+        for r in robots_filter(urls, robots, agent="*", flag_col="blocked").collect()
+    }
+    for p in paths:
+        best = (-1, True)
+        for pat, deco, allow in rules:
+            pattern = (pat if deco in ("", "$") else pat + "*") + (
+                "$" if deco in ("$", "*$") else ""
+            )
+            if _py_robots_match(p, pattern):
+                l = len(pattern)
+                if l > best[0] or (l == best[0] and allow):
+                    best = (l, allow)
+        assert got[f"https://f.net{p}"] == (not best[1]), (p, rules)
