@@ -251,6 +251,52 @@ def ivf_centroids(
     return out
 
 
+def _kmeans_partials_arrow(
+    df: DataFrame, centroids: np.ndarray, vec_col: str
+) -> list:
+    """One Arrow pass: per-batch BLAS argmin assignment + per-cluster
+    (count, vector-sum) partials — k*(dim+1) doubles per batch, merged
+    on the driver (bounded: partitions x k rows). The large-n_centroids
+    twin of the expression-path update, same shape as
+    :func:`assign_centroids_arrow`."""
+    import pyarrow as pa
+    import pyspark.sql.types as T
+
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    cc = (cents * cents).sum(axis=1)
+    kk, dim = cents.shape
+
+    def _partials(batches):
+        for batch in batches:
+            tbl = pa.table(batch)
+            vecs = tbl[vec_col].to_pylist()
+            if not vecs:
+                continue
+            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+            a = np.argmin(cc[None, :] - 2.0 * (mat @ cents.T), axis=1)
+            ns = np.bincount(a, minlength=kk)
+            sums = np.zeros((kk, dim))
+            np.add.at(sums, a, mat)
+            present = np.nonzero(ns)[0]
+            yield pa.record_batch(
+                [
+                    pa.array(present.astype(np.int32)),
+                    pa.array(ns[present].astype(np.int64)),
+                    pa.array(list(sums[present])),
+                ],
+                names=["_c", "_n", "_s"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("_c", T.IntegerType()),
+            T.StructField("_n", T.LongType()),
+            T.StructField("_s", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return df.select(vec_col).mapInArrow(_partials, schema=schema).collect()
+
+
 def kmeans(
     df: DataFrame,
     k: int = 8,
@@ -258,6 +304,7 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     deterministic: bool = False,
+    arrow: bool = False,
 ) -> tuple[DataFrame, np.ndarray]:
     """Distributed Lloyd k-means (fixed iterations) -> (assignments,
     centroids). Assignments are (id, _c) under the FINAL centroids;
@@ -281,6 +328,16 @@ def kmeans(
       The fold materializes per-cluster member lists, so this mode is
       for replay/testing scale, not 10^12 rows.
 
+    ``arrow=True`` (the large-k scale path, like ``write_ivfpq_index``'s
+    Arrow mode): each iteration is ONE mapInArrow pass doing a BLAS
+    argmin per batch plus per-cluster (count, vector-sum) partials —
+    k*(dim+1) doubles per batch — merged on the driver; the final
+    assignment is :func:`assign_centroids_arrow`. Expression-path argmin
+    is codegen-hostile past ~64 centroids; BLAS is microseconds/row at
+    4096. Mutually exclusive with ``deterministic`` (BLAS summation
+    order is not the fold order); assignments are pinned equal on
+    separated data in pytest.
+
     Seeding: the deterministic stride rule of :func:`ivf_centroids`
     (every id ≡ 0 mod n//k, first k, id-ordered) — replayable, no RNG.
     Empty clusters keep their previous centroid (the standard Lloyd
@@ -289,6 +346,8 @@ def kmeans(
     the identical computation; callers wanting convergence detection
     compare successive centroid arrays on the driver (k*dim doubles).
     """
+    if deterministic and arrow:
+        raise ValueError("kmeans: deterministic and arrow are exclusive")
     n = df.count()
     if n == 0:
         raise ValueError("kmeans: empty input")
@@ -303,6 +362,18 @@ def kmeans(
     dim = cents.shape[1]
 
     for _ in range(iters):
+        if arrow:
+            parts = _kmeans_partials_arrow(df, cents, vec_col)
+            merged: dict[int, tuple[int, np.ndarray]] = {}
+            for r in parts:
+                c = int(r["_c"])
+                cnt, sv = merged.get(c, (0, np.zeros(dim)))
+                merged[c] = (cnt + int(r["_n"]), sv + np.asarray(r["_s"]))
+            nxt = cents.copy()
+            for c, (cnt, sv) in merged.items():
+                nxt[c] = sv / cnt
+            cents = nxt
+            continue
         assigned = df.select(
             F.col(id_col),
             F.col(vec_col),
@@ -353,6 +424,8 @@ def kmeans(
             nxt[c] = np.array([s / cnt for s in svec], dtype=np.float64)
         cents = nxt
 
+    if arrow:
+        return assign_centroids_arrow(df, cents, id_col, vec_col), cents
     out = df.select(
         F.col(id_col), nearest_centroid(F.col(vec_col), cents).alias("_c")
     )

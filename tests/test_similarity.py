@@ -558,3 +558,29 @@ def test_kmeans_empty_input_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with _pt.raises(ValueError):
         kmeans(df, k=2)
+
+
+def test_kmeans_arrow_equals_expression_path(spark):
+    """arrow=True (BLAS partials + argmin) must produce the same
+    assignments as the expression path on separated data."""
+    from log_analysis_spark.operators.similarity import kmeans
+
+    df = _planted(spark)
+    a_fast, c_fast = kmeans(df, k=3, iters=3, deterministic=False)
+    a_arrow, c_arrow = kmeans(df, k=3, iters=3, arrow=True)
+    f = {r["vec_id"]: r["_c"] for r in a_fast.collect()}
+    a = {r["vec_id"]: r["_c"] for r in a_arrow.collect()}
+    assert a == f
+    import numpy as np
+
+    assert np.allclose(c_fast, c_arrow, rtol=1e-12)
+
+
+def test_kmeans_det_and_arrow_exclusive(spark):
+    import pytest as _pt
+
+    from log_analysis_spark.operators.similarity import kmeans
+
+    df = _planted(spark, per=5)
+    with _pt.raises(ValueError):
+        kmeans(df, k=2, deterministic=True, arrow=True)
