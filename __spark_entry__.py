@@ -2177,6 +2177,33 @@ def q_host_edges(spark, sf_dir):
     return GR.host_edges(pages).orderBy("src", "dst")
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact-phrase retrieval over positional postings
+    (inverted.phrase_search): probed buckets only, classic shifted
+    position-list intersection; output is phrase frequency per doc. The
+    oracle recomputes from the token arrays directly (a different,
+    windowed formulation — exact integers either way)."""
+    import hashlib
+    import os
+
+    from log_analysis_spark.operators.inverted import (
+        phrase_search,
+        write_inverted_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{src}|{os.stat(src).st_mtime_ns}|inv64pos".encode()
+    ).hexdigest()[:12]
+    idx = f"/tmp/las_inv_idxpos_{key}"
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        write_inverted_index(d, idx, hash_fn="md5", with_positions=True)
+    return phrase_search(spark, idx, ["hash", "value"], hash_fn="md5").orderBy(
+        "doc_id"
+    )
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Cross-snapshot crawl diff (incremental.snapshot_diff): old = the
     documents table fingerprinted by md5; new = same minus every 11th
@@ -2587,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "kmeans": q_kmeans,
         "snapshot_diff": q_snapshot_diff,
+        "phrase_search": q_phrase_search,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
         "percentiles": q_percentiles,
@@ -4412,6 +4440,17 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": _robots_filter_oracle_sql(),
         "bm25_search": _bm25_oracle_sql(),
         "kmeans": _kmeans_oracle_sql(),
+        "phrase_search": (
+            # windowed recompute straight from the token arrays: count
+            # start positions i with w[i]='hash' AND w[i+1]='value'
+            f"WITH tok AS (SELECT doc_id, {_TOKENS.format(t='text')} AS w "
+            "FROM documents), "
+            "m AS (SELECT doc_id, len(list_filter(list_transform(w, "
+            "(x, i) -> i), i -> i + 1 <= len(w) AND w[i] = 'hash' AND "
+            "w[i + 1] = 'value'))::BIGINT AS n_matches FROM tok) "
+            "SELECT doc_id, n_matches FROM m WHERE n_matches > 0 "
+            "ORDER BY doc_id"
+        ),
         "snapshot_diff": (
             "WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents), "
             "new AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN "

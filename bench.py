@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "kmeans",
     "snapshot_diff",
+    "phrase_search",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at

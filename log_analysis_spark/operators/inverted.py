@@ -45,19 +45,31 @@ def postings(
     hash_fn: str = "xxhash64",
     max_df_frac: float | None = None,
     with_doclen: bool = False,
+    with_positions: bool = False,
 ) -> DataFrame:
-    """(term, id, tf, [dl,] _b) postings rows. ``max_df_frac`` drops
+    """(term, id, tf, [positions,] [dl,] _b) postings rows.
+    ``with_positions`` adds the sorted 1-based token-position list per
+    posting (the phrase-query layout — positional postings cost
+    O(tokens) ints instead of O(distinct terms) rows, the standard
+    storage trade every phrase-capable index makes).
+    ``max_df_frac`` drops
     terms whose document frequency exceeds that fraction of the corpus
     (the df relation is vocabulary-bounded and the join is term-keyed).
     ``with_doclen`` denormalizes the document's token count onto every
     posting row — the classic ranked-retrieval layout: BM25 scoring then
     needs NO join against a corpus-sized doc-length table at query time,
     at the cost of one long per posting."""
-    out = (
-        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
-        .groupBy("term", id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "term"),
     )
+    aggs = [F.count(F.lit(1)).cast("long").alias("tf")]
+    if with_positions:
+        # 1-based token positions, sorted — the phrase-query payload
+        aggs.append(
+            F.sort_array(F.collect_list(F.col("_pos") + 1)).alias("positions")
+        )
+    out = tok.groupBy("term", id_col).agg(*aggs)
     if max_df_frac is not None:
         n_docs = df.count()
         dfreq = out.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
@@ -80,13 +92,23 @@ def write_inverted_index(
     hash_fn: str = "xxhash64",
     max_df_frac: float | None = None,
     with_doclen: bool = False,
+    with_positions: bool = False,
 ) -> None:
     """``with_doclen`` additionally writes the corpus stats BM25 needs
     (n_docs, sum_dl — two longs) under ``path/_stats``: the underscore
     prefix hides it from Spark's directory listing, so plain index reads
-    never see it, while :func:`bm25_search` reads it by explicit path."""
+    never see it, while :func:`bm25_search` reads it by explicit path.
+    ``with_positions`` writes positional postings for
+    :func:`phrase_search`."""
     rows = postings(
-        df, id_col, text_col, n_buckets, hash_fn, max_df_frac, with_doclen
+        df,
+        id_col,
+        text_col,
+        n_buckets,
+        hash_fn,
+        max_df_frac,
+        with_doclen,
+        with_positions,
     )
     rows.write.mode("overwrite").partitionBy("_b").parquet(path)
     if with_doclen:
@@ -105,7 +127,11 @@ def _bucket_of(spark: SparkSession, term: str, n_buckets: int, hash_fn: str) -> 
 
 
 def _read_index(
-    spark: SparkSession, path: str, id_col: str, with_dl: bool = False
+    spark: SparkSession,
+    path: str,
+    id_col: str,
+    with_dl: bool = False,
+    with_pos: bool = False,
 ) -> DataFrame:
     """Read the postings layout; an index whose build emptied the
     postings (e.g. max_df_frac dropped everything) has no part files and
@@ -113,9 +139,10 @@ def _read_index(
     try:
         return spark.read.parquet(path)
     except Exception:  # noqa: BLE001 - fileless dir <=> AnalysisException
+        pos = "positions array<int>, " if with_pos else ""
         dl = "dl long, " if with_dl else ""
         return spark.createDataFrame(
-            [], f"term string, {id_col} long, tf long, {dl}_b long"
+            [], f"term string, {id_col} long, tf long, {pos}{dl}_b long"
         )
 
 
@@ -162,6 +189,56 @@ def terms_lookup_all(
         F.sum("tf").cast("long").alias("sum_tf"),
     )
     return agg.filter(F.col("_nt") == len(uniq)).drop("_nt")
+
+
+def phrase_search(
+    spark: SparkSession,
+    path: str,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, n_matches) — documents containing the exact consecutive
+    token sequence ``phrase``, with the number of start positions
+    (phrase frequency), over an index written ``with_positions=True``.
+
+    Classic positional-intersection evaluation: candidate starts are the
+    first term's positions, then for each later phrase slot j the
+    surviving starts are intersected with that term's positions shifted
+    by -j (``array_intersect`` of already-sorted unique position lists).
+    Repeated terms in the phrase are handled naturally — each slot
+    intersects against its term's one positions list.
+
+    Scale: reads ONLY the probed bucket directories (one per distinct
+    term); the per-doc state is the phrase terms' position lists —
+    O(occurrences), never the corpus; the intersection runs map-side
+    after one doc-keyed aggregation of the (tiny) probed postings.
+    """
+    if not phrase:
+        raise ValueError("phrase_search: empty phrase")
+    uniq = sorted(set(phrase))
+    buckets = sorted({_bucket_of(spark, t, n_buckets, hash_fn) for t in uniq})
+    rows = _read_index(spark, path, id_col, with_pos=True).filter(
+        F.col("_b").isin(buckets) & F.col("term").isin(uniq)
+    )
+    g = rows.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("term"), F.col("positions")))
+        ).alias("_pm"),
+        F.count(F.lit(1)).alias("_nt"),
+    )
+    # every distinct phrase term must occur at all
+    g = g.filter(F.col("_nt") == len(uniq))
+    starts = F.col("_pm")[phrase[0]]
+    for j, t in enumerate(phrase[1:], start=1):
+        starts = F.array_intersect(
+            starts, F.transform(F.col("_pm")[t], lambda p: p - j)
+        )
+    out = g.select(
+        F.col(id_col), F.size(starts).cast("long").alias("n_matches")
+    )
+    return out.filter(F.col("n_matches") > 0)
 
 
 def bm25_search(

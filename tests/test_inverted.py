@@ -155,3 +155,68 @@ def test_bm25_tie_break_deterministic(spark, tmpdir_path):
     write_inverted_index(df, p, n_buckets=8, with_doclen=True)
     out = bm25_search(spark, p, ["same"], topk=3, n_buckets=8).collect()
     assert [r["doc_id"] for r in out] == [1, 2, 3]  # equal scores -> id asc
+
+
+# ---------------------------------------------------------------------------
+# positional postings + phrase search
+# ---------------------------------------------------------------------------
+def test_phrase_search_golden(spark, tmpdir_path):
+    from log_analysis_spark.operators.inverted import (
+        phrase_search,
+        write_inverted_index,
+    )
+
+    rows = [
+        (1, "the cat sat on the cat mat"),
+        (2, "cat the mat"),
+        (3, "the cat the cat"),
+        (4, "completely unrelated words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = f"{tmpdir_path}/idx_pos"
+    write_inverted_index(df, p, n_buckets=8, with_positions=True)
+
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(spark, p, ["the", "cat"], n_buckets=8).collect()
+    }
+    assert got == {1: 2, 3: 2}  # doc 2 has the words, never adjacent
+
+    # repeated term in the phrase: each slot intersects its own list
+    got3 = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(
+            spark, p, ["the", "cat", "the"], n_buckets=8
+        ).collect()
+    }
+    assert got3 == {3: 1}
+
+    # single-term phrase degenerates to tf
+    got1 = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(spark, p, ["cat"], n_buckets=8).collect()
+    }
+    assert got1 == {1: 2, 2: 1, 3: 2}
+
+
+def test_phrase_search_pruning_and_empty(spark, tmpdir_path):
+    import pytest as _pt
+
+    from log_analysis_spark.operators.inverted import (
+        phrase_search,
+        write_inverted_index,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    p = f"{tmpdir_path}/idx_pos2"
+    write_inverted_index(df, p, n_buckets=8, with_positions=True)
+    plan = (
+        phrase_search(spark, p, ["a", "b"], n_buckets=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "_b" in plan
+    assert phrase_search(spark, p, ["a", "zzz"], n_buckets=8).count() == 0
+    with _pt.raises(ValueError):
+        phrase_search(spark, p, [])
