@@ -2177,6 +2177,56 @@ def q_host_edges(spark, sf_dir):
     return GR.host_edges(pages).orderBy("src", "dst")
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.py, Sennrich
+    2016): corpus -> word histogram (the one corpus pass) -> 8 merge
+    steps on the vocab-bounded relation, each one explode+agg plus a
+    1-row argmax collect, greedy-left rewrite fold. The oracle UNROLLS
+    all 8 steps (same pair counts, same count-DESC/lex tiebreak, same
+    fold with the single-element-list init trick) — the learned merge
+    table matches bit-for-bit."""
+    from log_analysis_spark.operators.bpe import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=8)
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, cnt long"
+    ).orderBy("step")
+
+
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    """DuckDB replay of q_bpe_merges with the merge steps unrolled."""
+    fold = (
+        "list_reduce(list_prepend([]::VARCHAR[], "
+        "list_transform(syms, s -> [s])), "
+        "(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.l "
+        "AND x[1] = t.r THEN list_append(acc[:len(acc)-1], t.l || t.r) "
+        "ELSE list_append(acc, x[1]) END)"
+    )
+    parts = [
+        "WITH wh AS (SELECT t AS w, count(*)::BIGINT AS cnt FROM "
+        f"(SELECT unnest({_TOKENS.format(t='text')}) AS t FROM documents) "
+        "GROUP BY 1), "
+        "w0 AS (SELECT cnt, list_append(regexp_extract_all(w, '.'), "
+        "'</w>') AS syms FROM wh)"
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"p{i} AS (SELECT z[1] AS l, z[2] AS r, sum(cnt)::BIGINT AS n "
+            f"FROM (SELECT cnt, unnest(list_zip(syms[:len(syms)-1], "
+            f"syms[2:])) AS z FROM w{i}) GROUP BY 1, 2), "
+            f"t{i} AS (SELECT {i}::INT AS step, l, r, n FROM p{i} "
+            "ORDER BY n DESC, l, r LIMIT 1), "
+            f"w{i + 1} AS (SELECT cnt, {fold} AS syms "
+            f"FROM w{i} CROSS JOIN t{i} t)"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT step, l AS lhs, r AS rhs, n AS cnt FROM t{i}"
+        for i in range(n_merges)
+    )
+    return ", ".join(parts) + f" {sel} ORDER BY step"
+
+
 def q_phrase_search(spark, sf_dir):
     """Exact-phrase retrieval over positional postings
     (inverted.phrase_search): probed buckets only, classic shifted
@@ -2615,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "snapshot_diff": q_snapshot_diff,
         "phrase_search": q_phrase_search,
+        "bpe_merges": q_bpe_merges,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
         "percentiles": q_percentiles,
@@ -4440,6 +4491,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": _robots_filter_oracle_sql(),
         "bm25_search": _bm25_oracle_sql(),
         "kmeans": _kmeans_oracle_sql(),
+        "bpe_merges": _bpe_oracle_sql(),
         "phrase_search": (
             # windowed recompute straight from the token arrays: count
             # start positions i with w[i]='hash' AND w[i+1]='value'

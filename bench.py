@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "kmeans",
     "snapshot_diff",
     "phrase_search",
+    "bpe_merges",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at
