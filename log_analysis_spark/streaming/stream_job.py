@@ -586,3 +586,102 @@ def start_state_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_inverted_index_stream(
+    spark: SparkSession,
+    input_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    hash_fn: str = "xxhash64",
+    with_doclen: bool = False,
+    with_positions: bool = False,
+    max_files_per_trigger: int = 100000,
+):
+    """Keep the materialized inverted index fresh from a document stream
+    — the text sibling of the IVF-PQ encode stream: each micro-batch's
+    postings rows APPEND into the bucket-partitioned layout (bucket =
+    f(term) only, so new batches land in existing directories without
+    rewriting old files; lookups/BM25/phrase queries keep pruning).
+
+    ``with_doclen`` also maintains the BM25 corpus stats: the two-long
+    (n_docs, sum_dl) row is re-written per batch via a tmp-dir atomic
+    swap (the ``update_state`` discipline). Contract notes:
+
+    - Batches must contain NEW documents only — compose
+      ``start_ingest_gate_stream`` upstream; replayed triggers after a
+      crash between postings-append and stats-swap can double that one
+      batch (at-least-once; Iceberg for transactional appends —
+      MIGRATION.md). BM25's df stays correct across appends because a
+      (term, doc) posting is complete within the batch that owns the
+      doc.
+    - ``max_df_frac`` stop-listing is corpus-global and therefore a
+      batch-build option only; a streamed index applies stop-lists at
+      query time instead.
+    """
+    import os
+    import shutil
+
+    from ..functions.textstats import token_count
+    from ..operators.inverted import postings
+
+    schema = spark.read.parquet(input_path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    stats_path = os.path.join(index_path, "_stats")
+
+    def _sink(batch: DataFrame, _bid: int) -> None:
+        sp = batch.sparkSession
+        rows = postings(
+            batch,
+            id_col,
+            text_col,
+            n_buckets,
+            hash_fn,
+            None,
+            with_doclen,
+            with_positions,
+        )
+        rows.write.mode("append").partitionBy("_b").parquet(index_path)
+        if not with_doclen:
+            return
+        inc = batch.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(token_count(F.col(text_col))).cast("long").alias("s"),
+        ).first()
+        n_docs, sum_dl = int(inc["n"]), int(inc["s"] or 0)
+        try:
+            old = sp.read.parquet(stats_path).first()
+            n_docs += int(old["n_docs"])
+            sum_dl += int(old["sum_dl"])
+        except Exception:  # noqa: BLE001 - first batch: no stats yet
+            pass
+        tmp = stats_path + "._tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        sp.createDataFrame(
+            [(n_docs, sum_dl)], "n_docs long, sum_dl long"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        back = stats_path + "._old"
+        shutil.rmtree(back, ignore_errors=True)
+        if os.path.exists(stats_path):
+            os.rename(stats_path, back)
+        try:
+            os.rename(tmp, stats_path)
+        except OSError:
+            if os.path.exists(back):
+                os.rename(back, stats_path)
+            raise
+        shutil.rmtree(back, ignore_errors=True)
+
+    return (
+        src.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

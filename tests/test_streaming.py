@@ -455,3 +455,57 @@ def test_state_stream_matches_batch_and_skips_replay(spark, tmpdir_path):
     update_state(spark, state, ev.limit(50), keys, metrics, p=5,
                  meta={"last_batch_id": meta["last_batch_id"] + 1})
     assert fin(spark.read.parquet(state)) != want
+
+
+def test_inverted_index_stream_matches_batch(spark, tmpdir_path):
+    """Streamed postings (two arrival batches) == batch-built index:
+    same (term, doc, tf) rows, same BM25 answers, same _stats."""
+    import os
+
+    from log_analysis_spark.operators.inverted import (
+        bm25_search,
+        write_inverted_index,
+    )
+    from log_analysis_spark.streaming.stream_job import (
+        start_inverted_index_stream,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    arrivals = f"{tmpdir_path}/arrivals"
+    docs.filter("doc_id % 2 = 0").write.parquet(arrivals)
+
+    idx_s = f"{tmpdir_path}/idx_stream"
+    q = start_inverted_index_stream(
+        spark, arrivals, idx_s, f"{tmpdir_path}/ckpt",
+        hash_fn="md5", with_doclen=True,
+    )
+    q.awaitTermination()
+    # second arrival batch
+    docs.filter("doc_id % 2 = 1").write.mode("append").parquet(arrivals)
+    q = start_inverted_index_stream(
+        spark, arrivals, idx_s, f"{tmpdir_path}/ckpt",
+        hash_fn="md5", with_doclen=True,
+    )
+    q.awaitTermination()
+
+    idx_b = f"{tmpdir_path}/idx_batch"
+    write_inverted_index(docs, idx_b, hash_fn="md5", with_doclen=True)
+
+    cols = ["term", "doc_id", "tf", "dl"]
+    got = {tuple(r) for r in spark.read.parquet(idx_s).select(*cols).collect()}
+    want = {tuple(r) for r in spark.read.parquet(idx_b).select(*cols).collect()}
+    assert got == want
+
+    ss = spark.read.parquet(os.path.join(idx_s, "_stats")).first()
+    sb = spark.read.parquet(os.path.join(idx_b, "_stats")).first()
+    assert (ss["n_docs"], ss["sum_dl"]) == (sb["n_docs"], sb["sum_dl"])
+
+    gs = [
+        (r["doc_id"], r["score"])
+        for r in bm25_search(spark, idx_s, ["table", "row"], hash_fn="md5").collect()
+    ]
+    gb = [
+        (r["doc_id"], r["score"])
+        for r in bm25_search(spark, idx_b, ["table", "row"], hash_fn="md5").collect()
+    ]
+    assert gs == gb
