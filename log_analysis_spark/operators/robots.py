@@ -61,8 +61,8 @@ SENTINEL = "\x01"
 
 # shared regex literals (Java-regex/RE2 common subset; the oracle reuses
 # them verbatim)
-DIRECTIVE_RX = r"(?i)^(user-agent|allow|disallow)\s*:"
-DIRECTIVE_STRIP_RX = r"(?i)^(user-agent|allow|disallow)\s*:\s*"
+DIRECTIVE_RX = r"(?i)^(user-agent|allow|disallow|sitemap)\s*:"
+DIRECTIVE_STRIP_RX = r"(?i)^(user-agent|allow|disallow|sitemap)\s*:\s*"
 COMMENT_RX = "#.*"
 URL_HOST_RX = r"^[a-z][a-z0-9+.-]*://([^/]+)"
 URL_PATH_RX = r"^[a-z][a-z0-9+.-]*://[^/]+(/.*)?$"
@@ -73,12 +73,15 @@ def parse_robots(
 ) -> DataFrame:
     """(host, gid, kind, value) — one row per meaningful robots.txt line.
 
-    ``kind`` in {'user-agent','allow','disallow'}; ``gid`` numbers rule
-    groups 1..n per host (consecutive user-agent lines share a gid);
-    spec-invalid rules before any group and empty-value allow/disallow
-    no-ops are dropped. Agents are lowercased (matching is
-    case-insensitive); rule values keep their case (paths are
-    case-sensitive).
+    ``kind`` in {'user-agent','allow','disallow','sitemap'}; ``gid``
+    numbers rule groups 1..n per host (consecutive user-agent lines
+    share a gid); spec-invalid rules before any group and empty-value
+    allow/disallow no-ops are dropped. ``sitemap`` lines are GLOBAL per
+    RFC 9309 §2.3 — they are emitted with gid 0 regardless of position
+    (including before any group) and never join an agent's rule set;
+    :func:`sitemaps` is the convenience projection. Agents are
+    lowercased (matching is case-insensitive); rule values keep their
+    case (paths and sitemap URLs are case-sensitive).
     """
     lines = df.select(
         F.col(host_col).alias("host"),
@@ -91,6 +94,14 @@ def parse_robots(
         F.lower(F.regexp_extract(clean, DIRECTIVE_RX, 1)).alias("kind"),
         F.trim(F.regexp_replace(clean, DIRECTIVE_STRIP_RX, "")).alias("value"),
     ).filter(F.col("kind") != "")
+
+    # sitemap lines are global and must not interrupt group construction
+    # (a Sitemap between two User-agent lines does not split the group)
+    sm = (
+        d.filter((F.col("kind") == "sitemap") & (F.col("value") != ""))
+        .select("host", F.lit(0).cast("long").alias("gid"), "kind", "value")
+    )
+    d = d.filter(F.col("kind") != "sitemap")
 
     w = Window.partitionBy("host").orderBy("pos")
     is_ua = F.col("kind") == "user-agent"
@@ -105,7 +116,15 @@ def parse_robots(
     d = d.withColumn(
         "value", F.when(is_ua, F.lower(F.col("value"))).otherwise(F.col("value"))
     ).filter(is_ua | (F.col("value") != ""))
-    return d.select("host", "gid", "kind", "value")
+    return d.select("host", "gid", "kind", "value").union(sm)
+
+
+def sitemaps(parsed: DataFrame) -> DataFrame:
+    """(host, sitemap_url) — the crawl-seeding projection of
+    :func:`parse_robots` output (RFC 9309 §2.3 global lines)."""
+    return parsed.filter(F.col("kind") == "sitemap").select(
+        "host", F.col("value").alias("sitemap_url")
+    )
 
 
 def rules_for_agent(parsed: DataFrame, agent: str = "*") -> DataFrame:

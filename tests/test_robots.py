@@ -158,3 +158,40 @@ def test_dim_is_broadcast(spark, robots_df):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_sitemap_lines_global_and_non_breaking(spark):
+    """Sitemap lines surface with gid 0 (even before any group), never
+    join rule sets, and do not split a group they sit inside."""
+    from log_analysis_spark.operators.robots import sitemaps
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "s.net",
+                "Sitemap: https://s.net/pre.xml\n"
+                "User-agent: foo\n"
+                "Sitemap: https://s.net/mid.xml\n"
+                "User-agent: bar\n"  # still the SAME group as foo
+                "Disallow: /x\n"
+                "Sitemap: https://s.net/post.xml\n",
+            )
+        ],
+        "host string, robots_txt string",
+    )
+    parsed = parse_robots(robots)
+    sm = sorted(r["sitemap_url"] for r in sitemaps(parsed).collect())
+    assert sm == [
+        "https://s.net/mid.xml",
+        "https://s.net/post.xml",
+        "https://s.net/pre.xml",
+    ]
+    # foo and bar share one group despite the interleaved sitemap line
+    agents = {
+        (r["gid"], r["value"])
+        for r in parsed.filter("kind = 'user-agent'").collect()
+    }
+    assert agents == {(1, "foo"), (1, "bar")}
+    # sitemap rows never reach an agent's rule set
+    rules = rules_for_agent(parsed, "foo").collect()
+    assert {(r["pattern"], r["allow"]) for r in rules} == {("/x", False)}
