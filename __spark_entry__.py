@@ -3508,7 +3508,7 @@ def _robots_filter_oracle_sql() -> str:
         "WHERE host NOT IN (SELECT DISTINCT host FROM matched)), "
         "rules AS (SELECT p.host, p.value AS pattern, (p.kind = 'allow') AS "
         "allow FROM parsed p JOIN chosen c USING (host, gid) "
-        "WHERE p.kind != 'user-agent'), "
+        "WHERE p.kind IN ('allow', 'disallow')), "
         "compiled AS (SELECT host, allow, length(pattern)::INT AS l, "
         "string_split(CASE WHEN pattern LIKE '%$' THEN "
         "substring(pattern, 1, length(pattern) - 1) || chr(1) "

@@ -61,8 +61,8 @@ SENTINEL = "\x01"
 
 # shared regex literals (Java-regex/RE2 common subset; the oracle reuses
 # them verbatim)
-DIRECTIVE_RX = r"(?i)^(user-agent|allow|disallow|sitemap)\s*:"
-DIRECTIVE_STRIP_RX = r"(?i)^(user-agent|allow|disallow|sitemap)\s*:\s*"
+DIRECTIVE_RX = r"(?i)^(user-agent|allow|disallow|sitemap|crawl-delay)\s*:"
+DIRECTIVE_STRIP_RX = r"(?i)^(user-agent|allow|disallow|sitemap|crawl-delay)\s*:\s*"
 COMMENT_RX = "#.*"
 URL_HOST_RX = r"^[a-z][a-z0-9+.-]*://([^/]+)"
 URL_PATH_RX = r"^[a-z][a-z0-9+.-]*://[^/]+(/.*)?$"
@@ -127,13 +127,9 @@ def sitemaps(parsed: DataFrame) -> DataFrame:
     )
 
 
-def rules_for_agent(parsed: DataFrame, agent: str = "*") -> DataFrame:
-    """(host, pattern, allow) — the merged rule set governing ``agent``.
-
-    All groups naming the agent merge; hosts without a matching group
-    fall back to their ``*`` groups; hosts with neither yield no rows
-    (allow-all by absence).
-    """
+def _chosen_gids(parsed: DataFrame, agent: str) -> DataFrame:
+    """(host, gid) — all groups governing ``agent``: groups naming it
+    merge (RFC 9309 §2.2.1); hosts without one fall back to ``*``."""
     agents = parsed.filter(F.col("kind") == "user-agent")
     matched = (
         agents.filter(F.col("value") == agent.lower())
@@ -144,12 +140,40 @@ def rules_for_agent(parsed: DataFrame, agent: str = "*") -> DataFrame:
     fallback = star.join(
         matched.select("host").distinct(), on="host", how="left_anti"
     )
-    chosen = matched.union(fallback)
-    rules = parsed.filter(F.col("kind") != "user-agent")
-    return rules.join(chosen, on=["host", "gid"]).select(
+    return matched.union(fallback)
+
+
+def rules_for_agent(parsed: DataFrame, agent: str = "*") -> DataFrame:
+    """(host, pattern, allow) — the merged rule set governing ``agent``.
+
+    Hosts with neither a matching nor a ``*`` group yield no rows
+    (allow-all by absence). Only allow/disallow lines become rules —
+    sitemap (global) and crawl-delay (see :func:`crawl_delays`) do not.
+    """
+    rules = parsed.filter(F.col("kind").isin("allow", "disallow"))
+    return rules.join(_chosen_gids(parsed, agent), on=["host", "gid"]).select(
         "host",
         F.col("value").alias("pattern"),
         (F.col("kind") == "allow").alias("allow"),
+    )
+
+
+def crawl_delays(parsed: DataFrame, agent: str = "*") -> DataFrame:
+    """(host, delay_s) — the politeness interval governing ``agent``
+    (de-facto ``Crawl-delay`` extension: group-scoped like rules; not in
+    RFC 9309, honored by Bing/Yandex-class crawlers). Non-numeric values
+    drop; multiple applicable groups take the MAX (the conservative
+    politeness choice). Hosts without a delay line yield no row —
+    caller applies its own default interval."""
+    d = parsed.filter(F.col("kind") == "crawl-delay").select(
+        # try_cast: ANSI mode throws on malformed numerics; junk -> NULL
+        "host", "gid", F.col("value").try_cast("double").alias("delay_s")
+    )
+    d = d.filter(F.col("delay_s").isNotNull())
+    return (
+        d.join(_chosen_gids(parsed, agent), on=["host", "gid"])
+        .groupBy("host")
+        .agg(F.max("delay_s").alias("delay_s"))
     )
 
 

@@ -195,3 +195,33 @@ def test_sitemap_lines_global_and_non_breaking(spark):
     # sitemap rows never reach an agent's rule set
     rules = rules_for_agent(parsed, "foo").collect()
     assert {(r["pattern"], r["allow"]) for r in rules} == {("/x", False)}
+
+
+def test_crawl_delay_group_scoped(spark):
+    from log_analysis_spark.operators.robots import crawl_delays
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "d.net",
+                "User-agent: fastbot\nCrawl-delay: 0.5\nDisallow: /x\n"
+                "User-agent: *\nCrawl-delay: 10\nCrawl-delay: junk\n",
+            ),
+            ("e.net", "User-agent: *\nDisallow: /y\n"),  # no delay line
+        ],
+        "host string, robots_txt string",
+    )
+    parsed = parse_robots(robots)
+    star = {r["host"]: r["delay_s"] for r in crawl_delays(parsed, "*").collect()}
+    assert star == {"d.net": 10.0}  # junk value dropped; e.net: no row
+    fast = {
+        r["host"]: r["delay_s"] for r in crawl_delays(parsed, "fastbot").collect()
+    }
+    assert fast == {"d.net": 0.5}
+    # delay lines never leak into the filter rules (e.net contributes
+    # its star-fallback /y; d.net only the fastbot group's /x)
+    pats = {
+        (r["host"], r["pattern"])
+        for r in rules_for_agent(parsed, "fastbot").collect()
+    }
+    assert pats == {("d.net", "/x"), ("e.net", "/y")}
