@@ -2482,15 +2482,10 @@ def q_robots_filter(spark, sf_dir):
     )
 
 
-def q_anchor_texts(spark, sf_dir):
-    """Per destination-host anchor-text histogram through the real
-    extraction path (zipped two-group regexp_extract_all, inline-tag
-    strip, whitespace collapse) with the distinct-linking-hosts
-    spam-resistance column."""
-    from log_analysis_spark.operators import graph as GR
-
-    ev = _t(spark, sf_dir, "events")
-    pages = ev.select(
+def _anchor_pages(ev):
+    """Deterministic (url, html) pages with textful anchors — shared by
+    q_anchor_texts and q_host_profile (and their oracles)."""
+    return ev.select(
         F.concat(
             F.lit("https://h"),
             (F.col("user_id") % 20).cast("string"),
@@ -2509,7 +2504,57 @@ def q_anchor_texts(spark, sf_dir):
             F.lit("</a></body></html>"),
         ).alias("html"),
     )
+
+
+def q_anchor_texts(spark, sf_dir):
+    """Per destination-host anchor-text histogram through the real
+    extraction path (zipped two-group regexp_extract_all, inline-tag
+    strip, whitespace collapse) with the distinct-linking-hosts
+    spam-resistance column."""
+    from log_analysis_spark.operators import graph as GR
+
+    pages = _anchor_pages(_t(spark, sf_dir, "events"))
     return GR.anchor_text_summary(pages).orderBy("dst", "anchor")
+
+
+def q_host_profile(spark, sf_dir):
+    """Per-host crawl-snapshot profile — the composed link-analytics
+    artifact a webtext pipeline lands per crawl: PageRank (3
+    deterministic iterations) x weighted in/out degree x
+    distinct-linking-hosts x anchor-text diversity, one row per host,
+    all through the real extraction paths over the shared page
+    template. Oracle: the unrolled pagerank CTE chain over the same
+    edges plus the same aggregates."""
+    from log_analysis_spark.operators import graph as GR
+
+    pages = _anchor_pages(_t(spark, sf_dir, "events"))
+    edges = GR.host_edges(pages)
+    ranks = GR.pagerank(edges, iters=3, deterministic=True)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    inw = edges.groupBy("dst").agg(
+        F.sum("w").alias("in_w"), F.countDistinct("src").alias("n_in_hosts")
+    )
+    anch = (
+        GR.anchor_text_summary(pages)
+        .groupBy("dst")
+        .agg(F.countDistinct("anchor").alias("n_anchors"))
+    )
+    prof = (
+        ranks.join(outw, ranks["node"] == outw["src"], "left")
+        .drop("src")
+        .join(inw, ranks["node"] == inw["dst"], "left")
+        .drop("dst")
+        .join(anch, ranks["node"] == anch["dst"], "left")
+        .drop("dst")
+    )
+    return prof.select(
+        "node",
+        "rank",
+        F.coalesce(F.col("out_w"), F.lit(0)).cast("long").alias("out_w"),
+        F.coalesce(F.col("in_w"), F.lit(0)).cast("long").alias("in_w"),
+        F.coalesce(F.col("n_in_hosts"), F.lit(0)).cast("long").alias("n_in_hosts"),
+        F.coalesce(F.col("n_anchors"), F.lit(0)).cast("long").alias("n_anchors"),
+    ).orderBy("node")
 
 
 def q_nation_pagerank(spark, sf_dir):
@@ -2666,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "phrase_search": q_phrase_search,
         "bpe_merges": q_bpe_merges,
+        "host_profile": q_host_profile,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
         "percentiles": q_percentiles,
@@ -3379,21 +3425,14 @@ def _normalize_text_oracle() -> str:
     )
 
 
-def _sql_nation_pagerank(iters: int = 3) -> str:
-    """DuckDB replay of q_nation_pagerank: identical edge derivation,
-    then the power iterations UNROLLED with the same arithmetic — every
-    double literal cast (DuckDB parses 0.85 as DECIMAL by default, which
-    would change the rounding), contributions (rank * w)/ow in the same
-    order, per-dst summation as the same src-sorted left fold."""
+def _sql_pagerank_ctes(iters: int = 3) -> str:
+    """Power iterations UNROLLED over an already-defined CTE
+    ``e(src, dst, w)`` — every double literal cast (DuckDB parses 0.85
+    as DECIMAL by default, which would change the rounding),
+    contributions (rank * w)/ow in the same order, per-dst summation as
+    the same src-sorted left fold as graph.pagerank's deterministic
+    mode. Final ranks land in ``r{iters}(node, rank)``."""
     head = (
-        "WITH e AS (SELECT src, dst, count(*)::BIGINT AS w FROM ("
-        "SELECT n1.n_name AS src, n2.n_name AS dst "
-        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
-        "JOIN customer c ON o.o_custkey = c.c_custkey "
-        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
-        "JOIN nation n1 ON c.c_nationkey = n1.n_nationkey "
-        "JOIN nation n2 ON s.s_nationkey = n2.n_nationkey "
-        "WHERE n1.n_name != n2.n_name) GROUP BY src, dst), "
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
         "nn AS (SELECT count(*)::BIGINT AS n FROM nodes), "
         "ow AS (SELECT src, sum(w)::BIGINT AS ow FROM e GROUP BY src), "
@@ -3412,40 +3451,100 @@ def _sql_nation_pagerank(iters: int = 3) -> str:
             f"+ 0.85::DOUBLE * coalesce(s{i}.s, 0.0::DOUBLE) AS rank "
             f"FROM nodes LEFT JOIN s{i} USING (node) CROSS JOIN nn)"
         )
+    return head + ", " + ", ".join(its)
+
+
+def _sql_nation_pagerank(iters: int = 3) -> str:
+    """DuckDB replay of q_nation_pagerank: identical edge derivation,
+    then the shared unrolled-iteration CTE chain."""
+    head = (
+        "WITH e AS (SELECT src, dst, count(*)::BIGINT AS w FROM ("
+        "SELECT n1.n_name AS src, n2.n_name AS dst "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation n1 ON c.c_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON s.s_nationkey = n2.n_nationkey "
+        "WHERE n1.n_name != n2.n_name) GROUP BY src, dst), "
+    )
     return (
-        head + ", " + ", ".join(its) + f" SELECT node, rank FROM r{iters} ORDER BY node"
+        head
+        + _sql_pagerank_ctes(iters)
+        + f" SELECT node, rank FROM r{iters} ORDER BY node"
+    )
+
+
+_ANCHOR_PAGES_SQL = (
+    "p AS (SELECT "
+    "'https://h' || (user_id % 20)::VARCHAR || '.example.net/e/' || "
+    "event_id::VARCHAR AS url, "
+    "'<html><body><a class=\"nav\" href=\"https://h' || "
+    "(event_id % 17)::VARCHAR || "
+    "'.example.net/x.html\"> <b>Link</b> to  ' || "
+    "(event_id % 3)::VARCHAR || "
+    "' </a><a href=\"https://h' || "
+    "((event_id * 7 + 3) % 20)::VARCHAR || "
+    "'.example.net/y.html\">plain ' || (event_id % 2)::VARCHAR || "
+    "'</a></body></html>' AS html FROM events)"
+)
+_HOST_RX_SQL = "'^[a-z][a-z0-9+.-]*://([^/]+)'"
+
+
+def _anchor_ctes() -> str:
+    """z/ea: anchor extraction CTEs over the shared page template —
+    ANCHOR_RE literal, two-group extract_all zipped by list_zip, same
+    tag-strip/ws-collapse cleanup chain as graph.extract_anchors."""
+    from log_analysis_spark.operators.graph import ANCHOR_RE
+
+    return (
+        f"z AS (SELECT regexp_extract(url, {_HOST_RX_SQL}, 1) AS src, "
+        f"unnest(list_zip(regexp_extract_all(html, '{ANCHOR_RE}', 1), "
+        f"regexp_extract_all(html, '{ANCHOR_RE}', 2))) AS pr FROM p), "
+        f"ea AS (SELECT src, regexp_extract(pr[1], {_HOST_RX_SQL}, 1) AS dst, "
+        "trim(regexp_replace(regexp_replace(pr[2], '(?s)<[^<>]*>', ' ', 'g'), "
+        "'\\s+', ' ', 'g')) AS anchor FROM z)"
     )
 
 
 def _anchor_texts_oracle_sql() -> str:
-    """DuckDB replay of q_anchor_texts: identical page-template strings,
-    the shared ANCHOR_RE literal (two-group extract_all zipped by
-    list_zip), the same tag-strip/ws-collapse cleanup chain."""
-    from log_analysis_spark.operators.graph import ANCHOR_RE
-
-    host = "'^[a-z][a-z0-9+.-]*://([^/]+)'"
+    """DuckDB replay of q_anchor_texts over the shared template CTEs."""
     return (
-        "WITH p AS (SELECT "
-        "'https://h' || (user_id % 20)::VARCHAR || '.example.net/e/' || "
-        "event_id::VARCHAR AS url, "
-        "'<html><body><a class=\"nav\" href=\"https://h' || "
-        "(event_id % 17)::VARCHAR || "
-        "'.example.net/x.html\"> <b>Link</b> to  ' || "
-        "(event_id % 3)::VARCHAR || "
-        "' </a><a href=\"https://h' || "
-        "((event_id * 7 + 3) % 20)::VARCHAR || "
-        "'.example.net/y.html\">plain ' || (event_id % 2)::VARCHAR || "
-        "'</a></body></html>' AS html FROM events), "
-        f"z AS (SELECT regexp_extract(url, {host}, 1) AS src, "
-        f"unnest(list_zip(regexp_extract_all(html, '{ANCHOR_RE}', 1), "
-        f"regexp_extract_all(html, '{ANCHOR_RE}', 2))) AS pr FROM p), "
-        f"e AS (SELECT src, regexp_extract(pr[1], {host}, 1) AS dst, "
-        "trim(regexp_replace(regexp_replace(pr[2], '(?s)<[^<>]*>', ' ', 'g'), "
-        "'\\s+', ' ', 'g')) AS anchor FROM z) "
+        "WITH " + _ANCHOR_PAGES_SQL + ", " + _anchor_ctes() + " "
         "SELECT dst, anchor, count(*)::BIGINT AS w, "
-        "count(DISTINCT src)::BIGINT AS n_src_hosts FROM e "
+        "count(DISTINCT src)::BIGINT AS n_src_hosts FROM ea "
         "WHERE src != '' AND dst != '' AND src != dst "
         "GROUP BY dst, anchor ORDER BY dst, anchor"
+    )
+
+
+def _host_profile_oracle_sql() -> str:
+    """DuckDB replay of q_host_profile: href-regex host edges over the
+    shared page template, the unrolled pagerank CTE chain, degree and
+    anchor-diversity aggregates, one left-joined profile row per node."""
+    return (
+        "WITH " + _ANCHOR_PAGES_SQL + ", "
+        f"lk AS (SELECT regexp_extract(url, {_HOST_RX_SQL}, 1) AS src, "
+        "unnest(regexp_extract_all(html, 'href=\"([^\"]+)\"', 1)) AS du "
+        "FROM p), "
+        f"e0 AS (SELECT src, regexp_extract(du, {_HOST_RX_SQL}, 1) AS dst "
+        "FROM lk), "
+        "e AS (SELECT src, dst, count(*)::BIGINT AS w FROM e0 "
+        "WHERE src != '' AND dst != '' AND src != dst GROUP BY src, dst), "
+        + _sql_pagerank_ctes(3)
+        + ", "
+        + _anchor_ctes()
+        + ", an AS (SELECT dst, count(DISTINCT anchor)::BIGINT AS n_anchors "
+        "FROM ea WHERE src != '' AND dst != '' AND src != dst GROUP BY dst), "
+        "ow2 AS (SELECT src, sum(w)::BIGINT AS out_w FROM e GROUP BY src), "
+        "iw AS (SELECT dst, sum(w)::BIGINT AS in_w, "
+        "count(DISTINCT src)::BIGINT AS n_in_hosts FROM e GROUP BY dst) "
+        "SELECT r3.node, r3.rank, coalesce(ow2.out_w, 0)::BIGINT AS out_w, "
+        "coalesce(iw.in_w, 0)::BIGINT AS in_w, "
+        "coalesce(iw.n_in_hosts, 0)::BIGINT AS n_in_hosts, "
+        "coalesce(an.n_anchors, 0)::BIGINT AS n_anchors "
+        "FROM r3 LEFT JOIN ow2 ON r3.node = ow2.src "
+        "LEFT JOIN iw ON r3.node = iw.dst "
+        "LEFT JOIN an ON r3.node = an.dst ORDER BY node"
     )
 
 
@@ -4488,6 +4587,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_pagerank": _sql_nation_pagerank(iters=3),
         "html_text": _html_text_oracle_sql(),
         "anchor_texts": _anchor_texts_oracle_sql(),
+        "host_profile": _host_profile_oracle_sql(),
         "robots_filter": _robots_filter_oracle_sql(),
         "bm25_search": _bm25_oracle_sql(),
         "kmeans": _kmeans_oracle_sql(),

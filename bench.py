@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "phrase_search",
     "bpe_merges",
+    "host_profile",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at

@@ -225,3 +225,24 @@ def test_crawl_delay_group_scoped(spark):
         for r in rules_for_agent(parsed, "fastbot").collect()
     }
     assert pats == {("d.net", "/x"), ("e.net", "/y")}
+
+
+def test_broadcast_off_same_verdicts(spark, robots_df):
+    """broadcast_dim=False (the pathological-rule-corpus escape hatch)
+    must produce identical verdicts via a shuffle join."""
+    urls = [
+        "https://a.net/private/x",
+        "https://a.net/private/ok1",
+        "https://b.net/x/deep",
+        "https://d.net/whatever",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    on = {
+        r["url"]: r["blocked"]
+        for r in robots_filter(df, robots_df, agent="*", flag_col="blocked").collect()
+    }
+    off = robots_filter(
+        df, robots_df, agent="*", flag_col="blocked", broadcast_dim=False
+    )
+    got = {r["url"]: r["blocked"] for r in off.collect()}
+    assert got == on
