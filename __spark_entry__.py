@@ -324,6 +324,55 @@ def q_domain_quota(spark, sf_dir):
     ).orderBy("registrable_domain", "_rank")
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC (ISO 28500) ingest-format fidelity (sources/warc.py): build
+    REAL WARC/1.0 response records in-plan from the documents table
+    (headers, Content-Length octet counts, HTTP message block), parse
+    them back through the distributed Content-Length-driven reader, and
+    emit what the parser recovered — url, timestamp, HTTP status,
+    content type, payload md5 + octet length. The oracle derives the
+    expected values relationally (it never sees the bytes), so any
+    off-by-one in header/body slicing or date normalization breaks the
+    md5/length equality. This is the CC-layout sibling of the Zeek
+    gzip-TSV fidelity path (S3/S4, zeek_tsv.py)."""
+    from log_analysis_spark.sources.warc import parse_warc_column
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _url_expr().alias("url"), "text"
+    )
+    body = F.col("text")
+    http_head = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "),
+        F.octet_length(body).cast("string"),
+        F.lit("\r\n\r\n"),
+    )
+    block = F.concat(http_head, body)
+    warc_head = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        F.col("url"),
+        F.lit("\r\nWARC-Date: 2024-07-02T12:34:56Z\r\nWARC-Record-ID: <urn:uuid:"),
+        F.col("doc_id").cast("string"),
+        F.lit(">\r\nContent-Type: application/http; msgtype=response"),
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(block).cast("string"),
+        F.lit("\r\n\r\n"),
+    )
+    raw = F.concat(warc_head, block, F.lit("\r\n\r\n")).cast("binary")
+    recs = parse_warc_column(
+        d.select("doc_id", raw.alias("raw")), "raw", keep_cols=["doc_id"]
+    )
+    return recs.select(
+        "doc_id",
+        "url",
+        "rec_type",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts_s"),
+        F.col("http_status").cast("long").alias("http_status"),
+        "content_type",
+        F.md5("payload").alias("payload_md5"),
+        F.octet_length("payload").cast("long").alias("payload_len"),
+    ).orderBy("doc_id")
+
+
 def q_date_range_days(spark, sf_dir):
     """O3: date-range generation (main.rs:815-834) as sequence+explode,
     left-joined so zero-order days appear."""
@@ -2637,6 +2686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (mergeable-state view maintenance), dedup_keep_best vs the in-window
     dup_clusters — demoted to admit nation_pagerank, a NEW family
     (iterative link-graph analytics; host_edges is its tail variant),
+    fingerprints vs the 4 remaining in-window text rows — demoted to
+    admit warc_roundtrip, the WARC ingest-format-fidelity gate,
     ...) ride at the tail."""
     return {
         # --- SURVEY §2 core pipeline (scan/filter/route/agg/enrich) ---
@@ -2675,10 +2726,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         # --- text analysis ---
         "grok_parse": q_grok_parse,
+        # --- ingest-format fidelity (WARC = Common Crawl's on-disk layout) ---
+        "warc_roundtrip": q_warc_roundtrip,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "langid": q_langid,
-        "fingerprints": q_fingerprints,
         "top_terms": q_top_terms,
         "pii_redact": q_pii_redact,
         # --- sampling / training-data prep ---
@@ -2712,6 +2764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "bpe_merges": q_bpe_merges,
         "host_profile": q_host_profile,
+        "fingerprints": q_fingerprints,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
         "percentiles": q_percentiles,
@@ -3253,6 +3306,23 @@ def _canonical_urls_sql() -> str:
         "SELECT doc_id, url, canonical, "
         "(count(*) OVER (PARTITION BY canonical))::BIGINT AS n_same_canonical "
         "FROM fin ORDER BY doc_id"
+    )
+
+
+def _warc_roundtrip_sql() -> str:
+    """Independent derivation for q_warc_roundtrip: the oracle computes
+    what a CORRECT WARC parse of the constructed records must recover —
+    straight from the documents table, never touching the bytes. The
+    parser's slicing/date-normalization is thereby proven against
+    relational ground truth rather than replayed."""
+    return _hosts_ctes() + (
+        f"urls AS (SELECT doc_id, {_URL_SQL} AS url FROM hosts) "
+        "SELECT d.doc_id, u.url, 'response' AS rec_type, "
+        "'2024-07-02 12:34:56' AS warc_ts_s, "
+        "200::BIGINT AS http_status, 'text/html' AS content_type, "
+        "md5(d.text) AS payload_md5, "
+        "strlen(d.text)::BIGINT AS payload_len "  # strlen = BYTE length in DuckDB
+        "FROM documents d JOIN urls u USING (doc_id) ORDER BY d.doc_id"
     )
 
 
@@ -4142,6 +4212,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _dsir_select_sql(),
         "domain_quota": _domain_quota_sql(),
         "canonical_urls": _canonical_urls_sql(),
+        "warc_roundtrip": _warc_roundtrip_sql(),
         "term_lookup": (
             # Recomputes the conjunctive postings lookup straight from
             # documents: docs containing BOTH terms, summed tf.

@@ -273,6 +273,39 @@ def run_pipeline(
     }
 
 
+def ingest_warc(
+    spark: SparkSession,
+    warc_dir: str,
+    pages_path: str,
+    out_dir: str,
+    resume: bool = True,
+) -> dict:
+    """Materialize the pages table from raw ``.warc(.gz)`` files
+    (sources/warc.py): one task per WARC file -> response records ->
+    (url, warc_ts, html, text, lang) written day-partitioned. One
+    resume unit, fingerprinted by the WARC directory listing — a
+    changed/extended crawl re-ingests, an unchanged one is skipped."""
+    from pyspark.sql import Observation
+
+    from ..sources.pages import write_pages_table
+    from ..sources.warc import pages_from_warc, read_warc
+
+    manifest = Manifest(os.path.join(out_dir, "_manifest"))
+    fp = dir_fingerprint(warc_dir)
+    if resume and manifest.is_done("warc_ingest", "all", fp):
+        return {"warc_ingested": False, "skipped": True}
+    obs = Observation("warc_pages")
+    pages = pages_from_warc(read_warc(spark, warc_dir)).observe(
+        obs, F.count(F.lit(1)).alias("n")
+    )
+    write_pages_table(pages, pages_path)
+    n = int(obs.get["n"])
+    manifest.mark_done(
+        "warc_ingest", "all", fp, UnitResult(rows_in=n, rows_out=n, bytes_out=dir_bytes(pages_path))
+    )
+    return {"warc_ingested": True, "pages": n}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", help="pages table path (required unless --compact)")
@@ -288,6 +321,13 @@ def main() -> None:
         "operators/robots.py). Rides the resume fingerprint.",
     )
     ap.add_argument("--robots-agent", default="*")
+    ap.add_argument(
+        "--warc-ingest",
+        metavar="WARC_DIR",
+        help="ingest raw .warc(.gz) files (Common Crawl layout; "
+        "sources/warc.py) into the pages table at --input before "
+        "running the pipeline; manifest-resumed",
+    )
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument(
         "--single-pass",
@@ -323,6 +363,12 @@ def main() -> None:
         )
         print(json.dumps(stats))
         return
+    if args.warc_ingest:
+        ingest = ingest_warc(
+            spark, args.warc_ingest, args.input, args.out, resume=not args.no_resume
+        )
+    else:
+        ingest = None
     if args.single_pass:
         metrics = run_once(
             spark, args.input, args.out, args.start_date, args.end_date
@@ -340,6 +386,8 @@ def main() -> None:
             robots_path=args.robots,
             robots_agent=args.robots_agent,
         )
+    if ingest is not None:
+        metrics["warc_ingest"] = ingest
     print(json.dumps(metrics))
 
 

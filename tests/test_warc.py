@@ -1,0 +1,204 @@
+"""WARC source tests (sources/warc.py): spec-exact fixtures round-trip
+through the distributed reader with payload byte-identity, malformed
+tails dead-letter instead of failing, and the pages-table projection
+applies the crawl keep-rules."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_spark.sources.warc import (
+    build_http_response_block,
+    build_record,
+    pages_from_warc,
+    parse_warc_column,
+    read_warc,
+    records_from_bytes,
+    write_warc_fixture,
+)
+
+BODY_A = b"<html><body><p>alpha page</p></body></html>"
+BODY_B = b"<html><body><p>beta page</p></body></html>"
+# binary payload embedding both a fake record head and a blank line: a
+# delimiter-scanning parser desynchronizes here; Content-Length slicing
+# must not
+BODY_TRAP = b"x\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\n" + bytes(range(256))
+
+
+def _fixture_records():
+    return [
+        build_record(
+            "warcinfo",
+            None,
+            "2024-07-02T00:00:00Z",
+            b"software: test\r\n",
+            content_type="application/warc-fields",
+        ),
+        build_record(
+            "request",
+            "http://a.example/x",
+            "2024-07-02T00:00:01Z",
+            b"GET /x HTTP/1.1\r\nHost: a.example\r\n\r\n",
+            content_type="application/http; msgtype=request",
+        ),
+        build_record(
+            "response",
+            "http://a.example/x",
+            "2024-07-02T00:00:01Z",
+            build_http_response_block(BODY_A, 200, "text/html"),
+            content_type="application/http; msgtype=response",
+        ),
+        build_record(
+            "response",
+            "http://b.example/y",
+            "2024-07-03T10:20:30Z",
+            build_http_response_block(BODY_TRAP, 200, "application/octet-stream"),
+            content_type="application/http; msgtype=response",
+        ),
+        build_record(
+            "response",
+            "http://c.example/z",
+            "2024-07-03T10:20:31Z",
+            build_http_response_block(BODY_B, 404, "text/html"),
+            content_type="application/http; msgtype=response",
+        ),
+    ]
+
+
+@pytest.mark.parametrize("gz", [True, False], ids=["gzip-members", "plain"])
+def test_roundtrip_byte_identity(spark, tmpdir_path, gz):
+    path = os.path.join(tmpdir_path, "seg-0.warc" + (".gz" if gz else ""))
+    write_warc_fixture(path, _fixture_records(), gzip_members=gz)
+    rows = (
+        read_warc(spark, tmpdir_path, types=None)
+        .orderBy("warc_ts", "rec_type", "url")
+        .collect()
+    )
+    assert [r["rec_type"] for r in rows] == [
+        "warcinfo",
+        "request",
+        "response",
+        "response",
+        "response",
+    ]
+    resp = {r["url"]: r for r in rows if r["rec_type"] == "response"}
+    assert bytes(resp["http://a.example/x"]["payload"]) == BODY_A
+    assert bytes(resp["http://b.example/y"]["payload"]) == BODY_TRAP
+    assert bytes(resp["http://c.example/z"]["payload"]) == BODY_B
+    assert resp["http://a.example/x"]["http_status"] == 200
+    assert resp["http://c.example/z"]["http_status"] == 404
+    assert resp["http://a.example/x"]["content_type"] == "text/html"
+    assert str(resp["http://b.example/y"]["warc_ts"]) == "2024-07-03 10:20:30"
+
+
+def test_default_types_filter(spark, tmpdir_path):
+    write_warc_fixture(os.path.join(tmpdir_path, "s.warc.gz"), _fixture_records())
+    rows = read_warc(spark, tmpdir_path).collect()  # default: responses only
+    assert {r["rec_type"] for r in rows} == {"response"}
+    assert len(rows) == 3
+
+
+def test_truncated_tail_dead_letters(spark, tmpdir_path):
+    recs = _fixture_records()
+    data = b"".join(recs[:3])
+    # chop the final record mid-body: Content-Length says more bytes exist
+    data = data[:-20]
+    p = os.path.join(tmpdir_path, "trunc.warc")
+    with open(p, "wb") as f:
+        f.write(data)
+    rows = read_warc(spark, tmpdir_path, types=None).collect()
+    types = sorted(r["rec_type"] for r in rows)
+    assert types == ["_malformed", "request", "warcinfo"]
+    bad = [r for r in rows if r["rec_type"] == "_malformed"][0]
+    assert int(bytes(bad["payload"])) > 0  # missing-byte count
+
+
+def test_garbage_prefix_dead_letters():
+    recs = list(records_from_bytes(b"not a warc stream at all", "f"))
+    assert len(recs) == 1 and recs[0]["rec_type"] == "_malformed"
+
+
+def test_http_head_lf_only_tolerated():
+    block = b"HTTP/1.1 200 OK\nContent-Type: text/plain\n\nhello"
+    rec = build_record(
+        "response",
+        "http://a/x",
+        "2024-07-02T00:00:00Z",
+        block,
+        content_type="application/http; msgtype=response",
+    )
+    (r,) = records_from_bytes(rec, "f")
+    assert r["http_status"] == 200
+    assert r["content_type"] == "text/plain"
+    assert r["payload"] == b"hello"
+
+
+def test_fractional_second_and_offset_dates():
+    rec = build_record(
+        "response",
+        "http://a/x",
+        "2024-07-02T01:02:03.250000+02:00",
+        build_http_response_block(b"b"),
+        content_type="application/http; msgtype=response",
+    )
+    (r,) = records_from_bytes(rec, "f")
+    assert str(r["warc_ts"]) == "2024-07-01 23:02:03.250000"  # normalized to UTC
+
+
+def test_non_http_response_keeps_full_block():
+    block = b"raw bytes, no HTTP head"
+    rec = build_record(
+        "response",
+        "http://a/x",
+        "2024-07-02T00:00:00Z",
+        block,
+        content_type="application/http; msgtype=response",
+    )
+    (r,) = records_from_bytes(rec, "f")
+    assert r["http_status"] is None
+    assert r["payload"] == block
+
+
+def test_parse_warc_column_keep_cols(spark):
+    recs = _fixture_records()
+    df = spark.createDataFrame(
+        [(1, bytearray(recs[2])), (2, bytearray(recs[4]))], "k int, raw binary"
+    )
+    out = parse_warc_column(df, "raw", keep_cols=["k"]).orderBy("k").collect()
+    assert [r["k"] for r in out] == [1, 2]
+    assert bytes(out[0]["payload"]) == BODY_A
+    assert out[1]["http_status"] == 404
+
+
+def test_pages_from_warc_keep_rules(spark, tmpdir_path):
+    write_warc_fixture(os.path.join(tmpdir_path, "s.warc.gz"), _fixture_records())
+    pages = pages_from_warc(read_warc(spark, tmpdir_path)).orderBy("url").collect()
+    # 404 dropped; octet-stream dropped; only the 200 text/html page stays
+    assert [r["url"] for r in pages] == ["http://a.example/x"]
+    assert bytes(pages[0]["html"]) == BODY_A
+    assert pages[0]["text"] == "alpha page"
+    assert pages[0]["lang"] is not None
+
+
+def test_cli_warc_ingest_resumes(spark, tmpdir_path):
+    from log_analysis_spark.plans.job import ingest_warc
+
+    warc_dir = os.path.join(tmpdir_path, "warc")
+    os.makedirs(warc_dir)
+    write_warc_fixture(os.path.join(warc_dir, "s.warc.gz"), _fixture_records())
+    pages_path = os.path.join(tmpdir_path, "pages")
+    out_dir = os.path.join(tmpdir_path, "out")
+    r1 = ingest_warc(spark, warc_dir, pages_path, out_dir)
+    assert r1 == {"warc_ingested": True, "pages": 1}
+    df = spark.read.parquet(pages_path)
+    assert df.count() == 1 and "day" in df.columns
+    assert str(df.select("day").first()["day"]) == "2024-07-02"
+    # unchanged input -> skipped; touched input -> re-ingested
+    r2 = ingest_warc(spark, warc_dir, pages_path, out_dir)
+    assert r2 == {"warc_ingested": False, "skipped": True}
+    write_warc_fixture(
+        os.path.join(warc_dir, "s2.warc.gz"), _fixture_records()[:3], gzip_members=True
+    )
+    r3 = ingest_warc(spark, warc_dir, pages_path, out_dir)
+    assert r3["warc_ingested"] is True
