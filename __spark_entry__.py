@@ -373,6 +373,45 @@ def q_warc_roundtrip(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_crawl_frontier(spark, sf_dir):
+    """Politeness-aware crawl-frontier scheduling
+    (operators/frontier.py): host-affine worker assignment (a host is
+    fetched by exactly ONE worker — structural politeness), per-host
+    deterministic fetch order (md5 base hash), earliest-start offsets
+    from a per-host Crawl-delay dim (www.* 5s, blog.* 2.5s, default
+    1s). One row_number window on host is the only shuffle; the delay
+    dim broadcasts. The oracle replays rank, worker hash, and offset
+    arithmetic relationally."""
+    from log_analysis_spark.operators.frontier import schedule_frontier
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _host_expr().alias("host"), _url_expr().alias("url")
+    )
+    delays = (
+        d.select("host")
+        .distinct()
+        .withColumn(
+            "delay_s",
+            F.when(F.col("host").startswith("www."), F.lit(5.0)).when(
+                F.col("host").startswith("blog."), F.lit(2.5)
+            ),
+        )
+        .filter(F.col("delay_s").isNotNull())
+    )
+    out = schedule_frontier(
+        d, delays, default_delay_s=1.0, n_workers=8, hash_fn="md5"
+    )
+    return out.select(
+        "doc_id",
+        "host",
+        "url",
+        F.col("fetch_order").cast("long").alias("fetch_order"),
+        F.col("worker").cast("long").alias("worker"),
+        "delay_s",
+        "fetch_offset_s",
+    ).orderBy("doc_id")
+
+
 def q_date_range_days(spark, sf_dir):
     """O3: date-range generation (main.rs:815-834) as sequence+explode,
     left-joined so zero-order days appear."""
@@ -2764,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "bpe_merges": q_bpe_merges,
         "host_profile": q_host_profile,
+        "crawl_frontier": q_crawl_frontier,
         "fingerprints": q_fingerprints,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
@@ -3323,6 +3363,25 @@ def _warc_roundtrip_sql() -> str:
         "md5(d.text) AS payload_md5, "
         "strlen(d.text)::BIGINT AS payload_len "  # strlen = BYTE length in DuckDB
         "FROM documents d JOIN urls u USING (doc_id) ORDER BY d.doc_id"
+    )
+
+
+def _crawl_frontier_sql() -> str:
+    """DuckDB replay of q_crawl_frontier: same synthetic hosts/urls,
+    same 60-bit md5 base hash for rank order + worker assignment, same
+    single-rounding offset arithmetic."""
+    return _hosts_ctes() + (
+        f"urls AS (SELECT doc_id, host, {_URL_SQL} AS url FROM hosts), "
+        "del AS (SELECT doc_id, host, url, "
+        "CASE WHEN host LIKE 'www.%' THEN 5.0::DOUBLE "
+        "WHEN host LIKE 'blog.%' THEN 2.5::DOUBLE "
+        "ELSE 1.0::DOUBLE END AS delay_s FROM urls), "
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY host "
+        f"ORDER BY {_sql_h60('url')}, url)::BIGINT AS fetch_order FROM del) "
+        "SELECT doc_id, host, url, fetch_order, "
+        f"({_sql_h60('host')} % 8)::BIGINT AS worker, delay_s, "
+        "(fetch_order - 1)::DOUBLE * delay_s AS fetch_offset_s "
+        "FROM rk ORDER BY doc_id"
     )
 
 
@@ -4213,6 +4272,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_quota": _domain_quota_sql(),
         "canonical_urls": _canonical_urls_sql(),
         "warc_roundtrip": _warc_roundtrip_sql(),
+        "crawl_frontier": _crawl_frontier_sql(),
         "term_lookup": (
             # Recomputes the conjunctive postings lookup straight from
             # documents: docs containing BOTH terms, summed tf.

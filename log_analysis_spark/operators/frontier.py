@@ -1,0 +1,82 @@
+"""Crawl-frontier scheduling: politeness-aware fetch planning.
+
+The crawl-side complement of the robots.txt filter (operators/robots.py):
+given the candidate URL set a crawler may fetch, produce the fetch PLAN —
+which worker owns each URL, in what order a host's URLs are fetched, and
+the earliest offset (seconds into the crawl round) each fetch may start
+so the per-host ``Crawl-delay`` politeness interval is honored.
+
+Design (all relational, one shuffle):
+
+- **Host affinity is structural politeness.** Every URL of a host maps to
+  worker ``pmod(hash(host), n_workers)``, so a host is fetched by exactly
+  one worker and per-host serialization cannot be violated by cluster
+  parallelism — the invariant real crawlers (Heritrix queue assignment,
+  Nutch ``partition.url.mode=byHost``) enforce the same way.
+- **Within-host order is deterministic**: priority DESC first (if given),
+  then the md5/xxhash base-hash of the URL — stable under repartitioning
+  and corpus growth, like every other deterministic sample in this repo
+  (operators/sampling.py). Rank comes from ONE ``row_number`` window
+  partitioned by host — the only shuffle in the plan, and it shares the
+  host key with the worker assignment.
+- **Earliest start offset** = ``(rank-1) * delay_s`` with the host's
+  Crawl-delay from ``robots.crawl_delays`` (a BROADCAST dim — robots
+  rule sets are O(hosts), tiny next to the frontier) and a caller default
+  where no delay line exists.
+
+Scale shape at 10^12 URLs: the window is a single hash-partitioned
+shuffle on host; a mega-host's chain is long because politeness is
+serial per host — that is workload reality, not compute skew (the
+row_number for one host is a linear within-partition scan). The delays
+dim never shuffles the frontier. Skew-sensitive callers cap per-host
+depth first with ``sampling.keyed_quota_sample`` — composition, not a
+special case here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .dedup import _base_hash
+
+
+def schedule_frontier(
+    urls: DataFrame,
+    delays: DataFrame | None = None,
+    default_delay_s: float = 1.0,
+    n_workers: int = 64,
+    host_col: str = "host",
+    url_col: str = "url",
+    priority_col: str | None = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Input: (host, url[, priority]) frontier rows; ``delays`` an
+    optional (host, delay_s) dim (shape of ``robots.crawl_delays``).
+    Output adds ``worker`` (host-affine partition), ``fetch_order``
+    (1-based per-host rank) and ``fetch_offset_s`` (earliest start,
+    seconds). ``hash_fn='md5'`` is the oracle-replayable variant."""
+    host = F.col(host_col)
+    order = [F.col(priority_col).desc()] if priority_col else []
+    order += [_base_hash(F.col(url_col), hash_fn).asc(), F.col(url_col).asc()]
+    w = Window.partitionBy(host_col).orderBy(*order)
+    out = urls.withColumn("fetch_order", F.row_number().over(w))
+    if delays is not None:
+        out = out.join(
+            F.broadcast(delays.select(host_col, "delay_s")), on=host_col, how="left"
+        )
+    else:
+        out = out.withColumn("delay_s", F.lit(None).cast("double"))
+    return (
+        out.withColumn(
+            "delay_s", F.coalesce(F.col("delay_s"), F.lit(float(default_delay_s)))
+        )
+        .withColumn(
+            "worker",
+            F.pmod(_base_hash(host, hash_fn), F.lit(n_workers)).cast("int"),
+        )
+        .withColumn(
+            "fetch_offset_s",
+            (F.col("fetch_order") - F.lit(1)).cast("double") * F.col("delay_s"),
+        )
+    )

@@ -1,0 +1,80 @@
+"""Frontier scheduler tests (operators/frontier.py): host affinity,
+deterministic per-host order, priority precedence, delay composition
+with robots.txt Crawl-delay extraction."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_spark.operators.frontier import schedule_frontier
+
+
+def _frontier(spark):
+    rows = [
+        ("a.example", f"http://a.example/p{i}", i % 3) for i in range(9)
+    ] + [
+        ("b.example", f"http://b.example/q{i}", 0) for i in range(4)
+    ] + [
+        ("c.example", "http://c.example/solo", 9)
+    ]
+    return spark.createDataFrame(rows, "host string, url string, priority int")
+
+
+def test_host_affinity_and_rank_permutation(spark):
+    out = schedule_frontier(_frontier(spark), n_workers=4).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, rs in by_host.items():
+        workers = {r["worker"] for r in rs}
+        assert len(workers) == 1, f"{host} split across workers"
+        assert workers.pop() in range(4)
+        assert sorted(r["fetch_order"] for r in rs) == list(range(1, len(rs) + 1))
+
+
+def test_deterministic_under_repartition(spark):
+    f = _frontier(spark)
+    a = schedule_frontier(f, n_workers=4).orderBy("url").collect()
+    b = schedule_frontier(f.repartition(7, "url"), n_workers=4).orderBy("url").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_priority_fetched_first(spark):
+    out = schedule_frontier(
+        _frontier(spark), priority_col="priority", n_workers=4
+    ).filter(F.col("host") == "a.example").orderBy("fetch_order").collect()
+    pris = [r["priority"] for r in out]
+    assert pris == sorted(pris, reverse=True)
+
+
+def test_delay_dim_and_default(spark):
+    delays = spark.createDataFrame(
+        [("a.example", 5.0)], "host string, delay_s double"
+    )
+    out = schedule_frontier(_frontier(spark), delays, default_delay_s=2.0).collect()
+    a = sorted(
+        (r["fetch_order"], r["fetch_offset_s"]) for r in out if r["host"] == "a.example"
+    )
+    assert a == [(i + 1, 5.0 * i) for i in range(9)]
+    b = sorted(
+        (r["fetch_order"], r["fetch_offset_s"]) for r in out if r["host"] == "b.example"
+    )
+    assert b == [(i + 1, 2.0 * i) for i in range(4)]
+
+
+def test_compose_with_robots_crawl_delays(spark):
+    from log_analysis_spark.operators.robots import crawl_delays, parse_robots
+
+    body = "User-agent: *\nCrawl-delay: 7\nDisallow: /private\n"
+    robots = spark.createDataFrame([("a.example", body)], "host string, robots_txt string")
+    delays = crawl_delays(parse_robots(robots), agent="*")
+    out = schedule_frontier(_frontier(spark), delays).filter(
+        F.col("host") == "a.example"
+    ).collect()
+    assert all(r["delay_s"] == 7.0 for r in out)
+    assert {r["fetch_offset_s"] for r in out} == {7.0 * i for i in range(9)}
+
+
+def test_md5_variant_matches_shape(spark):
+    out = schedule_frontier(_frontier(spark), hash_fn="md5", n_workers=8).collect()
+    assert len(out) == 14
+    assert all(0 <= r["worker"] < 8 for r in out)
