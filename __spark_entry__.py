@@ -412,6 +412,22 @@ def q_crawl_frontier(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_data_mixture(spark, sf_dir):
+    """Training-data mixture planning (operators/mixing.py): per-source
+    (here per-lang) token budgets allocated 3:1 en:de from a 6000-token
+    total, documents taken in deterministic md5-hash order until each
+    budget is crossed (straddling doc kept; unweighted langs never
+    select). The per-source running total is the GROUPED two-phase
+    distributed prefix sum — never a per-source single-partition window.
+    The oracle replays order, offsets, and selection with one window."""
+    from log_analysis_spark.operators.mixing import plan_mixture
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return plan_mixture(
+        d, {"en": 3.0, "de": 1.0}, total_tokens=6000, hash_fn="md5"
+    ).orderBy("doc_id")
+
+
 def q_date_range_days(spark, sf_dir):
     """O3: date-range generation (main.rs:815-834) as sequence+explode,
     left-joined so zero-order days appear."""
@@ -2804,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "host_profile": q_host_profile,
         "crawl_frontier": q_crawl_frontier,
+        "data_mixture": q_data_mixture,
         "fingerprints": q_fingerprints,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
@@ -3363,6 +3380,26 @@ def _warc_roundtrip_sql() -> str:
         "md5(d.text) AS payload_md5, "
         "strlen(d.text)::BIGINT AS payload_len "  # strlen = BYTE length in DuckDB
         "FROM documents d JOIN urls u USING (doc_id) ORDER BY d.doc_id"
+    )
+
+
+def _data_mixture_sql() -> str:
+    """DuckDB replay of q_data_mixture: same token counts, same 60-bit
+    md5 order, one exclusive-prefix window per lang, literal budgets
+    (4500/1500 = the exact driver-side floor allocation of 6000 at 3:1)."""
+    toks = _TOKENS.format(t="text")
+    return (
+        "WITH c AS (SELECT doc_id, lang, "
+        f"len({toks})::BIGINT AS n_tokens, "
+        f"{_sql_h60('doc_id::VARCHAR')} AS _ord FROM documents), "
+        "o AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY lang "
+        "ORDER BY _ord ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+        "0)::BIGINT AS \"offset\" FROM c), "
+        "w(lang, budget) AS (VALUES ('en', 4500::BIGINT), ('de', 1500::BIGINT)) "
+        "SELECT doc_id, lang, n_tokens, \"offset\", "
+        "coalesce(budget, 0::BIGINT) AS budget, "
+        "\"offset\" < coalesce(budget, 0::BIGINT) AS selected "
+        "FROM o LEFT JOIN w USING (lang) ORDER BY doc_id"
     )
 
 
@@ -4273,6 +4310,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_urls": _canonical_urls_sql(),
         "warc_roundtrip": _warc_roundtrip_sql(),
         "crawl_frontier": _crawl_frontier_sql(),
+        "data_mixture": _data_mixture_sql(),
         "term_lookup": (
             # Recomputes the conjunctive postings lookup straight from
             # documents: docs containing BOTH terms, summed tf.
