@@ -428,6 +428,42 @@ def q_data_mixture(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_linear_classifier(spark, sf_dir):
+    """Distributed linear quality-classifier training + inference
+    (operators/classify.py): LMS gradient descent over hashed
+    unigram+bigram occurrence features, labels +1 for lang='en' docs
+    and -1 otherwise, 2 full-batch iterations at lr=0.02, then map-side
+    scoring of the whole corpus with the learned weights. Deterministic
+    mode: id-sorted gradient folds + literal three-step updates — the
+    DuckDB oracle UNROLLS both iterations (g1 -> w1 -> g2 -> w2 -> final
+    scores) and matches every score bit-for-bit. Fourth member of the
+    iterative family (pagerank, kmeans, BPE)."""
+    from log_analysis_spark.operators.classify import (
+        linear_scores,
+        train_linear_classifier,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(-1.0)).alias("y"),
+    )
+    w = train_linear_classifier(
+        d,
+        "y",
+        n_buckets=64,
+        iters=2,
+        lr=0.02,
+        hash_fn="md5",
+        deterministic=True,
+        unpersist_handles=[],
+    )
+    return (
+        linear_scores(d, w, hash_fn="md5", keep_cols=("y",))
+        .orderBy("doc_id")
+    )
+
+
 def q_date_range_days(spark, sf_dir):
     """O3: date-range generation (main.rs:815-834) as sequence+explode,
     left-joined so zero-order days appear."""
@@ -2821,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_profile": q_host_profile,
         "crawl_frontier": q_crawl_frontier,
         "data_mixture": q_data_mixture,
+        "linear_classifier": q_linear_classifier,
         "fingerprints": q_fingerprints,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
@@ -3400,6 +3437,61 @@ def _data_mixture_sql() -> str:
         "coalesce(budget, 0::BIGINT) AS budget, "
         "\"offset\" < coalesce(budget, 0::BIGINT) AS selected "
         "FROM o LEFT JOIN w USING (lang) ORDER BY doc_id"
+    )
+
+
+def _linear_classifier_sql(n_buckets: int = 64, lr: str = "0.02", iters: int = 2) -> str:
+    """DuckDB replay of q_linear_classifier: identical tokenization /
+    bigram / md5-hash60 occurrence arrays (bias slot last), then the
+    training loop UNROLLED — per-bucket id-sorted gradient folds, the
+    literal ``w + lr * (g / n)`` update, per-doc left-fold scores —
+    so the final scores match bit-for-bit."""
+    b = n_buckets
+    toks = _TOKENS.format(t="text")
+    bigrams = (
+        "CASE WHEN len(w) >= 2 THEN "
+        "[w[i] || ' ' || w[i+1] for i in range(1, len(w))] "
+        "ELSE [] END"
+    )
+    f = (
+        f"list_transform(w || {bigrams}, t -> {_sql_h60('t')} % {b}) "
+        f"|| [{b}::BIGINT]"
+    )
+
+    def score(wl: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(f, x -> {wl}[(x + 1)::INT])), (a, v) -> a + v)"
+        )
+
+    gfold = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        "list_transform(list_sort(list(struct_pack(i := doc_id, g := r))), "
+        "s -> s.g)), (a, v) -> a + v)"
+    )
+    assert iters == 2, "oracle unrolls exactly 2 iterations"
+    return (
+        f"WITH tok AS (SELECT doc_id, lang, {toks} AS w FROM documents), "
+        "fe AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0::DOUBLE "
+        f"ELSE -1.0::DOUBLE END AS y, {f} AS f FROM tok), "
+        "nn AS (SELECT count(*)::BIGINT AS n FROM fe), "
+        f"bks AS (SELECT unnest(range(0, {b + 1})) AS b), "
+        # iter 1: w0 = zeros => every score 0 => residual = y
+        "c1 AS (SELECT doc_id, y AS r, unnest(f) AS b FROM fe), "
+        f"g1 AS (SELECT b, {gfold} AS g FROM c1 GROUP BY b), "
+        f"w1 AS (SELECT list(0.0::DOUBLE + {lr}::DOUBLE * "
+        "(coalesce(g, 0.0::DOUBLE) / n) ORDER BY b) AS w "
+        "FROM bks LEFT JOIN g1 USING (b), nn), "
+        # iter 2
+        f"s2 AS (SELECT doc_id, y, f, {score('w1.w')} AS s FROM fe, w1), "
+        "c2 AS (SELECT doc_id, (y - s) AS r, unnest(f) AS b FROM s2), "
+        f"g2 AS (SELECT b, {gfold} AS g FROM c2 GROUP BY b), "
+        f"w2 AS (SELECT list(w1.w[(b + 1)::INT] + {lr}::DOUBLE * "
+        "(coalesce(g, 0.0::DOUBLE) / n) ORDER BY b) AS w "
+        "FROM bks LEFT JOIN g2 USING (b), w1, nn), "
+        f"fin AS (SELECT doc_id, y, {score('w2.w')} AS score FROM fe, w2) "
+        "SELECT doc_id, y, score, score >= 0.0 AS predicted "
+        "FROM fin ORDER BY doc_id"
     )
 
 
@@ -4311,6 +4403,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": _warc_roundtrip_sql(),
         "crawl_frontier": _crawl_frontier_sql(),
         "data_mixture": _data_mixture_sql(),
+        "linear_classifier": _linear_classifier_sql(),
         "term_lookup": (
             # Recomputes the conjunctive postings lookup straight from
             # documents: docs containing BOTH terms, summed tf.
