@@ -1591,6 +1591,19 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle containment (dedup.containment_pairs): the
+    quote/subset detector — directed pairs where >=90% of id_a's
+    3-shingles appear in id_b. Blocked on lang (a LENGTH block would be
+    wrong here: containment pairs have very different lengths by
+    construction). Jaccard's symmetric union denominator misses these;
+    see the planted-quote pytest."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.containment_pairs(
+        d, "doc_id", "text", block_col="lang", n=3, threshold=0.9
+    ).orderBy("id_a", "id_b")
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs, exact-verified. md5-based base hash so
     the DuckDB oracle replays the ENTIRE pipeline (shingle hash ->
@@ -2858,6 +2871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "data_mixture": q_data_mixture,
         "linear_classifier": q_linear_classifier,
+        "containment_pairs": q_containment_pairs,
         "fingerprints": q_fingerprints,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
@@ -4404,6 +4418,18 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier": _crawl_frontier_sql(),
         "data_mixture": _data_mixture_sql(),
         "linear_classifier": _linear_classifier_sql(),
+        "containment_pairs": (
+            "WITH tok AS (SELECT doc_id, lang AS blk, "
+            f"{_TOKENS.format(t='text')} AS w FROM documents), "
+            f"sh AS (SELECT doc_id, blk, CASE WHEN len(w) >= 3 THEN {_SQL_SHINGLES3} "
+            "ELSE [] END AS s FROM tok) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE AS containment "
+            "FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id != b.doc_id "
+            "WHERE len(a.s) > 0 AND "
+            "len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE >= 0.9 "
+            "ORDER BY id_a, id_b"
+        ),
         "term_lookup": (
             # Recomputes the conjunctive postings lookup straight from
             # documents: docs containing BOTH terms, summed tf.

@@ -185,6 +185,54 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Asymmetric shingle containment C(A,B) = |sh(A) & sh(B)| / |sh(A)|
+    over pairs sharing a blocking key — the quote/subset detector.
+
+    A short document embedded verbatim in a long one has LOW Jaccard
+    (union dominated by the long doc) but containment ~1.0 in the
+    short->long direction, which is why dedup pipelines audit
+    containment separately (Broder 1997 §2 defines both). Output is
+    DIRECTED: (id_a, id_b, containment) with id_a != id_b, meaning
+    "id_a is contained in id_b" at >= threshold.
+
+    Blocking note: unlike ``ngram_jaccard_pairs``, a LENGTH bucket is
+    the WRONG block key here — containment pairs have very different
+    lengths by construction. Block on a content-independent key (lang,
+    source, domain), or at 10^12 docs on the shingle-hash equi-join
+    itself (a contained doc shares every shingle with its container,
+    so any-shared-shingle candidate generation has full recall; see
+    ``minhash_lsh_pairs`` for the banding machinery to bound it).
+    """
+    sh = _hashed_shingle_sets(
+        df.withColumnRenamed(block_col, "_blk") if block_col != "_blk" else df,
+        id_col, text_col, n, extra_cols=["_blk"], hash_fn=hash_fn,
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(
+        b, on=[F.col("a._blk") == F.col("b._blk"), F.col("a._id") != F.col("b._id")]
+    )
+    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh"))).cast("double")
+    denom = F.size(F.col("a._sh")).cast("double")
+    cont = F.when(denom > 0, inter / denom).otherwise(F.lit(0.0))
+    return (
+        pairs.select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cont.alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # --- MinHash + LSH ----------------------------------------------------------
 def _perm_coeffs(num_perm: int, seed: int = 7) -> list[tuple[int, int]]:
     """Deterministic (a,b) pairs for the universal-hash permutation family

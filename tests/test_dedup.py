@@ -301,3 +301,27 @@ def test_dedup_against_bloom_prefilter_identical(spark):
             ).collect()
         )
         assert bloomed == plain
+
+
+def test_containment_detects_quote_subset(spark):
+    """A short doc embedded verbatim in a long one: high containment
+    short->long, low Jaccard, low containment long->short."""
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    long = (
+        "intro words before the quote begins now " + short +
+        " and then a very long tail of unrelated filler tokens " +
+        " ".join(f"w{i}" for i in range(60))
+    )
+    d = spark.createDataFrame(
+        [(1, short, "b"), (2, long, "b"), (3, "totally different stuff here", "b")],
+        "doc_id long, text string, blk string",
+    )
+    pairs = DD.containment_pairs(
+        d, "doc_id", "text", block_col="blk", n=3, threshold=0.9
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["containment"] == 1.0
+    jac = DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", block_col="blk", n=3, threshold=0.5
+    ).collect()
+    assert jac == []  # Jaccard misses what containment catches
