@@ -112,6 +112,11 @@ BENCH_QUERIES = [
     "phrase_search",
     "bpe_merges",
     "host_profile",
+    "warc_roundtrip",
+    "crawl_frontier",
+    "data_mixture",
+    "linear_classifier",
+    "containment_pairs",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at

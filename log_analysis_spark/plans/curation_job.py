@@ -23,6 +23,8 @@ params don't match):
     quality  keep docs at/above their language's median quality score
     decontam drop docs sharing n-grams with --benchmark (skipped when no
              benchmark given; the stage still commits, recording 0 drops)
+    mixture  (--mixture 'en=3,de=1' --mixture-tokens N) keep only the
+             mixture planner's per-lang token-budget selection
     split    deterministic hash split, written partitioned by _split
 
 Unlike the per-day log pipeline, dedup/quality/decontam are GLOBAL
@@ -147,6 +149,21 @@ def _decontam(
     return decontaminate(df, bench, "doc_id", "text", n=n, hash_fn=hash_fn)
 
 
+def _mixture(df: DataFrame, weights: dict[str, float], total_tokens: int, hash_fn: str) -> DataFrame:
+    """Optional pre-split stage (``--mixture``): keep only the documents
+    the mixture planner selects — per-lang token budgets proportional to
+    the given weights, documents taken in deterministic hash order
+    (operators/mixing.py; langs absent from the weights drop)."""
+    from ..operators.mixing import plan_mixture
+
+    plan = plan_mixture(
+        df, weights, total_tokens, source_col="lang", id_col="doc_id",
+        text_col="text", hash_fn=hash_fn,
+    )
+    keep = plan.filter(F.col("selected")).select("doc_id")
+    return df.join(keep, "doc_id").select(*df.columns)
+
+
 def _split(df: DataFrame, test_frac: float, valid_frac: float) -> DataFrame:
     from ..operators.sampling import split_by_hash
 
@@ -167,6 +184,8 @@ def run_curation(
     resume: bool = True,
     c4: bool = False,
     html: bool = False,
+    mixture: dict[str, float] | None = None,
+    mixture_tokens: int = 0,
 ) -> dict:
     """Run (or resume) the curation stage graph. Returns run metrics."""
     manifest = Manifest(os.path.join(out_dir, "_manifest"))
@@ -175,6 +194,11 @@ def run_curation(
         f"span_k={span_k}|neardup={neardup}|n={decontam_n}"
         f"|t={test_frac}|v={valid_frac}|hash={hash_fn}"
         f"|bench={benchmark_path}|c4={c4}|html={html}"
+        + (
+            f"|mix={sorted(mixture.items())}:{mixture_tokens}"
+            if mixture
+            else ""
+        )
     )
     bench = (
         spark.read.parquet(benchmark_path) if benchmark_path is not None else None
@@ -187,6 +211,11 @@ def run_curation(
         ("dedup", lambda d: _dedup(d, neardup, hash_fn), None),
         ("quality", _quality, None),
         ("decontam", lambda d: _decontam(d, bench, decontam_n, hash_fn), None),
+        *(
+            [("mixture", lambda d: _mixture(d, mixture, mixture_tokens, hash_fn), None)]
+            if mixture
+            else []
+        ),
         ("split", lambda d: _split(d, test_frac, valid_frac), "_split"),
     ]
 
@@ -266,9 +295,32 @@ def main() -> None:
         "extract stage (functions/html.py boilerplate strip, doc_id = "
         "xxhash64(url)) runs first",
     )
+    ap.add_argument(
+        "--mixture",
+        help="per-lang mixture weights 'en=3,de=1' — adds a pre-split "
+        "stage keeping only the mixture planner's selection "
+        "(operators/mixing.py); requires --mixture-tokens",
+    )
+    ap.add_argument(
+        "--mixture-tokens",
+        type=int,
+        default=0,
+        help="total token budget the mixture weights divide",
+    )
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
+    mixture = None
+    if args.mixture:
+        if args.mixture_tokens <= 0:
+            ap.error("--mixture requires --mixture-tokens > 0")
+        try:
+            mixture = {
+                k.strip(): float(v)
+                for k, v in (kv.split("=", 1) for kv in args.mixture.split(","))
+            }
+        except ValueError:
+            ap.error("--mixture must look like 'en=3,de=1'")
 
     from ..session import get_spark
 
@@ -287,6 +339,8 @@ def main() -> None:
         resume=not args.no_resume,
         c4=args.c4_clean,
         html=args.html,
+        mixture=mixture,
+        mixture_tokens=args.mixture_tokens,
     )
     print(json.dumps(stats))
     sys.stdout.flush()

@@ -111,3 +111,40 @@ def test_html_ingest_extract_stage(spark, tmpdir_path):
         spark, pages_dir, out_dir, span_k=6, html=True, neardup=False
     )
     assert m2["stages_run"] == [] and "extract" in m2["stages_skipped"]
+
+
+def test_mixture_stage_budgets_selection(spark, tmpdir_path):
+    """--mixture: the pre-split mixture stage keeps only the planner's
+    per-lang token-budget selection; unweighted langs drop entirely;
+    changed weights invalidate the stage on rerun."""
+    from log_analysis_spark.operators.mixing import plan_mixture
+
+    out = f"{tmpdir_path}/cur_mix"
+    mix = {"en": 3.0, "de": 1.0}
+    r1 = run_curation(
+        spark, SF_DOCS, out, span_k=6, mixture=mix, mixture_tokens=5000
+    )
+    assert "mixture" in r1["stages_run"]
+    got = spark.read.parquet(f"{out}/stage_mixture")
+    langs = {r["lang"] for r in got.select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}
+    # the kept set is exactly the planner's selection over the decontam output
+    upstream = spark.read.parquet(f"{out}/stage_decontam")
+    expected = (
+        plan_mixture(upstream, mix, 5000)
+        .filter(F.col("selected"))
+        .select("doc_id")
+    )
+    got_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    exp_ids = {r["doc_id"] for r in expected.collect()}
+    assert got_ids == exp_ids and got_ids
+
+    r2 = run_curation(
+        spark, SF_DOCS, out, span_k=6, mixture=mix, mixture_tokens=5000
+    )
+    assert r2["stages_run"] == []
+    r3 = run_curation(
+        spark, SF_DOCS, out, span_k=6, mixture={"en": 1.0, "de": 1.0},
+        mixture_tokens=5000,
+    )
+    assert "mixture" in r3["stages_run"]
