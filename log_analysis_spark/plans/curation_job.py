@@ -127,11 +127,27 @@ def _dedup(df: DataFrame, neardup: bool, hash_fn: str) -> DataFrame:
     return out.join(kept, "doc_id").select(*out.columns)
 
 
-def _quality(df: DataFrame) -> DataFrame:
+def _quality(df: DataFrame, binned: bool = False) -> DataFrame:
+    """Keep docs at/above their language's median quality score.
+
+    ``binned=True`` (``--binned-quality``) swaps the exact
+    ``percentile()`` — an every-value shuffle, the one stage here whose
+    state grows with the corpus — for the fixed-bin quantile sketch
+    (operators/sketches.py:binned_quantiles): <= n_bins counts per lang
+    shuffle instead, median estimate one bin-width above the truth at
+    most (one-sided, so the gate only gets slightly STRICTER). The
+    10^12-row default; exact stays the small-corpus/replay witness."""
     from ..functions.textstats import quality_score
 
     scored = df.withColumn("_q", quality_score(F.col("text")))
-    med = scored.groupBy("lang").agg(F.expr("percentile(_q, 0.5)").alias("_p50"))
+    if binned:
+        from ..operators.sketches import binned_quantiles
+
+        med = binned_quantiles(
+            scored, F.col("_q"), ["lang"], qs=(0.5,), lo=0.0, hi=1.0, n_bins=128
+        ).select("lang", F.col("p50_est").alias("_p50"))
+    else:
+        med = scored.groupBy("lang").agg(F.expr("percentile(_q, 0.5)").alias("_p50"))
     return (
         scored.join(F.broadcast(med), "lang")
         .filter(F.col("_q") >= F.col("_p50"))
@@ -186,6 +202,7 @@ def run_curation(
     html: bool = False,
     mixture: dict[str, float] | None = None,
     mixture_tokens: int = 0,
+    binned_quality: bool = False,
 ) -> dict:
     """Run (or resume) the curation stage graph. Returns run metrics."""
     manifest = Manifest(os.path.join(out_dir, "_manifest"))
@@ -194,6 +211,7 @@ def run_curation(
         f"span_k={span_k}|neardup={neardup}|n={decontam_n}"
         f"|t={test_frac}|v={valid_frac}|hash={hash_fn}"
         f"|bench={benchmark_path}|c4={c4}|html={html}"
+        + (f"|binnedq={binned_quality}" if binned_quality else "")
         + (
             f"|mix={sorted(mixture.items())}:{mixture_tokens}"
             if mixture
@@ -209,7 +227,7 @@ def run_curation(
         *([("c4", _c4, None)] if c4 else []),
         ("scrub", lambda d: _scrub(d, span_k, hash_fn), None),
         ("dedup", lambda d: _dedup(d, neardup, hash_fn), None),
-        ("quality", _quality, None),
+        ("quality", lambda d: _quality(d, binned_quality), None),
         ("decontam", lambda d: _decontam(d, bench, decontam_n, hash_fn), None),
         *(
             [("mixture", lambda d: _mixture(d, mixture, mixture_tokens, hash_fn), None)]
@@ -307,6 +325,14 @@ def main() -> None:
         default=0,
         help="total token budget the mixture weights divide",
     )
+    ap.add_argument(
+        "--binned-quality",
+        action="store_true",
+        help="use the fixed-bin quantile sketch for the per-lang median "
+        "quality gate instead of exact percentile() — bounded-state "
+        "scale path (one-sided: the gate gets at most one bin-width "
+        "stricter)",
+    )
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -341,6 +367,7 @@ def main() -> None:
         html=args.html,
         mixture=mixture,
         mixture_tokens=args.mixture_tokens,
+        binned_quality=args.binned_quality,
     )
     print(json.dumps(stats))
     sys.stdout.flush()

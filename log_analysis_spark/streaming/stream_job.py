@@ -685,3 +685,42 @@ def start_inverted_index_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_classifier_stream(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    weights: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+    max_files_per_trigger: int = 100000,
+):
+    """Online document scoring with a trained linear classifier
+    (operators/classify.py): the streaming twin of ``linear_scores``.
+    Inference is a stateless zero-shuffle projection (hashed occurrence
+    fold against the weight-literal array), so this is a plain append
+    file sink — exactly-once via the file-sink commit log, no state
+    store, no watermark. The model rides the PLAN as literals: to roll
+    a new model, stop and restart with new weights (scores already
+    written are immutable history; re-scoring is a batch backfill job).
+    """
+    from ..operators.classify import linear_scores
+
+    schema = spark.read.parquet(input_path).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    scored = linear_scores(docs, weights, id_col, text_col, hash_fn)
+    return (
+        scored.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

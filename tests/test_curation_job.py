@@ -148,3 +148,42 @@ def test_mixture_stage_budgets_selection(spark, tmpdir_path):
         mixture_tokens=5000,
     )
     assert "mixture" in r3["stages_run"]
+
+
+def test_binned_quality_gate_close_to_exact_and_stricter(spark, tmpdir_path):
+    """--binned-quality: the sketch-median gate keeps a SUBSET-or-equal
+    of the exact gate's survivors within one bin width (one-sided
+    estimator: est >= true median), and the flag invalidates resume."""
+    out_a = f"{tmpdir_path}/cur_exact"
+    out_b = f"{tmpdir_path}/cur_binned"
+    ra = run_curation(spark, SF_DOCS, out_a, span_k=6)
+    rb = run_curation(spark, SF_DOCS, out_b, span_k=6, binned_quality=True)
+    exact_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out_a}/stage_quality").select("doc_id").collect()
+    }
+    binned_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out_b}/stage_quality").select("doc_id").collect()
+    }
+    assert binned_ids <= exact_ids and binned_ids
+    # the estimator's one-sided bound: anything the sketch gate dropped
+    # beyond the exact gate scores within ONE BIN WIDTH of its lang's
+    # exact median (scores cluster, so the count can be large — the
+    # BOUND is what's guaranteed, not a retention fraction)
+    from log_analysis_spark.functions.textstats import quality_score
+
+    dedup_out = spark.read.parquet(f"{out_a}/stage_dedup")
+    scored = dedup_out.withColumn("_q", quality_score(F.col("text")))
+    med = {
+        r["lang"]: r["m"]
+        for r in scored.groupBy("lang").agg(F.expr("percentile(_q, 0.5)").alias("m")).collect()
+    }
+    width = 1.0 / 128
+    dropped = scored.filter(
+        F.col("doc_id").isin([int(i) for i in (exact_ids - binned_ids)])
+    ).collect()
+    assert all(med[r["lang"]] <= r["_q"] < med[r["lang"]] + width for r in dropped)
+    # flag change re-runs the quality stage and everything after it
+    rb2 = run_curation(spark, SF_DOCS, out_b, span_k=6)
+    assert "quality" in rb2["stages_run"]

@@ -509,3 +509,41 @@ def test_inverted_index_stream_matches_batch(spark, tmpdir_path):
         for r in bm25_search(spark, idx_b, ["table", "row"], hash_fn="md5").collect()
     ]
     assert gs == gb
+
+
+def test_classifier_stream_matches_batch_scores(spark, tmpdir_path):
+    """Streaming classifier inference: scores streamed over two arrivals
+    equal batch linear_scores over the full input (stateless projection,
+    exactly-once via the file-sink log)."""
+    from log_analysis_spark.operators.classify import (
+        linear_scores,
+        train_linear_classifier,
+    )
+    from log_analysis_spark.streaming.stream_job import start_classifier_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id",
+        "text",
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(-1.0)).alias("y"),
+    )
+    w = train_linear_classifier(
+        docs, "y", n_buckets=64, iters=2, lr=0.02, unpersist_handles=[]
+    )
+    inp = f"{tmpdir_path}/docs_in"
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text").write.parquet(inp)
+    args = (spark, inp, f"{tmpdir_path}/scores", f"{tmpdir_path}/ckpt_cls", w)
+    start_classifier_stream(*args).awaitTermination(300)
+    docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text").write.mode(
+        "append"
+    ).parquet(inp)
+    start_classifier_stream(*args).awaitTermination(300)
+
+    got = {
+        r["doc_id"]: r["score"]
+        for r in spark.read.parquet(f"{tmpdir_path}/scores").collect()
+    }
+    want = {
+        r["doc_id"]: r["score"]
+        for r in linear_scores(docs.select("doc_id", "text"), w).collect()
+    }
+    assert got == want and len(got) == 500
