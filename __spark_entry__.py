@@ -2380,6 +2380,79 @@ def _bpe_oracle_sql(n_merges: int = 8) -> str:
     return ", ".join(parts) + f" {sel} ORDER BY step"
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Tokenizer APPLICATION at corpus scale (operators/bpe.py
+    bpe_segment): train the 8-merge table (same as q_bpe_merges), then
+    encode EVERY document — per doc the word list, each word segmented
+    by the learned merges in order (greedy-left fold), reported as word
+    / subword counts plus the md5 of the exact subword stream. Closes
+    the loop the training query opens: the oracle unrolls training AND
+    replays the per-word application folds, so the byte-exact subword
+    stream proves the encode semantics, not just the merge table."""
+    from log_analysis_spark.operators.bpe import bpe_segment, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=8)
+    toks = TS.tokens(F.col("text"))
+    segged = F.flatten(F.transform(toks, lambda w: bpe_segment(w, merges)))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(segged).cast("long").alias("n_subwords"),
+        F.md5(F.concat_ws(" ", segged)).alias("subword_md5"),
+    ).orderBy("doc_id")
+
+
+def _bpe_encode_sql(n_merges: int = 8) -> str:
+    """DuckDB replay of q_bpe_encode: the training unroll of
+    `_bpe_oracle_sql` extended with per-document application CTEs —
+    each step's merge applied to every word of every doc with the same
+    greedy-left fold."""
+    fold = (
+        "list_reduce(list_prepend([]::VARCHAR[], "
+        "list_transform(syms, s -> [s])), "
+        "(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.l "
+        "AND x[1] = t.r THEN list_append(acc[:len(acc)-1], t.l || t.r) "
+        "ELSE list_append(acc, x[1]) END)"
+    )
+    parts = [
+        "WITH wh AS (SELECT t AS w, count(*)::BIGINT AS cnt FROM "
+        f"(SELECT unnest({_TOKENS.format(t='text')}) AS t FROM documents) "
+        "GROUP BY 1), "
+        "w0 AS (SELECT cnt, list_append(regexp_extract_all(w, '.'), "
+        "'</w>') AS syms FROM wh)"
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"p{i} AS (SELECT z[1] AS l, z[2] AS r, sum(cnt)::BIGINT AS n "
+            f"FROM (SELECT cnt, unnest(list_zip(syms[:len(syms)-1], "
+            f"syms[2:])) AS z FROM w{i}) GROUP BY 1, 2), "
+            f"t{i} AS (SELECT {i}::INT AS step, l, r, n FROM p{i} "
+            "ORDER BY n DESC, l, r LIMIT 1), "
+            f"w{i + 1} AS (SELECT cnt, {fold} AS syms "
+            f"FROM w{i} CROSS JOIN t{i} t)"
+        )
+    parts.append(
+        "docs AS (SELECT doc_id, "
+        f"{_TOKENS.format(t='text')} AS toks FROM documents), "
+        "e0 AS (SELECT doc_id, toks, list_transform(toks, w -> "
+        "list_append(regexp_extract_all(w, '.'), '</w>')) AS wsyms "
+        "FROM docs)"
+    )
+    for i in range(n_merges):
+        parts.append(
+            f"e{i + 1} AS (SELECT doc_id, toks, "
+            f"list_transform(wsyms, syms -> {fold}) AS wsyms "
+            f"FROM e{i} CROSS JOIN t{i} t)"
+        )
+    return ", ".join(parts) + (
+        f" SELECT doc_id, len(toks)::BIGINT AS n_words, "
+        f"len(flatten(wsyms))::BIGINT AS n_subwords, "
+        f"md5(array_to_string(flatten(wsyms), ' ')) AS subword_md5 "
+        f"FROM e{n_merges} ORDER BY doc_id"
+    )
+
+
 def q_phrase_search(spark, sf_dir):
     """Exact-phrase retrieval over positional postings
     (inverted.phrase_search): probed buckets only, classic shifted
@@ -2872,6 +2945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_mixture": q_data_mixture,
         "linear_classifier": q_linear_classifier,
         "containment_pairs": q_containment_pairs,
+        "bpe_encode": q_bpe_encode,
         "fingerprints": q_fingerprints,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
@@ -4880,6 +4954,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _bm25_oracle_sql(),
         "kmeans": _kmeans_oracle_sql(),
         "bpe_merges": _bpe_oracle_sql(),
+        "bpe_encode": _bpe_encode_sql(),
         "phrase_search": (
             # windowed recompute straight from the token arrays: count
             # start positions i with w[i]='hash' AND w[i+1]='value'

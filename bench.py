@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "data_mixture",
     "linear_classifier",
     "containment_pairs",
+    "bpe_encode",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at
