@@ -464,6 +464,44 @@ def q_linear_classifier(spark, sf_dir):
     )
 
 
+def q_script_profile(spark, sf_dir):
+    """Unicode script profiling (textstats.script_counts /
+    dominant_script): per-class char counts + priority-ordered dominant
+    script — the router that sends documents to script-appropriate
+    tokenizers (whitespace tokens are meaningless for CJK). The corpus
+    is ASCII-only, so the query grafts a deterministic non-Latin snippet
+    per doc_id residue in-plan (the _url_expr pattern); the oracle
+    replays construction, counts (length-minus-stripped with the 'g'
+    flag), and the CASE-chain tiebreak."""
+    from log_analysis_spark.functions.textstats import (
+        dominant_script,
+        script_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    snip = F.element_at(
+        F.array(
+            *[
+                F.lit(s)
+                for s in (
+                    "",
+                    " Привет мир",
+                    " 你好世界",
+                    " مرحبا بالعالم",
+                    " 안녕하세요 안녕",
+                )
+            ]
+        ),
+        (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int"),
+    )
+    t2 = F.concat(F.substring(F.col("text"), 1, 12), snip)
+    return d.select(
+        "doc_id",
+        *script_counts(t2),
+        dominant_script(t2).alias("dominant"),
+    ).orderBy("doc_id")
+
+
 def q_date_range_days(spark, sf_dir):
     """O3: date-range generation (main.rs:815-834) as sequence+explode,
     left-joined so zero-order days appear."""
@@ -2946,6 +2984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_classifier": q_linear_classifier,
         "containment_pairs": q_containment_pairs,
         "bpe_encode": q_bpe_encode,
+        "script_profile": q_script_profile,
         "fingerprints": q_fingerprints,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
@@ -3580,6 +3619,36 @@ def _linear_classifier_sql(n_buckets: int = 64, lr: str = "0.02", iters: int = 2
         f"fin AS (SELECT doc_id, y, {score('w2.w')} AS score FROM fe, w2) "
         "SELECT doc_id, y, score, score >= 0.0 AS predicted "
         "FROM fin ORDER BY doc_id"
+    )
+
+
+def _script_profile_sql() -> str:
+    """DuckDB replay of q_script_profile: same snippet graft, same
+    length-minus-stripped class counts (note the 'g' flag — DuckDB's
+    regexp_replace is first-match-only without it, Spark's is global),
+    same priority CASE chain."""
+    from log_analysis_spark.functions.textstats import SCRIPT_RANGES
+
+    snip = (
+        "(['', ' Привет мир', ' 你好世界', ' مرحبا بالعالم', ' 안녕하세요 안녕'])"
+        "[(doc_id % 5) + 1]"
+    )
+    counts = ", ".join(
+        f"(length(t2) - length(regexp_replace(t2, '[{rng}]', '', 'g')))::BIGINT "
+        f"AS n_{name}"
+        for name, rng in SCRIPT_RANGES
+    )
+    names = [name for name, _ in SCRIPT_RANGES]
+    m = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    case = "CASE WHEN " + m + " = 0 THEN 'none' " + " ".join(
+        f"WHEN n_{n} = {m} THEN '{n}'" for n in names
+    ) + " ELSE 'none' END"
+    return (
+        f"WITH t AS (SELECT doc_id, substring(text, 1, 12) || {snip} AS t2 "
+        "FROM documents), "
+        f"c AS (SELECT doc_id, {counts} FROM t) "
+        f"SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic, n_hangul, "
+        f"{case} AS dominant FROM c ORDER BY doc_id"
     )
 
 
@@ -4955,6 +5024,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans": _kmeans_oracle_sql(),
         "bpe_merges": _bpe_oracle_sql(),
         "bpe_encode": _bpe_encode_sql(),
+        "script_profile": _script_profile_sql(),
         "phrase_search": (
             # windowed recompute straight from the token arrays: count
             # start positions i with w[i]='hash' AND w[i+1]='value'

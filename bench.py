@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "linear_classifier",
     "containment_pairs",
     "bpe_encode",
+    "script_profile",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at

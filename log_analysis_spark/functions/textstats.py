@@ -148,3 +148,44 @@ def shingles(text: Column, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+# Unicode script profiling: multilingual corpora route documents to
+# script-appropriate tokenizers (whitespace tokenization is meaningless
+# for CJK; Arabic needs its own normalization), and mixed-script text is
+# itself a spam/obfuscation signal. Ranges are the core BMP blocks per
+# the Unicode standard; counts are chars-in-class via the
+# length-minus-stripped identity (one native regexp_replace per class,
+# zero shuffle, identical semantics under Java regex and RE2).
+SCRIPT_RANGES: list[tuple[str, str]] = [
+    ("latin", "A-Za-z"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("cjk", "一-鿿"),
+    ("arabic", "؀-ۿ"),
+    ("hangul", "가-힣"),
+]
+
+
+def script_counts(text: Column) -> list[Column]:
+    """One count column per SCRIPT_RANGES entry (aliased `n_<script>`)."""
+    return [
+        (
+            F.length(text) - F.length(F.regexp_replace(text, f"[{rng}]", ""))
+        ).cast("long").alias(f"n_{name}")
+        for name, rng in SCRIPT_RANGES
+    ]
+
+
+def dominant_script(text: Column) -> Column:
+    """First script (in SCRIPT_RANGES order) holding the max class count;
+    'none' when no script chars at all. The fixed priority order IS the
+    tiebreak, stated so the replay can mirror it as a CASE chain."""
+    counts = [
+        F.length(text) - F.length(F.regexp_replace(text, f"[{rng}]", ""))
+        for _name, rng in SCRIPT_RANGES
+    ]
+    m = F.greatest(*counts)
+    out = F.lit("none")
+    for (name, _rng), c in reversed(list(zip(SCRIPT_RANGES, counts))):
+        out = F.when(c == m, F.lit(name)).otherwise(out)
+    return F.when(m == 0, F.lit("none")).otherwise(out)

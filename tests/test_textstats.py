@@ -127,3 +127,33 @@ def test_redact_pii_masks_and_counts(spark):
     assert rows[0]["r"] == "mail <EMAIL> from <IP> and <IP>"
     assert rows[1]["ne"] == 0 and rows[1]["ni"] == 0
     assert rows[1]["r"] == "no pii here"
+
+
+def test_script_counts_and_dominant(spark):
+    from log_analysis_spark.functions.textstats import dominant_script, script_counts
+
+    rows = [
+        (1, "hello world"),
+        (2, "Привет мир hello"),
+        (3, "你好世界"),
+        (4, "مرحبا بالعالم"),
+        (5, "안녕하세요"),
+        (6, "12345 !!!"),
+        (7, "ab Привет"),  # tie 2-latin vs 6-cyrillic -> cyrillic
+        (8, "abПр"),       # exact tie 2 vs 2 -> first in priority order: latin
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    out = {
+        r["i"]: r
+        for r in df.select(
+            "i", *script_counts(F.col("t")), dominant_script(F.col("t")).alias("d")
+        ).collect()
+    }
+    assert out[1]["n_latin"] == 10 and out[1]["d"] == "latin"
+    assert out[2]["n_cyrillic"] == 9 and out[2]["d"] == "cyrillic"
+    assert out[3]["n_cjk"] == 4 and out[3]["d"] == "cjk"
+    assert out[4]["n_arabic"] == 12 and out[4]["d"] == "arabic"
+    assert out[5]["n_hangul"] == 5 and out[5]["d"] == "hangul"
+    assert out[6]["d"] == "none"
+    assert out[7]["d"] == "cyrillic"
+    assert out[8]["d"] == "latin"  # fixed priority order breaks exact ties
