@@ -2213,6 +2213,24 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_tfidf_cosine_topk(spark, sf_dir):
+    """Model-free text-to-vector bridge (operators/vectorize.py): hashed
+    TF-IDF unit vectors (dim 32, md5 buckets, RATIONAL rarity N/df — no
+    log, same trade as tfidf_top_terms/BM25) feed the existing exact
+    cosine top-k. The oracle rebuilds the vectors relationally (tf
+    counts, df aggregate, the same division/multiply/normalize IEEE
+    steps) and replays the ranking — text docs are ANN-queryable with
+    no external embedding model."""
+    from log_analysis_spark.operators.vectorize import hashed_tfidf_vectors
+
+    d = _t(spark, sf_dir, "documents")
+    vecs = hashed_tfidf_vectors(d, dim=32, hash_fn="md5").filter(
+        F.col("vec").isNotNull()
+    )
+    qv = [float(x) for x in vecs.filter(F.col("doc_id") == 0).first()["vec"]]
+    return SIM.brute_force_topk(vecs, qv, k=10, id_col="doc_id", vec_col="vec")
+
+
 def q_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k. Deterministic seeded hyperplanes +
     fold-exact sign decisions make the probe set and scores replayable by
@@ -2985,6 +3003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "bpe_encode": q_bpe_encode,
         "script_profile": q_script_profile,
+        "tfidf_cosine_topk": q_tfidf_cosine_topk,
         "fingerprints": q_fingerprints,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
@@ -3619,6 +3638,33 @@ def _linear_classifier_sql(n_buckets: int = 64, lr: str = "0.02", iters: int = 2
         f"fin AS (SELECT doc_id, y, {score('w2.w')} AS score FROM fe, w2) "
         "SELECT doc_id, y, score, score >= 0.0 AS predicted "
         "FROM fin ORDER BY doc_id"
+    )
+
+
+def _tfidf_cosine_topk_sql(dim: int = 32) -> str:
+    """DuckDB replay of q_tfidf_cosine_topk: same md5 buckets, tf counts
+    (exact small integers — any counting order yields the same doubles),
+    the same N/df rational-rarity division, the same weighted-multiply +
+    `_sql_normvec` normalization, and `_sql_cos` ranking."""
+    toks = _TOKENS.format(t="text")
+    return (
+        f"WITH tok AS (SELECT doc_id, {toks} AS w FROM documents), "
+        f"bk AS (SELECT doc_id, list_transform(w, t -> {_sql_h60('t')} % {dim}) "
+        "AS b FROM tok), "
+        "dfq AS (SELECT u AS j, count(*)::BIGINT AS dfj FROM "
+        "(SELECT DISTINCT doc_id, unnest(b) AS u FROM bk) GROUP BY 1), "
+        "nn AS (SELECT count(*)::BIGINT AS n FROM documents), "
+        f"bks AS (SELECT unnest(range(0, {dim})) AS j), "
+        "rar AS (SELECT list(CASE WHEN dfq.dfj IS NULL THEN 0.0::DOUBLE "
+        "ELSE nn.n::DOUBLE / dfq.dfj::DOUBLE END ORDER BY bks.j) AS r "
+        "FROM bks LEFT JOIN dfq ON bks.j = dfq.j, nn), "
+        f"wv AS (SELECT doc_id, list_transform(range(0, {dim}), "
+        "j -> len(list_filter(b, x -> x = j))::DOUBLE * rar.r[(j + 1)::INT]) "
+        "AS wv FROM bk, rar WHERE len(b) > 0), "
+        f"nv AS (SELECT doc_id, {_sql_normvec('wv')} AS v FROM wv), "
+        "q AS (SELECT v AS qv FROM nv WHERE doc_id = 0) "
+        f"SELECT nvv.doc_id, {_sql_cos('nvv.v', 'q.qv')} AS cos_sim "
+        "FROM nv nvv, q ORDER BY cos_sim DESC, nvv.doc_id ASC LIMIT 10"
     )
 
 
@@ -5025,6 +5071,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_oracle_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "script_profile": _script_profile_sql(),
+        "tfidf_cosine_topk": _tfidf_cosine_topk_sql(),
         "phrase_search": (
             # windowed recompute straight from the token arrays: count
             # start positions i with w[i]='hash' AND w[i+1]='value'

@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "containment_pairs",
     "bpe_encode",
     "script_profile",
+    "tfidf_cosine_topk",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at
