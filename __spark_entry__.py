@@ -1642,6 +1642,20 @@ def q_containment_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_window_scrub(spark, sf_dir):
+    """Any-alignment exact-substring scrub (dedup.duplicated_window_scrub):
+    sliding 3-token windows, tokens covered by a cross-document-duplicated
+    window removed, byte-exact ordered reassembly. The alignment-robust
+    sibling of span_scrub (whose non-overlapping blocks miss shifted
+    boilerplate — pinned in pytest). Fully relational: window hash freq ->
+    coverage explode -> anti-join -> keyed reassembly; the oracle replays
+    every stage."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.duplicated_window_scrub(
+        d, "doc_id", "text", k=3, max_docs=1, hash_fn="md5"
+    ).orderBy("doc_id")
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs, exact-verified. md5-based base hash so
     the DuckDB oracle replays the ENTIRE pipeline (shingle hash ->
@@ -3004,6 +3018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "script_profile": q_script_profile,
         "tfidf_cosine_topk": q_tfidf_cosine_topk,
+        "window_scrub": q_window_scrub,
         "fingerprints": q_fingerprints,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
@@ -5072,6 +5087,41 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_sql(),
         "script_profile": _script_profile_sql(),
         "tfidf_cosine_topk": _tfidf_cosine_topk_sql(),
+        "window_scrub": (
+            # Replays dedup.duplicated_window_scrub(k=3, max_docs=1, 'md5'):
+            # sliding 3-token windows, dup = >1 DISTINCT doc, every covered
+            # token removed, ordered reassembly. Short docs (len < 3) have
+            # zero windows and pass through.
+            "WITH tok AS (SELECT doc_id, "
+            f"{_TOKENS.format(t='text')} AS w FROM documents), "
+            "tr AS (SELECT doc_id, u['p'] AS p, u['t'] AS t FROM "
+            "(SELECT doc_id, unnest([{'p': i, 't': w[i + 1]} "
+            "for i in range(coalesce(len(w), 0))]) AS u FROM tok)), "
+            "win AS (SELECT doc_id, u['wp'] AS wp, u['s'] AS s FROM "
+            "(SELECT doc_id, unnest([{'wp': i, 's': "
+            "array_to_string(list_slice(w, i + 1, i + 3), ' ')} "
+            "for i in range(greatest(coalesce(len(w), 0) - 2, 0))]) AS u "
+            "FROM tok)), "
+            f"wh AS MATERIALIZED (SELECT doc_id, wp, {_sql_h60('s')} AS h "
+            "FROM win), "
+            "freq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM wh GROUP BY h), "
+            "dup AS (SELECT doc_id, wp FROM wh JOIN freq USING (h) WHERE nd > 1), "
+            "cov AS (SELECT DISTINCT doc_id, p FROM "
+            "(SELECT doc_id, unnest([wp + j for j in range(3)]) AS p FROM dup)), "
+            "kept AS (SELECT tr.doc_id, tr.p, tr.t FROM tr "
+            "LEFT JOIN cov ON tr.doc_id = cov.doc_id AND tr.p = cov.p "
+            "WHERE cov.p IS NULL), "
+            "nw AS (SELECT doc_id, count(*)::BIGINT AS n_windows FROM wh GROUP BY doc_id), "
+            "dw AS (SELECT doc_id, count(*)::BIGINT AS dup_windows FROM dup GROUP BY doc_id), "
+            "ct AS (SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS clean "
+            "FROM kept GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(nw.n_windows, 0)::BIGINT AS n_windows, "
+            "coalesce(dw.dup_windows, 0)::BIGINT AS dup_windows, "
+            "coalesce(ct.clean, '') AS clean_text "
+            "FROM documents d LEFT JOIN nw ON d.doc_id = nw.doc_id "
+            "LEFT JOIN dw ON d.doc_id = dw.doc_id "
+            "LEFT JOIN ct ON d.doc_id = ct.doc_id ORDER BY d.doc_id"
+        ),
         "phrase_search": (
             # windowed recompute straight from the token arrays: count
             # start positions i with w[i]='hash' AND w[i+1]='value'

@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "bpe_encode",
     "script_profile",
     "tfidf_cosine_topk",
+    "window_scrub",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at

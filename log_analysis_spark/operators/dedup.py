@@ -185,6 +185,92 @@ def ngram_jaccard_pairs(
     )
 
 
+def duplicated_window_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    max_docs: int = 1,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """ANY-ALIGNMENT exact-substring scrub: remove every token covered by
+    a sliding k-token window that occurs in more than ``max_docs``
+    distinct documents — the sliding-window form of Lee et al. 2021's
+    exact-substring dedup (their suffix-array formulation finds matches
+    at arbitrary alignment; k-gram window hashing is the equivalent for
+    a fixed minimum match length, since any shared run of >= k tokens
+    shares all its k-windows).
+
+    :func:`duplicated_span_scrub`'s NON-overlapping blocks are O(tokens/k)
+    but alignment-sensitive: the same boilerplate offset by one token in
+    another document hashes into different blocks and survives (pinned in
+    pytest). This variant pays O(tokens) window rows for alignment
+    independence.
+
+    Returns (id, n_windows, dup_windows, clean_text): n_windows =
+    max(tokens - k + 1, 0); short/empty docs pass through untouched.
+
+    Scale shape: tokenize once (posexplode), windows via lead() like
+    :func:`shingle_hash_rows`; the frequency pass is a two-phase
+    count-distinct on the 8-byte hash; coverage = dup windows exploded to
+    their k positions (O(dup_windows x k) rows — boilerplate-heavy
+    corpora should interval-merge dup windows per doc first; at
+    ``max_docs=1`` typical web dup fractions keep this well under one
+    extra token pass) anti-joined against the token rows; reassembly is
+    the one id-keyed groupBy. Nothing is all-pairs.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("_p", "_t"),
+    )
+    w = Window.partitionBy("_id").orderBy("_p")
+    parts = [F.col("_t").alias("_t0")] + [
+        F.lead("_t", j).over(w).alias(f"_t{j}") for j in range(1, k)
+    ]
+    wins = (
+        toks.select("_id", F.col("_p").alias("_wp"), *parts)
+        .filter(F.col(f"_t{k - 1}").isNotNull())
+        .select(
+            "_id",
+            "_wp",
+            _base_hash(
+                F.concat_ws(" ", *[F.col(f"_t{j}") for j in range(k)]), hash_fn
+            ).alias("_h"),
+        )
+    )
+    freq = wins.groupBy("_h").agg(F.count_distinct("_id").alias("_nd"))
+    dup = wins.join(freq, "_h").filter(F.col("_nd") > max_docs).select("_id", "_wp")
+    covered = dup.select(
+        "_id",
+        F.explode(F.sequence(F.col("_wp"), F.col("_wp") + F.lit(k - 1))).alias("_p"),
+    ).distinct()
+    kept = toks.join(covered, ["_id", "_p"], "left_anti")
+    clean = kept.groupBy("_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_t"))), lambda s: s["_t"]
+            ),
+        ).alias("clean_text")
+    )
+    n_win = wins.groupBy("_id").agg(F.count(F.lit(1)).cast("long").alias("n_windows"))
+    n_dup = dup.groupBy("_id").agg(F.count(F.lit(1)).cast("long").alias("dup_windows"))
+    base = df.select(F.col(id_col).alias("_id"))
+    return (
+        base.join(n_win, "_id", "left")
+        .join(n_dup, "_id", "left")
+        .join(clean, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_windows", F.lit(0).cast("long")).alias("n_windows"),
+            F.coalesce("dup_windows", F.lit(0).cast("long")).alias("dup_windows"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,
