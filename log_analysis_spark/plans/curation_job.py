@@ -89,10 +89,17 @@ def _c4(df: DataFrame) -> DataFrame:
     return df.drop("text").join(cleaned, "doc_id").select(*df.columns)
 
 
-def _scrub(df: DataFrame, span_k: int, hash_fn: str) -> DataFrame:
-    from ..operators.dedup import duplicated_span_scrub
+def _scrub(
+    df: DataFrame, span_k: int, hash_fn: str, mode: str = "blocks"
+) -> DataFrame:
+    """``mode='blocks'`` = non-overlapping k-word blocks (O(tokens/k),
+    alignment-sensitive); ``mode='windows'`` = sliding k-token windows
+    (O(tokens), catches boilerplate at ANY alignment — Lee et al.'s
+    exact-substring semantics). Same output contract either way."""
+    from ..operators.dedup import duplicated_span_scrub, duplicated_window_scrub
 
-    scrubbed = duplicated_span_scrub(
+    fn = duplicated_span_scrub if mode == "blocks" else duplicated_window_scrub
+    scrubbed = fn(
         df, "doc_id", "text", k=span_k, max_docs=1, hash_fn=hash_fn
     )
     keep = scrubbed.filter(F.length("clean_text") > 0).select(
@@ -203,12 +210,13 @@ def run_curation(
     mixture: dict[str, float] | None = None,
     mixture_tokens: int = 0,
     binned_quality: bool = False,
+    scrub_mode: str = "blocks",
 ) -> dict:
     """Run (or resume) the curation stage graph. Returns run metrics."""
     manifest = Manifest(os.path.join(out_dir, "_manifest"))
     t0 = time.monotonic()
     params = (
-        f"span_k={span_k}|neardup={neardup}|n={decontam_n}"
+        f"span_k={span_k}|scrub={scrub_mode}|neardup={neardup}|n={decontam_n}"
         f"|t={test_frac}|v={valid_frac}|hash={hash_fn}"
         f"|bench={benchmark_path}|c4={c4}|html={html}"
         + (f"|binnedq={binned_quality}" if binned_quality else "")
@@ -225,7 +233,7 @@ def run_curation(
     stages: list[tuple[str, Callable[[DataFrame], DataFrame], str | None]] = [
         *([("extract", _extract, None)] if html else []),
         *([("c4", _c4, None)] if c4 else []),
-        ("scrub", lambda d: _scrub(d, span_k, hash_fn), None),
+        ("scrub", lambda d: _scrub(d, span_k, hash_fn, scrub_mode), None),
         ("dedup", lambda d: _dedup(d, neardup, hash_fn), None),
         ("quality", lambda d: _quality(d, binned_quality), None),
         ("decontam", lambda d: _decontam(d, bench, decontam_n, hash_fn), None),
@@ -326,6 +334,14 @@ def main() -> None:
         help="total token budget the mixture weights divide",
     )
     ap.add_argument(
+        "--scrub-mode",
+        choices=["blocks", "windows"],
+        default="blocks",
+        help="span-scrub unit: non-overlapping k-word blocks (O(tokens/k), "
+        "alignment-sensitive) or sliding k-token windows (O(tokens), "
+        "any-alignment exact-substring semantics)",
+    )
+    ap.add_argument(
         "--binned-quality",
         action="store_true",
         help="use the fixed-bin quantile sketch for the per-lang median "
@@ -368,6 +384,7 @@ def main() -> None:
         mixture=mixture,
         mixture_tokens=args.mixture_tokens,
         binned_quality=args.binned_quality,
+        scrub_mode=args.scrub_mode,
     )
     print(json.dumps(stats))
     sys.stdout.flush()

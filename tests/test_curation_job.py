@@ -187,3 +187,16 @@ def test_binned_quality_gate_close_to_exact_and_stricter(spark, tmpdir_path):
     # flag change re-runs the quality stage and everything after it
     rb2 = run_curation(spark, SF_DOCS, out_b, span_k=6)
     assert "quality" in rb2["stages_run"]
+
+
+def test_scrub_mode_windows(spark, tmpdir_path):
+    """--scrub-mode windows: the any-alignment scrub runs as the scrub
+    stage; mode change invalidates resume."""
+    out = f"{tmpdir_path}/cur_win"
+    r1 = run_curation(spark, SF_DOCS, out, span_k=6, scrub_mode="windows")
+    assert "scrub" in r1["stages_run"] and r1["halted_empty_at"] is None
+    assert spark.read.parquet(f"{out}/stage_scrub").count() > 0
+    r2 = run_curation(spark, SF_DOCS, out, span_k=6, scrub_mode="windows")
+    assert r2["stages_run"] == []
+    r3 = run_curation(spark, SF_DOCS, out, span_k=6, scrub_mode="blocks")
+    assert "scrub" in r3["stages_run"]
