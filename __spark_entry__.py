@@ -1656,6 +1656,54 @@ def q_window_scrub(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_seed_frontier(spark, sf_dir):
+    """Crawl-seeding composition: per-host robots.txt bodies -> Sitemap
+    line extraction (RFC 9309 §2.3, operators/robots.py sitemaps) +
+    group-scoped Crawl-delay -> politeness-scheduled fetch plan
+    (operators/frontier.py). The Spark path runs the REAL parser and
+    scheduler; the oracle derives the expected plan relationally from
+    the body construction (independent derivation, like
+    warc_roundtrip) — a failure anywhere in parse/selection/scheduling
+    breaks row equality. default_delay_s=99 so a silent Crawl-delay
+    extraction miss cannot hide."""
+    from log_analysis_spark.operators.frontier import schedule_frontier
+    from log_analysis_spark.operators.robots import (
+        crawl_delays,
+        parse_robots,
+        sitemaps,
+    )
+
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 20)
+    k = F.col("n_nationkey")
+    host = F.concat(F.lit("h"), k.cast("string"), F.lit(".example.net"))
+
+    def sm(j: int):
+        return F.concat(F.lit("\nSitemap: https://"), host, F.lit(f"/s{j}.xml"))
+
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\nCrawl-delay: "),
+        (1 + F.pmod(k, F.lit(4))).cast("string"),
+        sm(0),
+        F.when(F.pmod(k, F.lit(3)) >= 1, sm(1)).otherwise(F.lit("")),
+        F.when(F.pmod(k, F.lit(3)) >= 2, sm(2)).otherwise(F.lit("")),
+        F.lit("\n"),
+    )
+    parsed = parse_robots(n.select(host.alias("host"), body.alias("robots_txt")))
+    seeds = sitemaps(parsed).withColumnRenamed("sitemap_url", "url")
+    plan = schedule_frontier(
+        seeds, crawl_delays(parsed, "*"), default_delay_s=99.0, n_workers=4,
+        hash_fn="md5",
+    )
+    return plan.select(
+        "host",
+        "url",
+        F.col("fetch_order").cast("long").alias("fetch_order"),
+        F.col("worker").cast("long").alias("worker"),
+        "delay_s",
+        "fetch_offset_s",
+    ).orderBy("host", "fetch_order")
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs, exact-verified. md5-based base hash so
     the DuckDB oracle replays the ENTIRE pipeline (shingle hash ->
@@ -3019,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "tfidf_cosine_topk": q_tfidf_cosine_topk,
         "window_scrub": q_window_scrub,
+        "seed_frontier": q_seed_frontier,
         "fingerprints": q_fingerprints,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
@@ -5087,6 +5136,25 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_sql(),
         "script_profile": _script_profile_sql(),
         "tfidf_cosine_topk": _tfidf_cosine_topk_sql(),
+        "seed_frontier": (
+            # Independent derivation for q_seed_frontier: what a correct
+            # sitemap-extraction + crawl-delay + scheduling composition
+            # MUST produce, straight from the body construction.
+            "WITH n AS (SELECT n_nationkey AS k, "
+            "'h' || n_nationkey::VARCHAR || '.example.net' AS host "
+            "FROM nation WHERE n_nationkey < 20), "
+            "seeds AS (SELECT host, k, "
+            "unnest(['https://' || host || '/s' || j::VARCHAR || '.xml' "
+            "for j in range(0, 1 + (k % 3))]) AS url FROM n), "
+            "rk AS (SELECT host, url, (1 + (k % 4))::DOUBLE AS delay_s, "
+            "row_number() OVER (PARTITION BY host "
+            f"ORDER BY {_sql_h60('url')}, url)::BIGINT AS fetch_order "
+            "FROM seeds) "
+            "SELECT host, url, fetch_order, "
+            f"({_sql_h60('host')} % 4)::BIGINT AS worker, delay_s, "
+            "(fetch_order - 1)::DOUBLE * delay_s AS fetch_offset_s "
+            "FROM rk ORDER BY host, fetch_order"
+        ),
         "window_scrub": (
             # Replays dedup.duplicated_window_scrub(k=3, max_docs=1, 'md5'):
             # sliding 3-token windows, dup = >1 DISTINCT doc, every covered
