@@ -277,6 +277,38 @@ def q_canonical_urls(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_canonical_dedup(spark, sf_dir):
+    """URL-level dedup BEFORE content dedup: canonicalize the fetch url
+    (functions/parse.py canonical_url), group by the canonical key, keep
+    the highest-quality fetch per key (ties to min doc_id). The first
+    stage of a real crawl-curation funnel — url dedup drops re-fetches of
+    the same resource before any text is compared, so the expensive
+    content-dedup stages downstream see each resource once. One window
+    over the canonical key (hash-partitioned; no join, no global sort in
+    the dedup itself). The oracle replays canonicalization + the quality
+    formula + the rank rule end-to-end."""
+    from log_analysis_spark.functions.parse import canonical_url
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", _url_expr().alias("url")
+    )
+    c = d.select(
+        "doc_id",
+        canonical_url(F.col("url")).alias("canonical"),
+        TS.quality_score(F.col("text")).alias("quality"),
+    )
+    w = Window.partitionBy("canonical").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id", "canonical", "quality", (F.col("rk") == 1).alias("is_kept")
+        )
+        .orderBy("doc_id")
+    )
+
+
 BLOCK_SUFFIXES = ["co.uk", "site8.com", "site7.uk"]
 ALLOW_SUFFIXES = ["site9.co.uk"]
 BLOCK_PREFIXES = ["http://cdn.site5.www.ck:8080", "https://site4.github.io"]
@@ -3068,6 +3100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine_topk": q_tfidf_cosine_topk,
         "window_scrub": q_window_scrub,
         "seed_frontier": q_seed_frontier,
+        "canonical_dedup": q_canonical_dedup,
         "fingerprints": q_fingerprints,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
@@ -3610,6 +3643,42 @@ def _canonical_urls_sql() -> str:
         "SELECT doc_id, url, canonical, "
         "(count(*) OVER (PARTITION BY canonical))::BIGINT AS n_same_canonical "
         "FROM fin ORDER BY doc_id"
+    )
+
+
+def _canonical_dedup_sql() -> str:
+    """DuckDB replay of q_canonical_dedup: the q_canonical_urls
+    canonicalization chain, joined to the shared quality formula, ranked
+    by (quality DESC, doc_id ASC) within each canonical key."""
+    url = _URL_SQL
+    return _hosts_ctes() + (
+        f"urls AS (SELECT doc_id, {url} AS url FROM hosts), "
+        "s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u "
+        "FROM urls), "
+        "s2 AS (SELECT *, "
+        "lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme, "
+        "lower(regexp_extract(u, '^[^:/?]+://([^/?]*)', 1)) AS hp0, "
+        "regexp_extract(u, '^[^:/?]+://[^/?]*(/[^?]*)?', 1) AS p0, "
+        "regexp_extract(u, '\\?(.*)$', 1) AS q FROM s1), "
+        "s3 AS (SELECT *, "
+        "CASE WHEN scheme = 'http' THEN regexp_replace(hp0, ':80$', '') "
+        "WHEN scheme = 'https' THEN regexp_replace(hp0, ':443$', '') "
+        "ELSE hp0 END AS hp, "
+        "CASE WHEN p0 = '' THEN '/' ELSE p0 END AS pth, "
+        "array_to_string(list_sort(list_filter(str_split(q, '&'), "
+        "x -> x != '')), '&') AS qs FROM s2), "
+        "fin AS (SELECT doc_id, CASE WHEN scheme = '' THEN u ELSE "
+        "scheme || '://' || hp || pth || "
+        "CASE WHEN qs <> '' THEN '?' || qs ELSE '' END END AS canonical "
+        "FROM s3), "
+        f"qual AS (SELECT doc_id, {_sql_quality('text')} AS quality "
+        "FROM documents), "
+        "r AS (SELECT f.doc_id, f.canonical, qual.quality, "
+        "row_number() OVER (PARTITION BY f.canonical "
+        "ORDER BY qual.quality DESC, f.doc_id ASC) AS rk "
+        "FROM fin f JOIN qual USING (doc_id)) "
+        "SELECT doc_id, canonical, quality, (rk = 1) AS is_kept "
+        "FROM r ORDER BY doc_id"
     )
 
 
@@ -5136,6 +5205,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_sql(),
         "script_profile": _script_profile_sql(),
         "tfidf_cosine_topk": _tfidf_cosine_topk_sql(),
+        "canonical_dedup": _canonical_dedup_sql(),
         "seed_frontier": (
             # Independent derivation for q_seed_frontier: what a correct
             # sitemap-extraction + crawl-delay + scheduling composition
