@@ -309,6 +309,56 @@ def q_canonical_dedup(spark, sf_dir):
     )
 
 
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap XML parsing (operators/sitemap.py, sitemaps.org
+    protocol): constructed <urlset>/<sitemapindex> bodies — entity-
+    escaped URLs, alternating whitespace padding around <loc>, optional
+    per-entry <lastmod>, 1-3 entries — parsed back to rows. The oracle
+    derives the expected rows DIRECTLY from the construction arithmetic
+    (independent derivation, like warc_roundtrip): it never parses XML,
+    so block splitting, entry-local loc/lastmod pairing, trim, and
+    single-level entity decode are each proven against relational
+    ground truth."""
+    from log_analysis_spark.operators.sitemap import parse_sitemaps
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 400)
+    k = F.col("doc_id")
+    host = F.concat(F.lit("h"), k.cast("string"), F.lit(".example.org"))
+    is_idx = F.pmod(k, F.lit(4)) == 0
+    tag = F.when(is_idx, F.lit("sitemap")).otherwise(F.lit("url"))
+
+    def entry(j: int):
+        path = F.when(
+            is_idx, F.lit(f"/s{j}.xml")
+        ).otherwise(F.concat(F.lit(f"/p{j}?a=1&amp;b="), k.cast("string")))
+        pad_l = F.when(F.pmod(k, F.lit(2)) == 0, F.lit("\n  ")).otherwise(F.lit(""))
+        pad_r = F.when(F.pmod(k, F.lit(2)) == 0, F.lit("\n")).otherwise(F.lit(""))
+        lastmod = F.when(
+            F.pmod(k + F.lit(j), F.lit(2)) == 0,
+            F.concat(
+                F.lit("<lastmod>2024-07-0"),
+                (1 + F.pmod(k + F.lit(j), F.lit(9))).cast("string"),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit(""))
+        e = F.concat(
+            F.lit("<"), tag, F.lit("><loc>"), pad_l,
+            F.lit("https://"), host, path, pad_r,
+            F.lit("</loc>"), lastmod, F.lit("</"), tag, F.lit(">"),
+        )
+        return F.when(F.pmod(k, F.lit(3)) >= j, e).otherwise(F.lit(""))
+
+    xml = F.concat(
+        F.when(is_idx, F.lit("<sitemapindex>")).otherwise(
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">')
+        ),
+        entry(0), entry(1), entry(2),
+        F.when(is_idx, F.lit("</sitemapindex>")).otherwise(F.lit("</urlset>")),
+    )
+    src = d.select(host.alias("host"), xml.alias("sitemap_xml"))
+    return parse_sitemaps(src).orderBy("host", "entry_pos")
+
+
 BLOCK_SUFFIXES = ["co.uk", "site8.com", "site7.uk"]
 ALLOW_SUFFIXES = ["site9.co.uk"]
 BLOCK_PREFIXES = ["http://cdn.site5.www.ck:8080", "https://site4.github.io"]
@@ -3101,6 +3151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_scrub": q_window_scrub,
         "seed_frontier": q_seed_frontier,
         "canonical_dedup": q_canonical_dedup,
+        "sitemap_urls": q_sitemap_urls,
         "fingerprints": q_fingerprints,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
@@ -5206,6 +5257,26 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": _script_profile_sql(),
         "tfidf_cosine_topk": _tfidf_cosine_topk_sql(),
         "canonical_dedup": _canonical_dedup_sql(),
+        "sitemap_urls": (
+            # Independent derivation for q_sitemap_urls: the rows a
+            # correct sitemap parse of the constructed bodies MUST
+            # produce, straight from the doc_id arithmetic — the XML is
+            # never touched here.
+            "WITH n AS (SELECT doc_id AS k, "
+            "'h' || doc_id::VARCHAR || '.example.org' AS host "
+            "FROM documents WHERE doc_id < 400), "
+            "e AS (SELECT host, k, unnest(range(0, 1 + (k % 3))) AS j "
+            "FROM n) "
+            "SELECT host, "
+            "CASE WHEN k % 4 = 0 THEN "
+            "'https://' || host || '/s' || j::VARCHAR || '.xml' "
+            "ELSE 'https://' || host || '/p' || j::VARCHAR || "
+            "'?a=1&b=' || k::VARCHAR END AS url, "
+            "CASE WHEN (k + j) % 2 = 0 THEN "
+            "'2024-07-0' || (1 + (k + j) % 9)::VARCHAR END AS lastmod, "
+            "(k % 4 = 0) AS from_index, j::BIGINT AS entry_pos "
+            "FROM e ORDER BY host, entry_pos"
+        ),
         "seed_frontier": (
             # Independent derivation for q_seed_frontier: what a correct
             # sitemap-extraction + crawl-delay + scheduling composition
