@@ -359,6 +359,33 @@ def q_sitemap_urls(spark, sf_dir):
     return parse_sitemaps(src).orderBy("host", "entry_pos")
 
 
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution (operators/redirects.py): constructed
+    3xx chains — 100 groups of length 1-7, every 11th group closed into
+    a cycle — resolved by pointer jumping (3 self-joins cover
+    max_hops=6). The oracle resolves the SAME graph with a step-wise
+    recursive CTE (a completely different algorithm), so exact hop
+    counts, the hop cap (length-7 chains are terminal but over budget),
+    and cycle detection are each cross-proven."""
+    from log_analysis_spark.operators.redirects import resolve_redirects
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 800)
+    k = F.col("doc_id")
+    g = F.floor(k / 8)
+    p = F.pmod(k, F.lit(8))
+    chain_len = 1 + F.pmod(g, F.lit(7))
+
+    def u(pp):
+        return F.concat(
+            F.lit("https://r"), g.cast("string"), F.lit(".net/"), pp.cast("string")
+        )
+
+    is_edge = (p < chain_len) | ((p == chain_len) & (F.pmod(g, F.lit(11)) == 0))
+    dst = F.when(p < chain_len, u(p + 1)).otherwise(u(F.lit(0)))
+    e = d.filter(is_edge).select(u(p).alias("url"), dst.alias("redirect_to"))
+    return resolve_redirects(e, max_hops=6).orderBy("url")
+
+
 BLOCK_SUFFIXES = ["co.uk", "site8.com", "site7.uk"]
 ALLOW_SUFFIXES = ["site9.co.uk"]
 BLOCK_PREFIXES = ["http://cdn.site5.www.ck:8080", "https://site4.github.io"]
@@ -3152,6 +3179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_frontier": q_seed_frontier,
         "canonical_dedup": q_canonical_dedup,
         "sitemap_urls": q_sitemap_urls,
+        "redirect_resolve": q_redirect_resolve,
         "fingerprints": q_fingerprints,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
@@ -5257,6 +5285,28 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": _script_profile_sql(),
         "tfidf_cosine_topk": _tfidf_cosine_topk_sql(),
         "canonical_dedup": _canonical_dedup_sql(),
+        "redirect_resolve": (
+            # Cross-algorithm oracle for q_redirect_resolve: a step-wise
+            # recursive walk (vs the operator's pointer doubling) over
+            # the same constructed graph, capped at the same max_hops=6.
+            "WITH RECURSIVE d AS (SELECT doc_id // 8 AS g, doc_id % 8 AS p "
+            "FROM documents WHERE doc_id < 800), "
+            "d2 AS (SELECT g, p, 1 + g % 7 AS L FROM d), "
+            "e AS (SELECT 'https://r' || g::VARCHAR || '.net/' || p::VARCHAR AS u, "
+            "CASE WHEN p < L THEN "
+            "'https://r' || g::VARCHAR || '.net/' || (p + 1)::VARCHAR "
+            "ELSE 'https://r' || g::VARCHAR || '.net/0' END AS v "
+            "FROM d2 WHERE p < L OR (p = L AND g % 11 = 0)), "
+            "srcs AS (SELECT DISTINCT u FROM e), "
+            "walk AS (SELECT u AS url, v AS cur, 1 AS hops FROM e "
+            "UNION ALL SELECT w.url, e.v, w.hops + 1 FROM walk w "
+            "JOIN e ON w.cur = e.u WHERE w.hops < 6), "
+            "term AS (SELECT w.url, w.cur, w.hops FROM walk w "
+            "LEFT JOIN srcs s ON w.cur = s.u WHERE s.u IS NULL) "
+            "SELECT sr.u AS url, t.cur AS final_url, t.hops::BIGINT AS n_hops, "
+            "(t.url IS NULL) AS unresolved "
+            "FROM srcs sr LEFT JOIN term t ON sr.u = t.url ORDER BY url"
+        ),
         "sitemap_urls": (
             # Independent derivation for q_sitemap_urls: the rows a
             # correct sitemap parse of the constructed bodies MUST
