@@ -386,6 +386,72 @@ def q_redirect_resolve(spark, sf_dir):
     return resolve_redirects(e, max_hops=6).orderBy("url")
 
 
+def q_refetch_plan(spark, sf_dir):
+    """Incremental re-crawl planning, end-to-end: sitemap XML bodies ->
+    parse (operators/sitemap.py) -> join the prior-fetch snapshot ->
+    refetch verdicts ('new' = never fetched; 'stale' = lastmod missing
+    or newer than the stored fetch — missing lastmod must refetch, a
+    silent skip would rot the corpus) -> politeness-scheduled plan
+    (operators/frontier.py). The oracle derives entries AND snapshot
+    from the construction arithmetic (never parsing XML) and replays
+    the join + verdict + schedule relationally, so a failure in any of
+    the four composed stages breaks row equality."""
+    from log_analysis_spark.operators.frontier import schedule_frontier
+    from log_analysis_spark.operators.sitemap import parse_sitemaps
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 120)
+    k = F.col("doc_id")
+    host = F.concat(F.lit("f"), k.cast("string"), F.lit(".net"))
+
+    def ent(j: int):
+        lm = F.when(
+            F.pmod(k + F.lit(j), F.lit(4)) != 0,
+            F.concat(
+                F.lit("<lastmod>2024-07-0"),
+                (1 + F.pmod(k + F.lit(j), F.lit(9))).cast("string"),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit(""))
+        return F.concat(
+            F.lit("<url><loc>https://"), host, F.lit(f"/p{j}?v="),
+            k.cast("string"), F.lit("</loc>"), lm, F.lit("</url>"),
+        )
+
+    xml = F.concat(F.lit("<urlset>"), ent(0), ent(1), F.lit("</urlset>"))
+    entries = parse_sitemaps(d.select(host.alias("host"), xml.alias("sitemap_xml")))
+
+    kj = d.select(k.alias("k"), F.explode(F.array(F.lit(0), F.lit(1))).alias("j"))
+    snap = kj.filter(F.pmod(F.col("k") + F.col("j"), F.lit(3)) != 1).select(
+        F.concat(
+            F.lit("https://f"), F.col("k").cast("string"), F.lit(".net/p"),
+            F.col("j").cast("string"), F.lit("?v="), F.col("k").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("2024-07-0"),
+            (1 + F.pmod(2 * F.col("k") + F.col("j"), F.lit(9))).cast("string"),
+        ).alias("last_fetch"),
+    )
+    verdict = entries.join(snap, "url", "left").withColumn(
+        "reason",
+        F.when(F.col("last_fetch").isNull(), F.lit("new")).when(
+            F.col("lastmod").isNull() | (F.col("lastmod") > F.col("last_fetch")),
+            F.lit("stale"),
+        ),
+    ).filter(F.col("reason").isNotNull())
+    plan = schedule_frontier(
+        verdict.select("host", "url", "reason"),
+        default_delay_s=2.0, n_workers=4, hash_fn="md5",
+    )
+    return plan.select(
+        "host",
+        "url",
+        "reason",
+        F.col("fetch_order").cast("long").alias("fetch_order"),
+        F.col("worker").cast("long").alias("worker"),
+        "fetch_offset_s",
+    ).orderBy("host", "fetch_order")
+
+
 BLOCK_SUFFIXES = ["co.uk", "site8.com", "site7.uk"]
 ALLOW_SUFFIXES = ["site9.co.uk"]
 BLOCK_PREFIXES = ["http://cdn.site5.www.ck:8080", "https://site4.github.io"]
@@ -3180,6 +3246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_dedup": q_canonical_dedup,
         "sitemap_urls": q_sitemap_urls,
         "redirect_resolve": q_redirect_resolve,
+        "refetch_plan": q_refetch_plan,
         "fingerprints": q_fingerprints,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
@@ -5285,6 +5352,33 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": _script_profile_sql(),
         "tfidf_cosine_topk": _tfidf_cosine_topk_sql(),
         "canonical_dedup": _canonical_dedup_sql(),
+        "refetch_plan": (
+            # Independent derivation for q_refetch_plan: entries and
+            # snapshot straight from the construction arithmetic (XML
+            # never parsed), then the same join/verdict/schedule rules.
+            "WITH base AS (SELECT doc_id AS k FROM documents WHERE doc_id < 120), "
+            "kj AS (SELECT k, unnest([0, 1]) AS j FROM base), "
+            "ent AS (SELECT 'f' || k::VARCHAR || '.net' AS host, "
+            "'https://f' || k::VARCHAR || '.net/p' || j::VARCHAR || "
+            "'?v=' || k::VARCHAR AS url, "
+            "CASE WHEN (k + j) % 4 <> 0 THEN "
+            "'2024-07-0' || (1 + (k + j) % 9)::VARCHAR END AS lastmod FROM kj), "
+            "snap AS (SELECT 'https://f' || k::VARCHAR || '.net/p' || "
+            "j::VARCHAR || '?v=' || k::VARCHAR AS url, "
+            "'2024-07-0' || (1 + (2 * k + j) % 9)::VARCHAR AS last_fetch "
+            "FROM kj WHERE (k + j) % 3 <> 1), "
+            "r AS (SELECT e.host, e.url, "
+            "CASE WHEN s.url IS NULL THEN 'new' "
+            "WHEN e.lastmod IS NULL OR e.lastmod > s.last_fetch THEN 'stale' "
+            "END AS reason FROM ent e LEFT JOIN snap s ON e.url = s.url), "
+            "f AS (SELECT * FROM r WHERE reason IS NOT NULL), "
+            "rk AS (SELECT *, row_number() OVER (PARTITION BY host "
+            f"ORDER BY {_sql_h60('url')}, url)::BIGINT AS fetch_order FROM f) "
+            "SELECT host, url, reason, fetch_order, "
+            f"({_sql_h60('host')} % 4)::BIGINT AS worker, "
+            "(fetch_order - 1)::DOUBLE * 2.0 AS fetch_offset_s "
+            "FROM rk ORDER BY host, fetch_order"
+        ),
         "redirect_resolve": (
             # Cross-algorithm oracle for q_redirect_resolve: a step-wise
             # recursive walk (vs the operator's pointer doubling) over
