@@ -452,6 +452,63 @@ def q_refetch_plan(spark, sf_dir):
     ).orderBy("host", "fetch_order")
 
 
+def q_frontier_growth(spark, sf_dir):
+    """The BFS crawl-growth iteration: crawled pages -> href extraction
+    (operators/graph.py extract_links, the real regex path) ->
+    canonicalize (functions/parse.py) -> anti-join the already-seen set
+    -> referrer-weighted new frontier (distinct source hosts per new
+    URL, the classic crawl-priority signal). The seen dim broadcasts
+    here because the fixture is tiny; at 10^12 seen URLs the anti-join
+    is a hash shuffle, with `sketches.bloom_words`/`bloom_prefilter`
+    as the map-side prefilter that spares most candidates the shuffle
+    (SCALE.md). Oracle derives the links independently from the events
+    arithmetic — regex extraction and canonicalization are proven
+    against relational ground truth."""
+    from log_analysis_spark.functions.parse import canonical_url
+    from log_analysis_spark.operators.graph import extract_links, host_of
+
+    ev = _t(spark, sf_dir, "events")
+    pages = ev.select(
+        F.concat(
+            F.lit("https://h"), (F.col("user_id") % 20).cast("string"),
+            F.lit(".example.net/e/"), F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<a href="https://h'), (F.col("event_id") % 17).cast("string"),
+            F.lit('.example.net/x.html">x</a><a href="https://h'),
+            ((F.col("event_id") * 7 + 3) % 20).cast("string"),
+            F.lit('.example.net/y.html">y</a>'),
+        ).alias("html"),
+    )
+    links = extract_links(pages)
+    cand = links.select(
+        host_of(F.col("src_url")).alias("src_host"),
+        canonical_url(F.col("dst_url")).alias("url"),
+    )
+    n = _t(spark, sf_dir, "nation")
+    seen = n.filter(
+        (F.col("n_nationkey") % 3 == 0) & (F.col("n_nationkey") < 17)
+    ).select(
+        F.concat(
+            F.lit("https://h"), F.col("n_nationkey").cast("string"),
+            F.lit(".example.net/x.html"),
+        ).alias("url")
+    ).union(
+        n.filter(F.col("n_nationkey") % 4 == 0).select(
+            F.concat(
+                F.lit("https://h"), F.col("n_nationkey").cast("string"),
+                F.lit(".example.net/y.html"),
+            ).alias("url")
+        )
+    )
+    new = cand.join(F.broadcast(seen), "url", "left_anti")
+    return (
+        new.groupBy("url")
+        .agg(F.countDistinct("src_host").cast("long").alias("n_referrers"))
+        .orderBy("url")
+    )
+
+
 BLOCK_SUFFIXES = ["co.uk", "site8.com", "site7.uk"]
 ALLOW_SUFFIXES = ["site9.co.uk"]
 BLOCK_PREFIXES = ["http://cdn.site5.www.ck:8080", "https://site4.github.io"]
@@ -3247,6 +3304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": q_sitemap_urls,
         "redirect_resolve": q_redirect_resolve,
         "refetch_plan": q_refetch_plan,
+        "frontier_growth": q_frontier_growth,
         "fingerprints": q_fingerprints,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
@@ -5352,6 +5410,29 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": _script_profile_sql(),
         "tfidf_cosine_topk": _tfidf_cosine_topk_sql(),
         "canonical_dedup": _canonical_dedup_sql(),
+        "frontier_growth": (
+            # Independent derivation for q_frontier_growth: the links a
+            # correct href-extraction + canonicalization must yield,
+            # straight from the events arithmetic (no regex here).
+            "WITH links AS ("
+            "SELECT 'h' || (user_id % 20)::VARCHAR || '.example.net' AS src_host, "
+            "'https://h' || (event_id % 17)::VARCHAR || "
+            "'.example.net/x.html' AS url FROM events "
+            "UNION ALL "
+            "SELECT 'h' || (user_id % 20)::VARCHAR || '.example.net', "
+            "'https://h' || ((event_id * 7 + 3) % 20)::VARCHAR || "
+            "'.example.net/y.html' FROM events), "
+            "seen AS ("
+            "SELECT 'https://h' || n_nationkey::VARCHAR || "
+            "'.example.net/x.html' AS url FROM nation "
+            "WHERE n_nationkey % 3 = 0 AND n_nationkey < 17 "
+            "UNION ALL "
+            "SELECT 'https://h' || n_nationkey::VARCHAR || "
+            "'.example.net/y.html' FROM nation WHERE n_nationkey % 4 = 0) "
+            "SELECT l.url, count(DISTINCT l.src_host)::BIGINT AS n_referrers "
+            "FROM links l LEFT JOIN seen s ON l.url = s.url "
+            "WHERE s.url IS NULL GROUP BY l.url ORDER BY l.url"
+        ),
         "refetch_plan": (
             # Independent derivation for q_refetch_plan: entries and
             # snapshot straight from the construction arithmetic (XML
