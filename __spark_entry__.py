@@ -509,6 +509,43 @@ def q_frontier_growth(spark, sf_dir):
     )
 
 
+def q_charset_decode(spark, sf_dir):
+    """Charset sniff + decode over raw page bytes (functions/charset.py,
+    WHATWG BOM-then-prescan order): four encoding variants per document
+    (utf-8 meta, latin-1 alias meta, utf-8 BOM, utf-16le BOM), built by
+    ENCODING the text Spark-side, then detected and decoded back. The
+    oracle derives detected charset, char count, and the md5 of the
+    decoded text straight from the documents table — the bytes never
+    exist oracle-side, so BOM priority, alias normalization, per-row
+    decode dispatch, and BOM stripping are each proven by round-trip
+    identity. (Non-ASCII fidelity — café through latin-1/utf-16 — is
+    pinned in tests/test_charset.py; this corpus is ASCII by synth.)"""
+    from log_analysis_spark.functions.charset import decode_html, sniff_charset
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v = F.pmod(F.col("doc_id"), F.lit(4))
+    meta = (
+        F.when(v == 0, F.lit('<meta charset="UTF-8">'))
+        .when(v == 1, F.lit('<meta content="text/html; charset=latin-1">'))
+        .otherwise(F.lit(""))
+    )
+    page = F.concat(meta, F.lit("<p>"), F.col("text"), F.lit("</p>"))
+    raw = (
+        F.when(v == 1, F.encode(page, "ISO-8859-1"))
+        .when(v == 2, F.concat(F.lit(bytearray(b"\xef\xbb\xbf")), F.encode(page, "UTF-8")))
+        .when(v == 3, F.concat(F.lit(bytearray(b"\xff\xfe")), F.encode(page, "UTF-16LE")))
+        .otherwise(F.encode(page, "UTF-8"))
+    )
+    cs = sniff_charset(raw)
+    txt = decode_html(raw, cs)
+    return d.select(
+        "doc_id",
+        cs.alias("detected"),
+        F.length(txt).cast("long").alias("n_chars"),
+        F.md5(F.encode(txt, "UTF-8")).alias("decoded_md5"),
+    ).orderBy("doc_id")
+
+
 BLOCK_SUFFIXES = ["co.uk", "site8.com", "site7.uk"]
 ALLOW_SUFFIXES = ["site9.co.uk"]
 BLOCK_PREFIXES = ["http://cdn.site5.www.ck:8080", "https://site4.github.io"]
@@ -3305,6 +3342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,
         "refetch_plan": q_refetch_plan,
         "frontier_growth": q_frontier_growth,
+        "charset_decode": q_charset_decode,
         "fingerprints": q_fingerprints,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
@@ -5410,6 +5448,21 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": _script_profile_sql(),
         "tfidf_cosine_topk": _tfidf_cosine_topk_sql(),
         "canonical_dedup": _canonical_dedup_sql(),
+        "charset_decode": (
+            # Independent derivation for q_charset_decode: the bytes
+            # never exist here — detected charset, char count, and the
+            # md5 of a correct decode come straight from the text.
+            "WITH p AS (SELECT doc_id, "
+            "CASE doc_id % 4 WHEN 0 THEN '<meta charset=\"UTF-8\">' "
+            "WHEN 1 THEN '<meta content=\"text/html; charset=latin-1\">' "
+            "ELSE '' END || '<p>' || text || '</p>' AS page "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "CASE doc_id % 4 WHEN 1 THEN 'iso-8859-1' "
+            "WHEN 3 THEN 'utf-16le' ELSE 'utf-8' END AS detected, "
+            "length(page)::BIGINT AS n_chars, md5(page) AS decoded_md5 "
+            "FROM p ORDER BY doc_id"
+        ),
         "frontier_growth": (
             # Independent derivation for q_frontier_growth: the links a
             # correct href-extraction + canonicalization must yield,
