@@ -259,12 +259,22 @@ def parse_warc_column(df: DataFrame, bytes_col: str, keep_cols: list[str] | None
     return df.mapInPandas(parse, out_schema)
 
 
-def pages_from_warc(recs: DataFrame, lang: bool = True) -> DataFrame:
+def pages_from_warc(
+    recs: DataFrame, lang: bool = True, charset_sniff: bool = True
+) -> DataFrame:
     """Land the pages-table shape (url, warc_ts, html, text, lang) from
     parsed response records: html = raw body bytes, text = the generic
     boilerplate strip (functions/html.py, pure codegen), lang = the
     n-gram heuristic over that text. 2xx HTML responses only — the
-    crawl-pipeline keep-rule (redirects/errors carry no page)."""
+    crawl-pipeline keep-rule (redirects/errors carry no page).
+
+    ``charset_sniff`` (default on) decodes the body through
+    ``functions/charset.py`` (BOM > in-document ``charset=`` prescan >
+    utf-8) instead of a blind utf-8 cast, so Latin-1 and UTF-16 pages
+    land with correct text while ``html`` keeps the origin bytes —
+    still zero extra shuffle (the sniff fuses into the same projection).
+    """
+    from ..functions.charset import decode_html, sniff_charset
     from ..functions.html import html_to_text
     from ..functions.textstats import langid
 
@@ -276,7 +286,10 @@ def pages_from_warc(recs: DataFrame, lang: bool = True) -> DataFrame:
         & (F.coalesce(F.col("content_type"), F.lit("")).startswith("text/html")
            | F.col("content_type").isNull())
     )
-    body_text = F.col("payload").cast("string")
+    if charset_sniff:
+        body_text = decode_html(F.col("payload"), sniff_charset(F.col("payload")))
+    else:
+        body_text = F.col("payload").cast("string")
     out = keep.select(
         F.col("url"),
         F.col("warc_ts"),

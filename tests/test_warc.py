@@ -202,3 +202,43 @@ def test_cli_warc_ingest_resumes(spark, tmpdir_path):
     )
     r3 = ingest_warc(spark, warc_dir, pages_path, out_dir)
     assert r3["warc_ingested"] is True
+
+
+def test_pages_from_warc_charset_sniff(spark, tmpdir_path):
+    """Non-UTF-8 fetches land with correct text: a Latin-1 body with an
+    in-document declaration and a UTF-16LE BOM body both decode through
+    the charset sniff; html keeps the origin bytes; charset_sniff=False
+    reproduces the old blind utf-8 cast (mojibake on the Latin-1 byte)."""
+    latin1 = '<meta charset="latin-1"><body><p>café page</p></body>'.encode("latin-1")
+    utf16 = "﻿<body><p>naïve page</p></body>".encode("utf-16-le")
+    recs = [
+        build_record(
+            "response",
+            "http://l1.example/a",
+            "2024-07-02T00:00:01Z",
+            build_http_response_block(latin1, 200, "text/html"),
+            content_type="application/http; msgtype=response",
+        ),
+        build_record(
+            "response",
+            "http://u16.example/b",
+            "2024-07-02T00:00:02Z",
+            build_http_response_block(utf16, 200, "text/html"),
+            content_type="application/http; msgtype=response",
+        ),
+    ]
+    write_warc_fixture(os.path.join(tmpdir_path, "c.warc.gz"), recs)
+    pages = {
+        r["url"]: r
+        for r in pages_from_warc(read_warc(spark, tmpdir_path)).collect()
+    }
+    assert pages["http://l1.example/a"]["text"] == "café page"
+    assert bytes(pages["http://l1.example/a"]["html"]) == latin1  # origin bytes kept
+    assert pages["http://u16.example/b"]["text"] == "naïve page"
+    raw = {
+        r["url"]: r["text"]
+        for r in pages_from_warc(
+            read_warc(spark, tmpdir_path), charset_sniff=False
+        ).collect()
+    }
+    assert "café" not in raw["http://l1.example/a"]  # blind cast mangles é
