@@ -546,6 +546,42 @@ def q_charset_decode(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_resolve_links(spark, sf_dir):
+    """RFC 3986 reference resolution (functions/parse.py resolve_url):
+    eight reference shapes per the spec — plain/dot/double-dot relative,
+    absolute-path, network-path (authority swap), query-only, dot-
+    segment-with-fragment, and scheme-ful (verbatim, strict) — resolved
+    against constructed bases. The oracle writes the EXPECTED resolved
+    string for each shape directly from the arithmetic (the resolver
+    never exists oracle-side); the full §5.4 vector matrix is pinned in
+    tests/test_resolve_url.py along with a hypothesis sweep vs
+    urllib.parse.urljoin."""
+    from log_analysis_spark.functions.parse import resolve_url
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 800)
+    k = F.col("doc_id")
+    ks = k.cast("string")
+    m = F.pmod(k, F.lit(7)).cast("string")
+    v = F.pmod(k, F.lit(8))
+    base = F.concat(F.lit("http://h"), m, F.lit(".net/a/b/c?q0"))
+    href = (
+        F.when(v == 0, F.concat(F.lit("g"), ks))
+        .when(v == 1, F.concat(F.lit("./x"), ks))
+        .when(v == 2, F.concat(F.lit("../../up"), ks))
+        .when(v == 3, F.concat(F.lit("/root"), ks))
+        .when(v == 4, F.concat(F.lit("//x"), F.pmod(k, F.lit(5)).cast("string"), F.lit(".net/y")))
+        .when(v == 5, F.concat(F.lit("?y="), ks))
+        .when(v == 6, F.concat(F.lit("g"), ks, F.lit("/../h#s")))
+        .otherwise(F.concat(F.lit("mailto:u"), ks))
+    )
+    return d.select(
+        "doc_id",
+        base.alias("base"),
+        href.alias("href"),
+        resolve_url(base, href).alias("resolved"),
+    ).orderBy("doc_id")
+
+
 BLOCK_SUFFIXES = ["co.uk", "site8.com", "site7.uk"]
 ALLOW_SUFFIXES = ["site9.co.uk"]
 BLOCK_PREFIXES = ["http://cdn.site5.www.ck:8080", "https://site4.github.io"]
@@ -3343,6 +3379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refetch_plan": q_refetch_plan,
         "frontier_growth": q_frontier_growth,
         "charset_decode": q_charset_decode,
+        "resolve_links": q_resolve_links,
         "fingerprints": q_fingerprints,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
@@ -5448,6 +5485,34 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": _script_profile_sql(),
         "tfidf_cosine_topk": _tfidf_cosine_topk_sql(),
         "canonical_dedup": _canonical_dedup_sql(),
+        "resolve_links": (
+            # Direct-expectation oracle for q_resolve_links: the resolved
+            # string each RFC 3986 shape MUST produce, written straight
+            # from the arithmetic — no resolver exists on this side.
+            "WITH d AS (SELECT doc_id AS k, (doc_id % 7)::VARCHAR AS m, "
+            "doc_id % 8 AS v FROM documents WHERE doc_id < 800) "
+            "SELECT k AS doc_id, "
+            "'http://h' || m || '.net/a/b/c?q0' AS base, "
+            "CASE v "
+            "WHEN 0 THEN 'g' || k::VARCHAR "
+            "WHEN 1 THEN './x' || k::VARCHAR "
+            "WHEN 2 THEN '../../up' || k::VARCHAR "
+            "WHEN 3 THEN '/root' || k::VARCHAR "
+            "WHEN 4 THEN '//x' || (k % 5)::VARCHAR || '.net/y' "
+            "WHEN 5 THEN '?y=' || k::VARCHAR "
+            "WHEN 6 THEN 'g' || k::VARCHAR || '/../h#s' "
+            "ELSE 'mailto:u' || k::VARCHAR END AS href, "
+            "CASE v "
+            "WHEN 0 THEN 'http://h' || m || '.net/a/b/g' || k::VARCHAR "
+            "WHEN 1 THEN 'http://h' || m || '.net/a/b/x' || k::VARCHAR "
+            "WHEN 2 THEN 'http://h' || m || '.net/up' || k::VARCHAR "
+            "WHEN 3 THEN 'http://h' || m || '.net/root' || k::VARCHAR "
+            "WHEN 4 THEN 'http://x' || (k % 5)::VARCHAR || '.net/y' "
+            "WHEN 5 THEN 'http://h' || m || '.net/a/b/c?y=' || k::VARCHAR "
+            "WHEN 6 THEN 'http://h' || m || '.net/a/b/h#s' "
+            "ELSE 'mailto:u' || k::VARCHAR END AS resolved "
+            "FROM d ORDER BY doc_id"
+        ),
         "charset_decode": (
             # Independent derivation for q_charset_decode: the bytes
             # never exist here — detected charset, char count, and the

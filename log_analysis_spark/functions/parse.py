@@ -295,3 +295,84 @@ def canonical_url(url: Column) -> Column:
         F.when(q_sorted != "", F.concat(F.lit("?"), q_sorted)).otherwise(F.lit("")),
     )
     return F.when(scheme == "", u).otherwise(rebuilt)
+
+
+def _remove_dot_segments(p: Column) -> Column:
+    """RFC 3986 §5.2.4 over a '/'-leading path: one ``aggregate`` fold
+    over the '/'-split segments ('.' skipped, '..' pops — never past the
+    leading root marker), plus the spec's trailing-slash rule (a path
+    ENDING in '.' or '..' resolves to a directory). Pure expressions;
+    the fold state is the segment array, bounded by the path itself."""
+    segs = F.split(p, "/")
+    acc = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda a, s: (
+            F.when(s == ".", a)
+            .when(
+                s == "..",
+                F.when(F.size(a) > 1, F.slice(a, 1, F.size(a) - 1)).otherwise(a),
+            )
+            .otherwise(F.concat(a, F.array(s)))
+        ),
+    )
+    trail = F.when(
+        F.element_at(segs, -1).isin(".", ".."), F.lit("/")
+    ).otherwise(F.lit(""))
+    return F.concat(F.concat_ws("/", acc), trail)
+
+
+def resolve_url(base: Column, href: Column) -> Column:
+    """RFC 3986 §5.2 reference resolution (STRICT variant) — the step a
+    crawl frontier needs between href extraction and canonicalization:
+    relative links only mean something against the page they appear on.
+
+    Contract: ``base`` is an absolute hierarchical URL
+    (``scheme://authority[/path][?query]``, the pages-table shape); the
+    reference may be any of the spec's forms — absolute (returned
+    verbatim, strict: ``http:g`` stays ``http:g``), network-path
+    (``//host/..``), absolute-path, query-only, fragment-only/empty,
+    or relative-path (merged with the base directory, dot segments
+    removed per §5.2.4). Fragments are preserved (downstream
+    ``canonical_url`` strips them). NULL base or href -> NULL.
+
+    All native expressions — regex decomposition + one array fold —
+    zero shuffle, codegen-friendly; tests pin EVERY §5.4 normal and
+    abnormal example plus a hypothesis sweep against
+    ``urllib.parse.urljoin`` (scheme-ful refs excluded there: urljoin
+    implements the spec's non-strict option for same-scheme refs).
+    """
+    b = F.regexp_replace(base, "#.*$", "")
+    b_scheme = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1)
+    b_auth = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
+    b_path = F.regexp_extract(b, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+
+    h_frag = F.regexp_extract(href, "(#.*)$", 1)
+    h_nf = F.regexp_replace(href, "#.*$", "")
+    h_query = F.regexp_extract(h_nf, r"(\?.*)$", 1)
+    h_path = F.regexp_replace(h_nf, r"\?.*$", "")
+
+    has_scheme = h_nf.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+    net_auth = F.regexp_extract(h_path, "^(//[^/?#]*)", 1)
+    net_path = F.regexp_extract(h_path, "^//[^/?#]*(.*)$", 1)
+    merged = F.when(b_path == "", F.concat(F.lit("/"), h_path)).otherwise(
+        F.concat(F.regexp_replace(b_path, "[^/]*$", ""), h_path)
+    )
+    resolved = (
+        F.when(has_scheme, href)
+        .when(
+            h_path.startswith("//"),
+            F.concat(
+                b_scheme, F.lit(":"), net_auth,
+                _remove_dot_segments(net_path), h_query, h_frag,
+            ),
+        )
+        .when(
+            h_path.startswith("/"),
+            F.concat(b_auth, _remove_dot_segments(h_path), h_query, h_frag),
+        )
+        .when((h_path == "") & (h_query != ""), F.concat(b_auth, b_path, h_query, h_frag))
+        .when(h_path == "", F.concat(b, h_frag))
+        .otherwise(F.concat(b_auth, _remove_dot_segments(merged), h_query, h_frag))
+    )
+    return F.when(base.isNotNull() & href.isNotNull(), resolved)
