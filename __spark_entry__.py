@@ -457,14 +457,17 @@ def q_frontier_growth(spark, sf_dir):
     (operators/graph.py extract_links, the real regex path) ->
     canonicalize (functions/parse.py) -> anti-join the already-seen set
     -> referrer-weighted new frontier (distinct source hosts per new
-    URL, the classic crawl-priority signal). The seen dim broadcasts
-    here because the fixture is tiny; at 10^12 seen URLs the anti-join
-    is a hash shuffle, with `sketches.bloom_words`/`bloom_prefilter`
-    as the map-side prefilter that spares most candidates the shuffle
-    (SCALE.md). Oracle derives the links independently from the events
-    arithmetic — regex extraction and canonicalization are proven
+    URL, the classic crawl-priority signal). The second anchor is a
+    RELATIVE href ('../yN.html'), so RFC 3986 resolution against the
+    linking page (resolve_url) is load-bearing in the composition, not
+    just its own gate. The seen dim broadcasts here because the fixture
+    is tiny; at 10^12 seen URLs the anti-join is a hash shuffle, with
+    `sketches.bloom_words`/`bloom_prefilter` as the map-side prefilter
+    that spares most candidates the shuffle (SCALE.md). Oracle derives
+    the links independently from the events arithmetic — regex
+    extraction, reference resolution, and canonicalization are proven
     against relational ground truth."""
-    from log_analysis_spark.functions.parse import canonical_url
+    from log_analysis_spark.functions.parse import canonical_url, resolve_url
     from log_analysis_spark.operators.graph import extract_links, host_of
 
     ev = _t(spark, sf_dir, "events")
@@ -475,15 +478,15 @@ def q_frontier_growth(spark, sf_dir):
         ).alias("url"),
         F.concat(
             F.lit('<a href="https://h'), (F.col("event_id") % 17).cast("string"),
-            F.lit('.example.net/x.html">x</a><a href="https://h'),
+            F.lit('.example.net/x.html">x</a><a href="../y'),
             ((F.col("event_id") * 7 + 3) % 20).cast("string"),
-            F.lit('.example.net/y.html">y</a>'),
+            F.lit('.html">y</a>'),
         ).alias("html"),
     )
     links = extract_links(pages)
     cand = links.select(
         host_of(F.col("src_url")).alias("src_host"),
-        canonical_url(F.col("dst_url")).alias("url"),
+        canonical_url(resolve_url(F.col("src_url"), F.col("dst_url"))).alias("url"),
     )
     n = _t(spark, sf_dir, "nation")
     seen = n.filter(
@@ -497,7 +500,8 @@ def q_frontier_growth(spark, sf_dir):
         n.filter(F.col("n_nationkey") % 4 == 0).select(
             F.concat(
                 F.lit("https://h"), F.col("n_nationkey").cast("string"),
-                F.lit(".example.net/y.html"),
+                F.lit(".example.net/y"), F.col("n_nationkey").cast("string"),
+                F.lit(".html"),
             ).alias("url")
         )
     )
@@ -5538,15 +5542,15 @@ def oracle_sql() -> dict[str, str]:
             "'.example.net/x.html' AS url FROM events "
             "UNION ALL "
             "SELECT 'h' || (user_id % 20)::VARCHAR || '.example.net', "
-            "'https://h' || ((event_id * 7 + 3) % 20)::VARCHAR || "
-            "'.example.net/y.html' FROM events), "
+            "'https://h' || (user_id % 20)::VARCHAR || '.example.net/y' || "
+            "((event_id * 7 + 3) % 20)::VARCHAR || '.html' FROM events), "
             "seen AS ("
             "SELECT 'https://h' || n_nationkey::VARCHAR || "
             "'.example.net/x.html' AS url FROM nation "
             "WHERE n_nationkey % 3 = 0 AND n_nationkey < 17 "
             "UNION ALL "
-            "SELECT 'https://h' || n_nationkey::VARCHAR || "
-            "'.example.net/y.html' FROM nation WHERE n_nationkey % 4 = 0) "
+            "SELECT 'https://h' || n_nationkey::VARCHAR || '.example.net/y' || "
+            "n_nationkey::VARCHAR || '.html' FROM nation WHERE n_nationkey % 4 = 0) "
             "SELECT l.url, count(DISTINCT l.src_host)::BIGINT AS n_referrers "
             "FROM links l LEFT JOIN seen s ON l.url = s.url "
             "WHERE s.url IS NULL GROUP BY l.url ORDER BY l.url"
