@@ -62,15 +62,24 @@ def _extract(df: DataFrame) -> DataFrame:
     zero-shuffle codegen projection). doc_id = xxhash64(url): stable
     across runs and partitionings, so downstream manifests/dedup keys
     survive re-extraction (collision odds at 64 bits are negligible
-    below ~10^9 urls; beyond that pass pre-assigned ids instead)."""
+    below ~10^9 urls; beyond that pass pre-assigned ids instead).
+    A BINARY html column (the pages-table shape) decodes through the
+    charset sniff (functions/charset.py — BOM > declaration > utf-8)
+    like the WARC path; a string column passes straight to the strip."""
     from ..functions.html import html_to_text
 
     lang = F.col("lang") if "lang" in df.columns else F.lit("und")
+    if dict(df.dtypes).get("html") == "binary":
+        from ..functions.charset import decode_html, sniff_charset
+
+        body = decode_html(F.col("html"), sniff_charset(F.col("html")))
+    else:
+        body = F.col("html").cast("string")
     return df.select(
         F.xxhash64(F.col("url")).alias("doc_id"),
         F.col("url"),
         lang.alias("lang"),
-        html_to_text(F.col("html").cast("string")).alias("text"),
+        html_to_text(body).alias("text"),
     )
 
 

@@ -200,3 +200,17 @@ def test_scrub_mode_windows(spark, tmpdir_path):
     assert r2["stages_run"] == []
     r3 = run_curation(spark, SF_DOCS, out, span_k=6, scrub_mode="blocks")
     assert "scrub" in r3["stages_run"]
+
+
+def test_html_extract_decodes_binary_through_charset_sniff(spark):
+    """A BINARY html column (the pages-table shape) decodes through the
+    charset sniff before the boilerplate strip: a Latin-1 page with an
+    in-document declaration lands as 'café', not mojibake."""
+    from log_analysis_spark.plans.curation_job import _extract
+
+    latin1 = '<meta charset="latin-1"><body><p>a café row</p></body>'.encode("latin-1")
+    df = spark.createDataFrame(
+        [("http://l1.example/a", bytearray(latin1))], "url string, html binary"
+    )
+    row = _extract(df).collect()[0]
+    assert "café" in row.text and "Ã" not in row.text
