@@ -586,6 +586,40 @@ def q_resolve_links(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_pct_normalize(spark, sf_dir):
+    """Percent-encoding normalization (functions/parse.py normalize_pct,
+    RFC 3986 §6.2.2) composed with canonical_url into the full url-dedup
+    key: five encoding variants per group — %7E-encoded vs literal '~'
+    (one equivalence class), %2F vs %2f (case-folded, stays encoded),
+    and a malformed escape (byte-preserved) — with the per-key dup
+    count proving the class collapse. Direct-expectation oracle: the
+    normalized strings and counts are written from the arithmetic, no
+    normalizer oracle-side; edge matrix + regex-reference hypothesis
+    sweep in tests/test_normalize_pct.py."""
+    from log_analysis_spark.functions.parse import canonical_url, normalize_pct
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 1000)
+    k = F.col("doc_id")
+    g = F.floor(k / 5).cast("string")
+    v = F.pmod(k, F.lit(5))
+    path = (
+        F.when(v == 0, "/p%7Eu")
+        .when(v == 1, "/p~u")
+        .when(v == 2, "/p%2Fu")
+        .when(v == 3, "/p%2fu")
+        .otherwise("/p%zz")
+    )
+    url = F.concat(F.lit("https://h"), g, F.lit(".net"), path)
+    norm = normalize_pct(url)
+    key = canonical_url(norm)
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        norm.alias("normalized"),
+        F.count(F.lit(1)).over(Window.partitionBy(key)).cast("long").alias("n_same_key"),
+    ).orderBy("doc_id")
+
+
 BLOCK_SUFFIXES = ["co.uk", "site8.com", "site7.uk"]
 ALLOW_SUFFIXES = ["site9.co.uk"]
 BLOCK_PREFIXES = ["http://cdn.site5.www.ck:8080", "https://site4.github.io"]
@@ -3384,6 +3418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_growth": q_frontier_growth,
         "charset_decode": q_charset_decode,
         "resolve_links": q_resolve_links,
+        "pct_normalize": q_pct_normalize,
         "fingerprints": q_fingerprints,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
@@ -5489,6 +5524,21 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": _script_profile_sql(),
         "tfidf_cosine_topk": _tfidf_cosine_topk_sql(),
         "canonical_dedup": _canonical_dedup_sql(),
+        "pct_normalize": (
+            # Direct-expectation oracle for q_pct_normalize: normalized
+            # strings and per-key counts straight from the arithmetic.
+            "WITH d AS (SELECT doc_id AS k, (doc_id // 5)::VARCHAR AS g, "
+            "doc_id % 5 AS v FROM documents WHERE doc_id < 1000) "
+            "SELECT k AS doc_id, "
+            "'https://h' || g || '.net' || CASE v "
+            "WHEN 0 THEN '/p%7Eu' WHEN 1 THEN '/p~u' WHEN 2 THEN '/p%2Fu' "
+            "WHEN 3 THEN '/p%2fu' ELSE '/p%zz' END AS url, "
+            "'https://h' || g || '.net' || CASE v "
+            "WHEN 0 THEN '/p~u' WHEN 1 THEN '/p~u' WHEN 2 THEN '/p%2Fu' "
+            "WHEN 3 THEN '/p%2Fu' ELSE '/p%zz' END AS normalized, "
+            "(CASE WHEN v = 4 THEN 1 ELSE 2 END)::BIGINT AS n_same_key "
+            "FROM d ORDER BY doc_id"
+        ),
         "resolve_links": (
             # Direct-expectation oracle for q_resolve_links: the resolved
             # string each RFC 3986 shape MUST produce, written straight

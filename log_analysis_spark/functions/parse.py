@@ -376,3 +376,44 @@ def resolve_url(base: Column, href: Column) -> Column:
         .otherwise(F.concat(b_auth, _remove_dot_segments(merged), h_query, h_frag))
     )
     return F.when(base.isNotNull() & href.isNotNull(), resolved)
+
+
+def normalize_pct(url: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization — the equivalence
+    class canonical_url cannot see: ``%7Eu`` and ``~u`` are the SAME
+    resource, and real crawls fetch both. Two spec rules in one fold
+    over the '%'-split pieces:
+
+    - §6.2.2.2: a triplet encoding an UNRESERVED char (ALPHA / DIGIT /
+      '-' '.' '_' '~') decodes to the char;
+    - §6.2.2.1: any other valid triplet uppercases its hex digits
+      (``%2f`` -> ``%2F``).
+
+    Malformed escapes ('%' not followed by two hex digits, or a
+    trailing '%') pass through byte-identical — normalization must
+    never destroy what it does not understand (same contract as
+    canonical_url). Compose ``canonical_url(normalize_pct(url))`` for
+    the full dedup key. Pure expressions (split + one aggregate fold +
+    conv/chr); the fold state is the string itself — zero shuffle."""
+    parts = F.split(url, "%", -1)
+    rest = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+
+    def step(acc: Column, piece: Column) -> Column:
+        hex2 = F.upper(F.substring(piece, 1, 2))
+        valid = hex2.rlike("^[0-9A-F]{2}$")
+        code = F.conv(hex2, 16, 10).cast("int")
+        unreserved = (
+            ((code >= 65) & (code <= 90))
+            | ((code >= 97) & (code <= 122))
+            | ((code >= 48) & (code <= 57))
+            | code.isin(45, 46, 95, 126)
+        )
+        tail = F.substring(piece, 3, 2147483647)
+        return F.concat(
+            acc,
+            F.when(valid & unreserved, F.concat(F.chr(code), tail))
+            .when(valid, F.concat(F.lit("%"), hex2, tail))
+            .otherwise(F.concat(F.lit("%"), piece)),
+        )
+
+    return F.aggregate(rest, F.element_at(parts, 1), step)
