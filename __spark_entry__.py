@@ -620,6 +620,43 @@ def q_pct_normalize(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_url_dedup_key(spark, sf_dir):
+    """THE url-dedup key, fully composed:
+    strip_tracking_params(canonical_url(normalize_pct(url))). Five
+    fetch variants per group — utm_* appended, param-order shuffled
+    tracking, percent-encoded key (%69d = 'id') plus a fragment, a
+    click-id param, and a genuinely different query — and the first
+    four MUST collapse to one key (n_same_key = 4) while the fifth
+    stays alone. Every stage is load-bearing: drop any one normalizer
+    and the counts break. Direct-expectation oracle; each stage also
+    has its own gate (canonical_urls, pct_normalize) and test matrix."""
+    from log_analysis_spark.functions.parse import (
+        canonical_url,
+        normalize_pct,
+        strip_tracking_params,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 1000)
+    k = F.col("doc_id")
+    g = F.floor(k / 5).cast("string")
+    v = F.pmod(k, F.lit(5))
+    qs = (
+        F.when(v == 0, "?id=1&utm_source=a")
+        .when(v == 1, "?utm_medium=b&id=1")
+        .when(v == 2, "?%69d=1#frag")
+        .when(v == 3, "?id=1&fbclid=z")
+        .otherwise("?id=2")
+    )
+    url = F.concat(F.lit("https://h"), g, F.lit(".net/p"), qs)
+    key = strip_tracking_params(canonical_url(normalize_pct(url)))
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        key.alias("dedup_key"),
+        F.count(F.lit(1)).over(Window.partitionBy(key)).cast("long").alias("n_same_key"),
+    ).orderBy("doc_id")
+
+
 BLOCK_SUFFIXES = ["co.uk", "site8.com", "site7.uk"]
 ALLOW_SUFFIXES = ["site9.co.uk"]
 BLOCK_PREFIXES = ["http://cdn.site5.www.ck:8080", "https://site4.github.io"]
@@ -3419,6 +3456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_decode": q_charset_decode,
         "resolve_links": q_resolve_links,
         "pct_normalize": q_pct_normalize,
+        "url_dedup_key": q_url_dedup_key,
         "fingerprints": q_fingerprints,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
@@ -5524,6 +5562,22 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": _script_profile_sql(),
         "tfidf_cosine_topk": _tfidf_cosine_topk_sql(),
         "canonical_dedup": _canonical_dedup_sql(),
+        "url_dedup_key": (
+            # Direct-expectation oracle for q_url_dedup_key: the key a
+            # correct normalize -> canonicalize -> strip chain yields,
+            # straight from the arithmetic.
+            "WITH d AS (SELECT doc_id AS k, (doc_id // 5)::VARCHAR AS g, "
+            "doc_id % 5 AS v FROM documents WHERE doc_id < 1000) "
+            "SELECT k AS doc_id, "
+            "'https://h' || g || '.net/p' || CASE v "
+            "WHEN 0 THEN '?id=1&utm_source=a' WHEN 1 THEN '?utm_medium=b&id=1' "
+            "WHEN 2 THEN '?%69d=1#frag' WHEN 3 THEN '?id=1&fbclid=z' "
+            "ELSE '?id=2' END AS url, "
+            "'https://h' || g || '.net/p' || "
+            "CASE WHEN v = 4 THEN '?id=2' ELSE '?id=1' END AS dedup_key, "
+            "(CASE WHEN v = 4 THEN 1 ELSE 4 END)::BIGINT AS n_same_key "
+            "FROM d ORDER BY doc_id"
+        ),
         "pct_normalize": (
             # Direct-expectation oracle for q_pct_normalize: normalized
             # strings and per-key counts straight from the arithmetic.

@@ -417,3 +417,43 @@ def normalize_pct(url: Column) -> Column:
         )
 
     return F.aggregate(rest, F.element_at(parts, 1), step)
+
+
+# the standard cross-site tracking params every crawl canonicalizer drops:
+# Google Analytics utm_*, plus the click-id params ad platforms append
+TRACKING_PREFIXES = ("utm_",)
+TRACKING_EXACT = ("fbclid", "gclid", "msclkid", "mc_eid", "igshid", "ref_src")
+
+
+def strip_tracking_params(
+    url: Column,
+    prefixes: tuple[str, ...] = TRACKING_PREFIXES,
+    exact: tuple[str, ...] = TRACKING_EXACT,
+) -> Column:
+    """Drop tracking query parameters — the third URL-dup generator
+    after percent-encoding and param order: ``/p?utm_source=x&id=1`` and
+    ``/p?id=1`` are the same resource. Splits the query on '&', keeps a
+    parameter unless its KEY (the part before '=', or the whole param)
+    matches a tracking prefix or exact name (case-insensitive); a query
+    left empty drops its '?'. Fragment-free input expected (compose
+    after canonical_url, which strips fragments; full dedup key =
+    ``strip_tracking_params(canonical_url(normalize_pct(url)))``).
+    Non-URL rows and URLs without a query pass through byte-identical.
+    Pure expressions (one split + filter + rebuild), zero shuffle."""
+    head = F.regexp_extract(url, r"^([^?]*)\?", 1)
+    q = F.regexp_extract(url, r"^[^?]*\?(.*)$", 1)
+
+    def keep(p: Column) -> Column:
+        key = F.lower(F.regexp_extract(p, "^([^=]*)", 1))
+        bad = F.lit(False)
+        for pre in prefixes:
+            bad = bad | key.startswith(pre.lower())
+        for name in exact:
+            bad = bad | (key == name.lower())
+        return ~bad
+
+    kept = F.concat_ws("&", F.filter(F.split(q, "&"), keep))
+    rebuilt = F.concat(
+        head, F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit(""))
+    )
+    return F.when(url.rlike(r"\?"), rebuilt).otherwise(url)

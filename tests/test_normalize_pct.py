@@ -66,3 +66,30 @@ def test_matches_regex_reference(spark, urls):
     got = _norm_all(spark, list(set(urls)))
     for u, n in got.items():
         assert n == _ref(u), f"url={u!r}: spark={n!r} ref={_ref(u)!r}"
+
+
+# --- tracking-parameter stripping (same URL-dedup family) ---
+
+from log_analysis_spark.functions.parse import strip_tracking_params
+
+STRIP_CASES = [
+    ("http://a/p?utm_source=x&id=1", "http://a/p?id=1"),
+    ("http://a/p?id=1&UTM_Medium=e", "http://a/p?id=1"),  # case-insensitive
+    ("http://a/p?fbclid=abc", "http://a/p"),  # query emptied -> '?' dropped
+    ("http://a/p?gclid", "http://a/p"),  # bare key, no '='
+    ("http://a/p?id=1&x=utm_source", "http://a/p?id=1&x=utm_source"),  # VALUE not key
+    ("http://a/p?utm=1", "http://a/p?utm=1"),  # 'utm' alone is not 'utm_*'
+    ("http://a/p", "http://a/p"),  # no query untouched
+    ("not a url", "not a url"),
+]
+
+
+def test_strip_tracking_params(spark):
+    df = spark.createDataFrame([(u,) for u, _ in STRIP_CASES], "u string")
+    got = {
+        r.u: r.s
+        for r in df.select(
+            "u", strip_tracking_params(F.col("u")).alias("s")
+        ).collect()
+    }
+    assert [(u, got[u]) for u, _ in STRIP_CASES] == STRIP_CASES
