@@ -657,6 +657,56 @@ def q_url_dedup_key(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_page_directives(spark, sf_dir):
+    """In-page curation directives (functions/html.py page_directives)
+    composed with RFC 3986 resolution: four page variants — absolute
+    rel=canonical + title, RELATIVE rel=canonical (resolved against the
+    fetched URL, the common publisher form) + noindex meta, a
+    noindex,nofollow robots meta alone, and a bare page. Output is the
+    publisher's own dedup/exclusion votes per fetch. Direct-expectation
+    oracle from the construction arithmetic; extraction edge matrix
+    (attribute order, quotes, token-vs-substring) in tests/test_html.py."""
+    from log_analysis_spark.functions.html import page_directives
+    from log_analysis_spark.functions.parse import resolve_url
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 1000)
+    k = F.col("doc_id")
+    ks = k.cast("string")
+    v = F.pmod(k, F.lit(4))
+    url = F.concat(
+        F.lit("https://h"), F.pmod(k, F.lit(7)).cast("string"), F.lit(".net/d/e"), ks
+    )
+    html = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit('<title> T'), ks, F.lit(' </title><link rel="canonical" href="https://c'),
+                F.pmod(k, F.lit(9)).cast("string"), F.lit('.net/x">'),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("<link href='../cx"), ks,
+                F.lit("' rel='canonical'><meta name=\"robots\" content=\"noindex\">"),
+            ),
+        )
+        .when(v == 2, F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .otherwise(F.lit("<p>plain</p>"))
+    )
+    dd = d.select("doc_id", url.alias("url"), page_directives(html).alias("_d"))
+    return dd.select(
+        "doc_id",
+        F.when(
+            F.col("_d.canonical_href").isNotNull(),
+            resolve_url(F.col("url"), F.col("_d.canonical_href")),
+        ).alias("canonical_url"),
+        F.col("_d.noindex").alias("noindex"),
+        F.col("_d.nofollow").alias("nofollow"),
+        F.col("_d.title").alias("title"),
+    ).orderBy("doc_id")
+
+
 BLOCK_SUFFIXES = ["co.uk", "site8.com", "site7.uk"]
 ALLOW_SUFFIXES = ["site9.co.uk"]
 BLOCK_PREFIXES = ["http://cdn.site5.www.ck:8080", "https://site4.github.io"]
@@ -3457,6 +3507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_links": q_resolve_links,
         "pct_normalize": q_pct_normalize,
         "url_dedup_key": q_url_dedup_key,
+        "page_directives": q_page_directives,
         "fingerprints": q_fingerprints,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
@@ -5562,6 +5613,20 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": _script_profile_sql(),
         "tfidf_cosine_topk": _tfidf_cosine_topk_sql(),
         "canonical_dedup": _canonical_dedup_sql(),
+        "page_directives": (
+            # Direct-expectation oracle for q_page_directives: the
+            # extracted+resolved directives each variant MUST yield.
+            "WITH d AS (SELECT doc_id AS k, doc_id % 4 AS v, "
+            "(doc_id % 7)::VARCHAR AS h, (doc_id % 9)::VARCHAR AS c "
+            "FROM documents WHERE doc_id < 1000) "
+            "SELECT k AS doc_id, "
+            "CASE v WHEN 0 THEN 'https://c' || c || '.net/x' "
+            "WHEN 1 THEN 'https://h' || h || '.net/cx' || k::VARCHAR "
+            "END AS canonical_url, "
+            "(v = 1 OR v = 2) AS noindex, (v = 2) AS nofollow, "
+            "CASE WHEN v = 0 THEN 'T' || k::VARCHAR END AS title "
+            "FROM d ORDER BY doc_id"
+        ),
         "url_dedup_key": (
             # Direct-expectation oracle for q_url_dedup_key: the key a
             # correct normalize -> canonicalize -> strip chain yields,

@@ -107,3 +107,48 @@ def html_to_text_oracle(expr: str) -> str:
         else:
             out = f"replace({out}, {q(pat)}, {q(repl)})"
     return out
+
+
+# in-page directives: the tag is matched FIRST (attributes in any order,
+# single or double quotes), then the attribute is pulled from the match —
+# two-step extraction, so `<link href=.. rel=canonical>` and
+# `<link rel=canonical href=..>` both work.
+_CANONICAL_TAG_RX = (
+    r"""(?is)<link\s[^<>]*rel\s*=\s*["']?canonical["']?[^<>]*>"""
+)
+_HREF_RX = r"""(?is)href\s*=\s*["']([^"'<>]+)["']"""
+_ROBOTS_TAG_RX = r"""(?is)<meta\s[^<>]*name\s*=\s*["']?robots["']?[^<>]*>"""
+_CONTENT_RX = r"""(?is)content\s*=\s*["']([^"'<>]*)["']"""
+_TITLE_RX = r"(?is)<title>\s*(.*?)\s*</title>"
+
+
+def page_directives(html: Column) -> Column:
+    """In-page curation directives as ONE struct column:
+
+    - ``canonical_href``: the ``<link rel="canonical">`` target (raw —
+      often RELATIVE; compose ``parse.resolve_url(url, ...)`` against
+      the fetched URL), NULL when absent. First tag wins, matching
+      browser behavior for duplicate canonicals.
+    - ``noindex`` / ``nofollow``: booleans from the robots meta tag's
+      content list (``<meta name="robots" content="noindex, follow">``);
+      both false when the tag is absent (index/follow is the default).
+    - ``title``: the first ``<title>`` body, whitespace-trimmed, NULL
+      when absent.
+
+    rel=canonical is the publisher's OWN dedup vote — a curation
+    pipeline that ignores it keeps every print-view/AMP/session-id
+    variant the crawler fetched; noindex is the in-page counterpart of
+    robots.txt exclusion (RFC 9309 covers fetching, the meta tag covers
+    indexing/corpus inclusion). Lexical extraction per this module's
+    documented cap; pure codegen, zero shuffle."""
+    canon_tag = F.regexp_extract(html, _CANONICAL_TAG_RX, 0)
+    canon = F.regexp_extract(canon_tag, _HREF_RX, 1)
+    robots_tag = F.regexp_extract(html, _ROBOTS_TAG_RX, 0)
+    content = F.lower(F.regexp_extract(robots_tag, _CONTENT_RX, 1))
+    title = F.regexp_extract(html, _TITLE_RX, 1)
+    return F.struct(
+        F.nullif(canon, F.lit("")).alias("canonical_href"),
+        content.rlike("(^|[ ,])noindex([ ,]|$)").alias("noindex"),
+        content.rlike("(^|[ ,])nofollow([ ,]|$)").alias("nofollow"),
+        F.nullif(title, F.lit("")).alias("title"),
+    )

@@ -86,3 +86,34 @@ def test_single_projection_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_page_directives(spark):
+    """rel=canonical (attribute order + quote variants, first wins),
+    robots meta token matching (noindex/nofollow as LIST TOKENS, not
+    substrings), title trim, absent -> NULL/false defaults."""
+    from log_analysis_spark.functions.html import page_directives
+
+    cases = [
+        ("both_orders", '<link rel="canonical" href="/a"><link href="/b" rel="canonical">'),
+        ("href_first", "<link href='/c' rel='canonical'>"),
+        ("robots_full", '<meta name="robots" content="noindex, nofollow">'),
+        ("robots_partial", "<meta content='noindex,follow' name=robots>"),
+        ("robots_token_trap", '<meta name="robots" content="noindexing">'),
+        ("title", "<title>\n  A Page  \n</title><title>second</title>"),
+        ("empty", "<p>nothing here</p>"),
+    ]
+    df = spark.createDataFrame(cases, "name string, html string")
+    got = {
+        r.name: r.d
+        for r in df.select("name", page_directives(F.col("html")).alias("d")).collect()
+    }
+    assert got["both_orders"].canonical_href == "/a"  # first tag wins
+    assert got["href_first"].canonical_href == "/c"
+    assert got["robots_full"].noindex and got["robots_full"].nofollow
+    assert got["robots_partial"].noindex and not got["robots_partial"].nofollow
+    assert not got["robots_token_trap"].noindex  # 'noindexing' is not 'noindex'
+    assert got["title"].title == "A Page"
+    e = got["empty"]
+    assert e.canonical_href is None and e.title is None
+    assert not e.noindex and not e.nofollow
