@@ -660,12 +660,13 @@ def q_url_dedup_key(spark, sf_dir):
 def q_page_directives(spark, sf_dir):
     """In-page curation directives (functions/html.py page_directives)
     composed with RFC 3986 resolution: four page variants — absolute
-    rel=canonical + title, RELATIVE rel=canonical (resolved against the
-    fetched URL, the common publisher form) + noindex meta, a
-    noindex,nofollow robots meta alone, and a bare page. Output is the
-    publisher's own dedup/exclusion votes per fetch. Direct-expectation
-    oracle from the construction arithmetic; extraction edge matrix
-    (attribute order, quotes, token-vs-substring) in tests/test_html.py."""
+    rel=canonical + title, RELATIVE rel=canonical under a <base href>
+    (the HTML-spec order: base resolves against the fetched URL, then
+    the canonical against THAT) + noindex meta, a noindex,nofollow
+    robots meta alone, and a bare page. Output is the publisher's own
+    dedup/exclusion votes per fetch. Direct-expectation oracle from the
+    construction arithmetic; extraction edge matrix (attribute order,
+    quotes, token-vs-substring, base_href) in tests/test_html.py."""
     from log_analysis_spark.functions.html import page_directives
     from log_analysis_spark.functions.parse import resolve_url
 
@@ -687,7 +688,7 @@ def q_page_directives(spark, sf_dir):
         .when(
             v == 1,
             F.concat(
-                F.lit("<link href='../cx"), ks,
+                F.lit("<base href='/b1/b2/'><link href='../cx"), ks,
                 F.lit("' rel='canonical'><meta name=\"robots\" content=\"noindex\">"),
             ),
         )
@@ -695,11 +696,14 @@ def q_page_directives(spark, sf_dir):
         .otherwise(F.lit("<p>plain</p>"))
     )
     dd = d.select("doc_id", url.alias("url"), page_directives(html).alias("_d"))
+    eff_base = resolve_url(
+        F.col("url"), F.coalesce(F.col("_d.base_href"), F.col("url"))
+    )
     return dd.select(
         "doc_id",
         F.when(
             F.col("_d.canonical_href").isNotNull(),
-            resolve_url(F.col("url"), F.col("_d.canonical_href")),
+            resolve_url(eff_base, F.col("_d.canonical_href")),
         ).alias("canonical_url"),
         F.col("_d.noindex").alias("noindex"),
         F.col("_d.nofollow").alias("nofollow"),
@@ -5621,7 +5625,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id < 1000) "
             "SELECT k AS doc_id, "
             "CASE v WHEN 0 THEN 'https://c' || c || '.net/x' "
-            "WHEN 1 THEN 'https://h' || h || '.net/cx' || k::VARCHAR "
+            "WHEN 1 THEN 'https://h' || h || '.net/b1/cx' || k::VARCHAR "
             "END AS canonical_url, "
             "(v = 1 OR v = 2) AS noindex, (v = 2) AS nofollow, "
             "CASE WHEN v = 0 THEN 'T' || k::VARCHAR END AS title "

@@ -118,6 +118,7 @@ _CANONICAL_TAG_RX = (
 )
 _HREF_RX = r"""(?is)href\s*=\s*["']([^"'<>]+)["']"""
 _ROBOTS_TAG_RX = r"""(?is)<meta\s[^<>]*name\s*=\s*["']?robots["']?[^<>]*>"""
+_BASE_TAG_RX = r"""(?is)<base\s[^<>]*>"""
 _CONTENT_RX = r"""(?is)content\s*=\s*["']([^"'<>]*)["']"""
 _TITLE_RX = r"(?is)<title>\s*(.*?)\s*</title>"
 
@@ -134,6 +135,12 @@ def page_directives(html: Column) -> Column:
       both false when the tag is absent (index/follow is the default).
     - ``title``: the first ``<title>`` body, whitespace-trimmed, NULL
       when absent.
+    - ``base_href``: the ``<base href>`` target when present — per the
+      HTML spec it REPLACES the document URL as the resolution base for
+      every relative reference on the page (itself resolved against the
+      fetched URL first): the effective base is
+      ``resolve_url(url, coalesce(base_href, url))`` and relative
+      canonicals/anchors resolve against THAT.
 
     rel=canonical is the publisher's OWN dedup vote — a curation
     pipeline that ignores it keeps every print-view/AMP/session-id
@@ -141,6 +148,8 @@ def page_directives(html: Column) -> Column:
     robots.txt exclusion (RFC 9309 covers fetching, the meta tag covers
     indexing/corpus inclusion). Lexical extraction per this module's
     documented cap; pure codegen, zero shuffle."""
+    base_tag = F.regexp_extract(html, _BASE_TAG_RX, 0)
+    base_href = F.regexp_extract(base_tag, _HREF_RX, 1)
     canon_tag = F.regexp_extract(html, _CANONICAL_TAG_RX, 0)
     canon = F.regexp_extract(canon_tag, _HREF_RX, 1)
     robots_tag = F.regexp_extract(html, _ROBOTS_TAG_RX, 0)
@@ -151,4 +160,5 @@ def page_directives(html: Column) -> Column:
         content.rlike("(^|[ ,])noindex([ ,]|$)").alias("noindex"),
         content.rlike("(^|[ ,])nofollow([ ,]|$)").alias("nofollow"),
         F.nullif(title, F.lit("")).alias("title"),
+        F.nullif(base_href, F.lit("")).alias("base_href"),
     )

@@ -115,5 +115,29 @@ def test_page_directives(spark):
     assert not got["robots_token_trap"].noindex  # 'noindexing' is not 'noindex'
     assert got["title"].title == "A Page"
     e = got["empty"]
-    assert e.canonical_href is None and e.title is None
+    assert e.canonical_href is None and e.title is None and e.base_href is None
     assert not e.noindex and not e.nofollow
+
+
+def test_page_directives_base_href(spark):
+    """<base href> extracted; the effective resolution base is the base
+    element resolved against the fetched URL, and relative canonicals
+    resolve against THAT (HTML spec resolution order)."""
+    from log_analysis_spark.functions.html import page_directives
+    from log_analysis_spark.functions.parse import resolve_url
+
+    df = spark.createDataFrame(
+        [("https://h.net/d/e1", '<base href="/b1/b2/"><link rel="canonical" href="../cx">')],
+        "url string, html string",
+    )
+    d = df.select(
+        "url", page_directives(F.col("html")).alias("d")
+    ).select(
+        F.col("d.base_href").alias("b"),
+        resolve_url(
+            resolve_url(F.col("url"), F.coalesce(F.col("d.base_href"), F.col("url"))),
+            F.col("d.canonical_href"),
+        ).alias("resolved"),
+    ).collect()[0]
+    assert d.b == "/b1/b2/"
+    assert d.resolved == "https://h.net/b1/cx"
