@@ -515,27 +515,29 @@ def q_frontier_growth(spark, sf_dir):
 
 def q_charset_decode(spark, sf_dir):
     """Charset sniff + decode over raw page bytes (functions/charset.py,
-    WHATWG BOM-then-prescan order): four encoding variants per document
-    (utf-8 meta, latin-1 alias meta, utf-8 BOM, utf-16le BOM), built by
-    ENCODING the text Spark-side, then detected and decoded back. The
-    oracle derives detected charset, char count, and the md5 of the
-    decoded text straight from the documents table — the bytes never
-    exist oracle-side, so BOM priority, alias normalization, per-row
-    decode dispatch, and BOM stripping are each proven by round-trip
-    identity. (Non-ASCII fidelity — café through latin-1/utf-16 — is
-    pinned in tests/test_charset.py; this corpus is ASCII by synth.)"""
+    WHATWG BOM-then-prescan order): five encoding variants per document
+    (utf-8 meta, latin-1 alias meta, utf-8 BOM, utf-16le BOM, cp1252
+    meta), built by ENCODING the text Spark-side, then detected and
+    decoded back. The oracle derives detected charset, char count, and
+    the md5 of the decoded text straight from the documents table — the
+    bytes never exist oracle-side, so BOM priority, alias
+    normalization, per-row decode dispatch, and BOM stripping are each
+    proven by round-trip identity. (Non-ASCII fidelity — café through
+    latin-1/utf-16, the cp1252 C1 smart-quote block — is pinned in
+    tests/test_charset.py; this corpus is ASCII by synth.)"""
     from log_analysis_spark.functions.charset import decode_html, sniff_charset
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    v = F.pmod(F.col("doc_id"), F.lit(4))
+    v = F.pmod(F.col("doc_id"), F.lit(5))
     meta = (
         F.when(v == 0, F.lit('<meta charset="UTF-8">'))
         .when(v == 1, F.lit('<meta content="text/html; charset=latin-1">'))
+        .when(v == 4, F.lit('<meta charset="cp1252">'))
         .otherwise(F.lit(""))
     )
     page = F.concat(meta, F.lit("<p>"), F.col("text"), F.lit("</p>"))
     raw = (
-        F.when(v == 1, F.encode(page, "ISO-8859-1"))
+        F.when(v.isin(1, 4), F.encode(page, "ISO-8859-1"))
         .when(v == 2, F.concat(F.lit(bytearray(b"\xef\xbb\xbf")), F.encode(page, "UTF-8")))
         .when(v == 3, F.concat(F.lit(bytearray(b"\xff\xfe")), F.encode(page, "UTF-16LE")))
         .otherwise(F.encode(page, "UTF-8"))
@@ -5695,13 +5697,15 @@ def oracle_sql() -> dict[str, str]:
             # never exist here — detected charset, char count, and the
             # md5 of a correct decode come straight from the text.
             "WITH p AS (SELECT doc_id, "
-            "CASE doc_id % 4 WHEN 0 THEN '<meta charset=\"UTF-8\">' "
+            "CASE doc_id % 5 WHEN 0 THEN '<meta charset=\"UTF-8\">' "
             "WHEN 1 THEN '<meta content=\"text/html; charset=latin-1\">' "
+            "WHEN 4 THEN '<meta charset=\"cp1252\">' "
             "ELSE '' END || '<p>' || text || '</p>' AS page "
             "FROM documents) "
             "SELECT doc_id, "
-            "CASE doc_id % 4 WHEN 1 THEN 'iso-8859-1' "
-            "WHEN 3 THEN 'utf-16le' ELSE 'utf-8' END AS detected, "
+            "CASE doc_id % 5 WHEN 1 THEN 'iso-8859-1' "
+            "WHEN 3 THEN 'utf-16le' WHEN 4 THEN 'windows-1252' "
+            "ELSE 'utf-8' END AS detected, "
             "length(page)::BIGINT AS n_chars, md5(page) AS decoded_md5 "
             "FROM p ORDER BY doc_id"
         ),

@@ -15,12 +15,15 @@ Detection order mirrors the WHATWG encoding sniff:
 2. **In-document declaration**: the first ``charset=`` attribute in the
    first 1024 bytes (the WHATWG prescan window), matched case-
    insensitively over a Latin-1 view of the prefix (Latin-1 is a total
-   byte->char map, so the scan itself can never fail); common aliases
-   normalize (latin-1/windows-1252/cp1252 -> iso-8859-1, utf8 -> utf-8,
-   ascii -> us-ascii). windows-1252's 0x80-0x9F smart-quote block
-   decoding as C1 controls under iso-8859-1 is a documented cap (the
-   browsers' inverse mapping needs a 27-entry translate; the bytes are
-   preserved either way).
+   byte->char map, so the scan itself can never fail); aliases
+   normalize (latin-1/latin1 -> iso-8859-1, utf8 -> utf-8, ascii ->
+   us-ascii, cp1252 -> windows-1252). windows-1252 decodes PROPERLY:
+   iso-8859-1 (total) followed by one ``translate`` mapping the 27
+   defined C1-block positions (0x80-0x9F) to their cp1252 characters
+   (smart quotes, dashes, euro, ...), the 5 undefined positions passing
+   through as C1 controls. Declared iso-8859-1 stays pure iso-8859-1
+   (the conservative choice; WHATWG folds that label into windows-1252
+   too — callers wanting browser behavior can alias it before decode).
 3. **Caller default** (utf-8) when neither is present or the declared
    name is unknown.
 
@@ -45,6 +48,12 @@ CHARSET_RX = r"""(?i)charset\s*=\s*["']?([A-Za-z0-9_.:-]+)"""
 PRESCAN_BYTES = 1024
 
 _BOM_UTF8 = bytearray(b"\xef\xbb\xbf")
+
+# the 27 defined C1-block (0x80-0x9F) positions of windows-1252 and their
+# real characters; 0x81/0x8D/0x8F/0x90/0x9D are undefined and pass through
+_CP1252_DEFINED = [i for i in range(0x80, 0xA0) if i not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)]
+_CP1252_FROM = "".join(chr(i) for i in _CP1252_DEFINED)
+_CP1252_TO = bytes(_CP1252_DEFINED).decode("cp1252")
 _BOM_UTF16LE = bytearray(b"\xff\xfe")
 _BOM_UTF16BE = bytearray(b"\xfe\xff")
 
@@ -60,10 +69,8 @@ def sniff_charset(bin_col: Column, default: str = "utf-8") -> Column:
     )
     declared = (
         F.when(meta.isin("utf-8", "utf8"), F.lit("utf-8"))
-        .when(
-            meta.isin("iso-8859-1", "latin-1", "latin1", "windows-1252", "cp1252"),
-            F.lit("iso-8859-1"),
-        )
+        .when(meta.isin("iso-8859-1", "latin-1", "latin1"), F.lit("iso-8859-1"))
+        .when(meta.isin("windows-1252", "cp1252"), F.lit("windows-1252"))
         .when(meta.isin("us-ascii", "ascii"), F.lit("us-ascii"))
         .when(meta == "utf-16le", F.lit("utf-16le"))
         .when(meta == "utf-16be", F.lit("utf-16be"))
@@ -86,6 +93,10 @@ def decode_html(bin_col: Column, charset_col: Column) -> Column:
         F.when(charset_col == "utf-16le", F.decode(bin_col, "UTF-16LE"))
         .when(charset_col == "utf-16be", F.decode(bin_col, "UTF-16BE"))
         .when(charset_col == "iso-8859-1", F.decode(bin_col, "ISO-8859-1"))
+        .when(
+            charset_col == "windows-1252",
+            F.translate(F.decode(bin_col, "ISO-8859-1"), _CP1252_FROM, _CP1252_TO),
+        )
         .when(charset_col == "us-ascii", F.decode(bin_col, "US-ASCII"))
         .otherwise(F.decode(bin_col, "UTF-8"))
     )

@@ -21,8 +21,16 @@ CASES = [
     (
         "meta_content_type",
         b"<meta content=\"text/html; charset='Windows-1252'\"><p>a</p>",
-        "iso-8859-1",
+        "windows-1252",
         "<meta content=\"text/html; charset='Windows-1252'\"><p>a</p>",
+    ),
+    (
+        # cp1252 C1 block decodes to the REAL characters (smart quotes,
+        # euro); the undefined 0x81 passes through as the C1 control
+        "cp1252_c1_block",
+        b'<meta charset="cp1252">\x93q\x94 \x80 \x81 \x97',
+        "windows-1252",
+        '<meta charset="cp1252">\u201cq\u201d \u20ac \x81 \u2014',
     ),
     ("meta_utf8_alias", b'<meta charset=UTF8><p>ok</p>', "utf-8", "<meta charset=UTF8><p>ok</p>"),
     ("no_meta_default", b"<p>plain</p>", "utf-8", "<p>plain</p>"),
