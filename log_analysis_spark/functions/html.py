@@ -117,9 +117,24 @@ _CANONICAL_TAG_RX = (
     r"""(?is)<link\s[^<>]*rel\s*=\s*["']?canonical["']?[^<>]*>"""
 )
 _HREF_RX = r"""(?is)href\s*=\s*["']([^"'<>]+)["']"""
+_HREF_UNQ_RX = r"""(?is)href\s*=\s*([^\s"'<>`=]+)"""
 _ROBOTS_TAG_RX = r"""(?is)<meta\s[^<>]*name\s*=\s*["']?robots["']?[^<>]*>"""
 _BASE_TAG_RX = r"""(?is)<base\s[^<>]*>"""
 _CONTENT_RX = r"""(?is)content\s*=\s*["']([^"'<>]*)["']"""
+_CONTENT_UNQ_RX = r"""(?is)content\s*=\s*([^\s"'<>`=]+)"""
+
+
+def _tag_attr(tag: Column, quoted_rx: str, unquoted_rx: str) -> Column:
+    """Attribute value from an already-extracted tag string: quoted form
+    first, else the HTML unquoted-attribute form (no whitespace/quote/
+    angle/backtick/equals chars — the spec's unquoted value charset),
+    so minified real-world markup like ``<link rel=canonical href=/x>``
+    or ``<meta name=robots content=noindex>`` extracts too. Empty
+    string when neither matches (callers nullif)."""
+    quoted = F.regexp_extract(tag, quoted_rx, 1)
+    return F.when(quoted != F.lit(""), quoted).otherwise(
+        F.regexp_extract(tag, unquoted_rx, 1)
+    )
 _TITLE_RX = r"(?is)<title>\s*(.*?)\s*</title>"
 
 
@@ -149,11 +164,11 @@ def page_directives(html: Column) -> Column:
     indexing/corpus inclusion). Lexical extraction per this module's
     documented cap; pure codegen, zero shuffle."""
     base_tag = F.regexp_extract(html, _BASE_TAG_RX, 0)
-    base_href = F.regexp_extract(base_tag, _HREF_RX, 1)
+    base_href = _tag_attr(base_tag, _HREF_RX, _HREF_UNQ_RX)
     canon_tag = F.regexp_extract(html, _CANONICAL_TAG_RX, 0)
-    canon = F.regexp_extract(canon_tag, _HREF_RX, 1)
+    canon = _tag_attr(canon_tag, _HREF_RX, _HREF_UNQ_RX)
     robots_tag = F.regexp_extract(html, _ROBOTS_TAG_RX, 0)
-    content = F.lower(F.regexp_extract(robots_tag, _CONTENT_RX, 1))
+    content = F.lower(_tag_attr(robots_tag, _CONTENT_RX, _CONTENT_UNQ_RX))
     title = F.regexp_extract(html, _TITLE_RX, 1)
     return F.struct(
         F.nullif(canon, F.lit("")).alias("canonical_href"),

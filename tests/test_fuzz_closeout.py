@@ -50,7 +50,11 @@ def test_sitemap_parse_recovers_constructed_entries(spark, docs):
         (r.host, r.url, r.lastmod, r.from_index, r.entry_pos)
         for r in parse_sitemaps(sdf).collect()
     ]
-    assert sorted(got) == sorted(expected)
+    # multiset compare — lastmod may be None, so tuple sort would raise
+    # TypeError (None < str) when two entries share host+path
+    from collections import Counter
+
+    assert Counter(got) == Counter(expected)
 
 
 @settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])

@@ -102,6 +102,10 @@ def test_page_directives(spark):
         ("robots_token_trap", '<meta name="robots" content="noindexing">'),
         ("title", "<title>\n  A Page  \n</title><title>second</title>"),
         ("empty", "<p>nothing here</p>"),
+        # minified real-world markup: UNQUOTED attribute values
+        ("unq_href", "<link rel=canonical href=/x>"),
+        ("unq_robots", "<meta name=robots content=noindex>"),
+        ("unq_base", "<base href=/b/ target=_blank><link rel=canonical href=y>"),
     ]
     df = spark.createDataFrame(cases, "name string, html string")
     got = {
@@ -117,6 +121,10 @@ def test_page_directives(spark):
     e = got["empty"]
     assert e.canonical_href is None and e.title is None and e.base_href is None
     assert not e.noindex and not e.nofollow
+    assert got["unq_href"].canonical_href == "/x"
+    assert got["unq_robots"].noindex and not got["unq_robots"].nofollow
+    assert got["unq_base"].base_href == "/b/"
+    assert got["unq_base"].canonical_href == "y"
 
 
 def test_page_directives_base_href(spark):
