@@ -2078,6 +2078,23 @@ def q_containment_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_containment_banded(spark, sf_dir):
+    """Block-key-free containment (dedup.containment_pairs, banded mode):
+    candidates from the shingle-hash posting self-join — FULL recall for
+    threshold > 0 (a contained doc shares every shingle with its
+    container, so any pair above threshold shares >= 1 shingle and lands
+    in a posting bucket) — then exact C(A,B) on candidates only, both
+    directions verified from one undirected candidate row. No lang/source
+    block assumption, never within-block all-pairs; the r4 verdict's one
+    'weak' shape closed. CROSS-ALGORITHM oracle: DuckDB computes the
+    unblocked all-pairs ground truth directly — result-identical because
+    the posting join has full recall at max_posting=None."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.containment_pairs(
+        d, "doc_id", "text", block_col=None, n=3, threshold=0.9
+    ).orderBy("id_a", "id_b")
+
+
 def q_window_scrub(spark, sf_dir):
     """Any-alignment exact-substring scrub (dedup.duplicated_window_scrub):
     sliding 3-token windows, tokens covered by a cross-document-duplicated
@@ -3499,6 +3516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_mixture": q_data_mixture,
         "linear_classifier": q_linear_classifier,
         "containment_pairs": q_containment_pairs,
+        "containment_banded": q_containment_banded,
         "bpe_encode": q_bpe_encode,
         "script_profile": q_script_profile,
         "tfidf_cosine_topk": q_tfidf_cosine_topk,
@@ -5162,6 +5180,23 @@ def oracle_sql() -> dict[str, str]:
             "len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE AS containment "
             "FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id != b.doc_id "
             "WHERE len(a.s) > 0 AND "
+            "len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE >= 0.9 "
+            "ORDER BY id_a, id_b"
+        ),
+        "containment_banded": (
+            # Cross-algorithm oracle: the UNBLOCKED all-pairs ground truth.
+            # The Spark side never goes all-pairs (posting-join candidates,
+            # exact verify on candidates only) but is result-identical at
+            # max_posting=None because any pair at containment > 0 shares
+            # >= 1 shingle (full candidate recall).
+            "WITH tok AS (SELECT doc_id, "
+            f"{_TOKENS.format(t='text')} AS w FROM documents), "
+            f"sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN {_SQL_SHINGLES3} "
+            "ELSE [] END AS s FROM tok) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE AS containment "
+            "FROM sh a JOIN sh b ON a.doc_id != b.doc_id "
+            "WHERE len(a.s) > 0 AND len(b.s) > 0 AND "
             "len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE >= 0.9 "
             "ORDER BY id_a, id_b"
         ),

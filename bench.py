@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "data_mixture",
     "linear_classifier",
     "containment_pairs",
+    "containment_banded",
     "bpe_encode",
     "script_profile",
     "tfidf_cosine_topk",

@@ -275,13 +275,15 @@ def containment_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    block_col: str,
+    block_col: str | None = None,
     n: int = 3,
     threshold: float = 0.9,
     hash_fn: str = "xxhash64",
+    max_posting: int | None = None,
+    unpersist_handles: list | None = None,
 ) -> DataFrame:
     """Asymmetric shingle containment C(A,B) = |sh(A) & sh(B)| / |sh(A)|
-    over pairs sharing a blocking key — the quote/subset detector.
+    — the quote/subset detector.
 
     A short document embedded verbatim in a long one has LOW Jaccard
     (union dominated by the long doc) but containment ~1.0 in the
@@ -290,33 +292,100 @@ def containment_pairs(
     DIRECTED: (id_a, id_b, containment) with id_a != id_b, meaning
     "id_a is contained in id_b" at >= threshold.
 
-    Blocking note: unlike ``ngram_jaccard_pairs``, a LENGTH bucket is
-    the WRONG block key here — containment pairs have very different
-    lengths by construction. Block on a content-independent key (lang,
-    source, domain), or at 10^12 docs on the shingle-hash equi-join
-    itself (a contained doc shares every shingle with its container,
-    so any-shared-shingle candidate generation has full recall; see
-    ``minhash_lsh_pairs`` for the banding machinery to bound it).
+    Candidate generation (the scale knob):
+
+    - ``block_col=None`` (default, the 10^12 shape): the shingle-hash
+      equi-join itself — explode each doc's shingle set into postings,
+      self-join postings on the shingle hash, distinct undirected pairs.
+      FULL RECALL for any ``threshold > 0``: a pair at containment c > 0
+      shares >= 1 shingle, so it appears in some posting bucket — no
+      blocking-key assumption, no probabilistic miss. Cost is bounded by
+      sum(df_h^2) over shingle document frequencies, linear-ish on real
+      text where almost all shingles are rare; ``max_posting`` caps the
+      boilerplate tail (a shingle in > max_posting docs is dropped from
+      candidate generation — its pairs still surface through their other,
+      rarer shared shingles unless ALL their shared shingles are that
+      hot). Exact C(A,B) is then computed only on candidates, and both
+      directions are verified from ONE undirected candidate row (one
+      array_intersect serves A-in-B and B-in-A).
+    - ``block_col='lang'`` (or source/domain): legacy within-block
+      all-pairs — quadratic in the largest block; kept for small blocked
+      audits. A LENGTH bucket is the WRONG block key here — containment
+      pairs have very different lengths by construction.
+
+    With ``max_posting=None`` the banded mode is result-IDENTICAL to an
+    unblocked all-pairs scan (the cross-algorithm oracle replays exactly
+    that); the blocked mode is its restriction to within-block pairs.
     """
-    sh = _hashed_shingle_sets(
-        df.withColumnRenamed(block_col, "_blk") if block_col != "_blk" else df,
-        id_col, text_col, n, extra_cols=["_blk"], hash_fn=hash_fn,
-    )
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = a.join(
-        b, on=[F.col("a._blk") == F.col("b._blk"), F.col("a._id") != F.col("b._id")]
-    )
-    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh"))).cast("double")
-    denom = F.size(F.col("a._sh")).cast("double")
-    cont = F.when(denom > 0, inter / denom).otherwise(F.lit(0.0))
-    return (
-        pairs.select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            cont.alias("containment"),
+    if block_col is not None:
+        sh = _hashed_shingle_sets(
+            df.withColumnRenamed(block_col, "_blk") if block_col != "_blk" else df,
+            id_col, text_col, n, extra_cols=["_blk"], hash_fn=hash_fn,
         )
-        .filter(F.col("containment") >= threshold)
+        a, b = sh.alias("a"), sh.alias("b")
+        pairs = a.join(
+            b, on=[F.col("a._blk") == F.col("b._blk"), F.col("a._id") != F.col("b._id")]
+        )
+        inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh"))).cast("double")
+        denom = F.size(F.col("a._sh")).cast("double")
+        cont = F.when(denom > 0, inter / denom).otherwise(F.lit(0.0))
+        return (
+            pairs.select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                cont.alias("containment"),
+            )
+            .filter(F.col("containment") >= threshold)
+        )
+
+    # banded (block-key-free) path: posting-list candidates, exact verify.
+    # The shingle sets are persisted — the posting explode AND the verify
+    # join both read the same cached relation (one tokenize+hash pass).
+    sh = _hashed_shingle_sets(df, id_col, text_col, n, hash_fn=hash_fn).persist()
+    if unpersist_handles is not None:
+        unpersist_handles.append(sh)
+    post = sh.select("_id", F.explode("_sh").alias("_h"))
+    if max_posting is not None:
+        freq = post.groupBy("_h").agg(F.count(F.lit(1)).alias("_pdf"))
+        post = post.join(
+            freq.filter(F.col("_pdf") <= max_posting), on=["_h"]
+        ).drop("_pdf")
+    cand = (
+        post.alias("a")
+        .join(
+            post.alias("b"),
+            on=[F.col("a._h") == F.col("b._h"), F.col("a._id") < F.col("b._id")],
+        )
+        .select(F.col("a._id").alias("_ia"), F.col("b._id").alias("_ib"))
+        .distinct()
     )
+    j = (
+        cand.join(
+            sh.select(F.col("_id").alias("_ia"), F.col("_sh").alias("_sa")), "_ia"
+        ).join(
+            sh.select(F.col("_id").alias("_ib"), F.col("_sh").alias("_sb")), "_ib"
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))).cast("double")
+    c_ab = inter / F.size("_sa").cast("double")  # _sh rows are non-empty by construction
+    c_ba = inter / F.size("_sb").cast("double")
+    both = j.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_ia").alias("id_a"),
+                    F.col("_ib").alias("id_b"),
+                    c_ab.alias("containment"),
+                ),
+                F.struct(
+                    F.col("_ib").alias("id_a"),
+                    F.col("_ia").alias("id_b"),
+                    c_ba.alias("containment"),
+                ),
+            )
+        ).alias("_r")
+    ).select("_r.*")
+    return both.filter(F.col("containment") >= threshold)
 
 
 # --- MinHash + LSH ----------------------------------------------------------

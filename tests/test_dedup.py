@@ -325,3 +325,71 @@ def test_containment_detects_quote_subset(spark):
         d, "doc_id", "text", block_col="blk", n=3, threshold=0.5
     ).collect()
     assert jac == []  # Jaccard misses what containment catches
+
+
+def test_containment_banded_recall_parity_and_cross_block(spark):
+    """The block-key-free (posting-join) mode finds every pair the blocked
+    form finds when the planted pairs share the block (recall parity), PLUS
+    the cross-block quote the blocked form misses by construction."""
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    container = (
+        "intro words before the quote begins now " + quote +
+        " and a long tail " + " ".join(f"w{i}" for i in range(40))
+    )
+    other_blk_container = (
+        "different preamble here then " + quote + " closing remarks follow " +
+        " ".join(f"x{i}" for i in range(40))
+    )
+    d = spark.createDataFrame(
+        [
+            (1, quote, "en"),
+            (2, container, "en"),
+            (3, other_blk_container, "de"),  # blocked-on-lang form CANNOT see 1->3
+            (4, "totally unrelated filler content words", "en"),
+        ],
+        "doc_id long, text string, blk string",
+    )
+    blocked = {
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in DD.containment_pairs(
+            d, "doc_id", "text", block_col="blk", n=3, threshold=0.9
+        ).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in DD.containment_pairs(
+            d, "doc_id", "text", block_col=None, n=3, threshold=0.9
+        ).collect()
+    }
+    assert blocked == {(1, 2, 1.0)}
+    assert banded == {(1, 2, 1.0), (1, 3, 1.0)}  # superset: cross-block found
+    assert blocked <= banded  # recall parity on within-block pairs
+
+
+def test_containment_banded_max_posting_guard(spark):
+    """max_posting drops only boilerplate-hot shingles from candidate
+    generation: a pair whose shared shingles include a RARE one survives
+    the guard; a pair whose ONLY shared shingle is the ubiquitous one is
+    (deliberately, documentedly) pruned."""
+    boiler = "one two three"  # one 3-shingle, planted in 7 docs -> hot
+    rows = [(i, boiler + f" uniq{i} only{i} here{i}") for i in range(1, 6)]
+    rows.append((10, boiler))  # doc 10's ENTIRE shingle set is the hot one
+    rows.append((11, boiler + " plus a unique eleven tail"))  # contains 10
+    quote = "rare alpha beta gamma delta epsilon"
+    rows.append((6, quote))
+    rows.append((7, quote + " with container tail words following"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(**kw):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in DD.containment_pairs(
+                d, "doc_id", "text", n=3, threshold=0.9, **kw
+            ).collect()
+        }
+
+    full, guarded = pairs(), pairs(max_posting=3)
+    assert (6, 7) in full and (10, 11) in full
+    assert (6, 7) in guarded          # rare shared shingles -> still found
+    assert (10, 11) not in guarded    # hot-shingle-only pair -> pruned
+    assert guarded <= full            # guard only ever removes pairs
