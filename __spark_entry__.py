@@ -3024,6 +3024,86 @@ def _bpe_encode_sql(n_merges: int = 8) -> str:
     )
 
 
+def q_bpe_bytelevel(spark, sf_dir):
+    """BYTE-level BPE with GPT-2-style pre-tokenization (operators/
+    bpe.py bpe_train_bytes/bpe_encode_bytes, Radford et al. 2019): the
+    production-tokenizer shape — regex pre-splitter (lookahead-free
+    RE2-replayable variant, deviation documented at GPT2_SPLIT_RX),
+    symbols are UTF-8 bytes as hex pairs (zero OOV on any input; merges
+    never cross pre-token boundaries), 8 learned merges, every document
+    encoded. The oracle unrolls training AND the per-pre-token encode
+    folds — the md5 of each doc's exact token stream proves byte-exact
+    encode replay. Round-trip decode(encode(x)) == x is the hypothesis
+    property test (tests/test_bpe.py)."""
+    from log_analysis_spark.operators.bpe import (
+        bpe_encode_bytes,
+        bpe_train_bytes,
+        pretokenize,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train_bytes(d, n_merges=8)
+    toks = pretokenize(F.col("text"))
+    enc = bpe_encode_bytes(F.col("text"), merges)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_pretokens"),
+        F.size(enc).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", enc)).alias("token_md5"),
+    ).orderBy("doc_id")
+
+
+def _bpe_bytelevel_sql(n_merges: int = 8) -> str:
+    """DuckDB replay of q_bpe_bytelevel: pre-token histogram, hex-byte
+    symbols, training unroll, per-document encode folds — all from the
+    ONE shared GPT2_SPLIT_RX constant (SQL-quoted), so both engines
+    split bit-identically."""
+    from log_analysis_spark.operators.bpe import GPT2_SPLIT_RX
+
+    rx = GPT2_SPLIT_RX.replace("'", "''")
+    fold = (
+        "list_reduce(list_prepend([]::VARCHAR[], "
+        "list_transform(syms, s -> [s])), "
+        "(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.l "
+        "AND x[1] = t.r THEN list_append(acc[:len(acc)-1], t.l || t.r) "
+        "ELSE list_append(acc, x[1]) END)"
+    )
+    parts = [
+        "WITH wh AS (SELECT t AS w, count(*)::BIGINT AS cnt FROM "
+        f"(SELECT unnest(regexp_extract_all(text, '{rx}')) AS t "
+        "FROM documents) GROUP BY 1), "
+        "w0 AS (SELECT cnt, regexp_extract_all(hex(w), '..') AS syms FROM wh)"
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"p{i} AS (SELECT z[1] AS l, z[2] AS r, sum(cnt)::BIGINT AS n "
+            f"FROM (SELECT cnt, unnest(list_zip(syms[:len(syms)-1], "
+            f"syms[2:])) AS z FROM w{i}) GROUP BY 1, 2), "
+            f"t{i} AS (SELECT {i}::INT AS step, l, r, n FROM p{i} "
+            "ORDER BY n DESC, l, r LIMIT 1), "
+            f"w{i + 1} AS (SELECT cnt, {fold} AS syms "
+            f"FROM w{i} CROSS JOIN t{i} t)"
+        )
+    parts.append(
+        "docs AS (SELECT doc_id, "
+        f"regexp_extract_all(text, '{rx}') AS toks FROM documents), "
+        "e0 AS (SELECT doc_id, toks, list_transform(toks, w -> "
+        "regexp_extract_all(hex(w), '..')) AS wsyms FROM docs)"
+    )
+    for i in range(n_merges):
+        parts.append(
+            f"e{i + 1} AS (SELECT doc_id, toks, "
+            f"list_transform(wsyms, syms -> {fold}) AS wsyms "
+            f"FROM e{i} CROSS JOIN t{i} t)"
+        )
+    return ", ".join(parts) + (
+        f" SELECT doc_id, len(toks)::BIGINT AS n_pretokens, "
+        f"len(flatten(wsyms))::BIGINT AS n_tokens, "
+        f"md5(array_to_string(flatten(wsyms), ' ')) AS token_md5 "
+        f"FROM e{n_merges} ORDER BY doc_id"
+    )
+
+
 def q_phrase_search(spark, sf_dir):
     """Exact-phrase retrieval over positional postings
     (inverted.phrase_search): probed buckets only, classic shifted
@@ -3518,6 +3598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "containment_banded": q_containment_banded,
         "bpe_encode": q_bpe_encode,
+        "bpe_bytelevel": q_bpe_bytelevel,
         "script_profile": q_script_profile,
         "tfidf_cosine_topk": q_tfidf_cosine_topk,
         "window_scrub": q_window_scrub,
@@ -5651,6 +5732,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans": _kmeans_oracle_sql(),
         "bpe_merges": _bpe_oracle_sql(),
         "bpe_encode": _bpe_encode_sql(),
+        "bpe_bytelevel": _bpe_bytelevel_sql(),
         "script_profile": _script_profile_sql(),
         "tfidf_cosine_topk": _tfidf_cosine_topk_sql(),
         "canonical_dedup": _canonical_dedup_sql(),

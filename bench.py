@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "containment_pairs",
     "containment_banded",
     "bpe_encode",
+    "bpe_bytelevel",
     "script_profile",
     "tfidf_cosine_topk",
     "window_scrub",

@@ -119,6 +119,115 @@ def bpe_train(
     return merges
 
 
+# --- byte-level BPE (GPT-2 style) -------------------------------------------
+#
+# Production tokenizers (GPT-2, Radford et al. 2019; tiktoken/HF BPE) are
+# BYTE-level: the unit alphabet is the 256 byte values, so ANY input —
+# any language, emoji, binary-ish noise — tokenizes with zero OOV, and a
+# regex PRE-tokenizer bounds merges so they never cross word/space
+# boundaries. This block reuses the word-level machinery above
+# (`_merge_fold`, `_pair_counts` are symbol-agnostic) with two changes:
+#
+# - symbols are 2-hex-char byte codes from `hex(pretoken)` (both Spark
+#   and DuckDB hex() a VARCHAR's UTF-8 bytes, uppercase — verified
+#   bit-identical), so a learned token is a hex string that `unhex`
+#   decodes back to exact bytes: decode(encode(x)) == x for ARBITRARY
+#   text, no end-of-word marker needed;
+# - the pre-tokenizer is GPT-2-STYLE but lookahead-free: RE2 (the
+#   DuckDB oracle's engine) has no (?!...), so GPT-2's trailing-space
+#   alternative `\s+(?!\S)` is dropped and whitespace runs bind greedily
+#   left (" a  b" -> [' a', '  ', 'b'] vs GPT-2's [' a', ' ', ' b']).
+#   Documented deviation: token BOUNDARIES at multi-space runs differ
+#   from GPT-2; coverage is still total (every char falls in exactly one
+#   alternative), which is what the round-trip property needs. \s is
+#   also spelled as an explicit class — Java's \s includes \x0B, RE2's
+#   does not, and the two engines must split identically.
+GPT2_SPLIT_RX = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+| ?\p{N}+"
+    r"| ?[^ \t\n\r\x0B\f\p{L}\p{N}]+"
+    r"|[ \t\n\r\x0B\f]+"
+)
+
+
+def pretokenize(text: Column) -> Column:
+    """GPT-2-style pre-token array (leading spaces ride with the token)."""
+    return F.regexp_extract_all(text, F.lit(GPT2_SPLIT_RX), F.lit(0))
+
+
+def _byte_symbols(w: Column) -> Column:
+    """Per-byte symbol array: UTF-8 bytes as 2-hex-char codes."""
+    return F.regexp_extract_all(F.hex(w), F.lit(".."), F.lit(0))
+
+
+def pretoken_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, cnt) pre-token histogram — the one corpus pass of byte BPE."""
+    return (
+        df.select(F.explode(pretokenize(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def bpe_train_bytes(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    checkpoint_every: int = 4,
+) -> list[tuple[int, str, str, int]]:
+    """Learn byte-level merges -> [(step, lhs_hex, rhs_hex, count)].
+
+    Same vocabulary-bounded loop as :func:`bpe_train` (one explode+agg
+    plus a 1-row argmax collect per step, greedy-left rewrite fold,
+    count-DESC-then-lex tiebreak), over the pre-token histogram with
+    hex-byte symbols. Merges never cross pre-token boundaries by
+    construction — the GPT-2 property that keeps the merge table
+    word-shape-aware without an end-of-word marker."""
+    words = pretoken_histogram(df, text_col).select(
+        "cnt", _byte_symbols(F.col("w")).alias("syms")
+    )
+    words = words.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.col("n").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        merges.append((step, l, r, n))
+        words = words.select("cnt", _merge_fold(F.col("syms"), l, r).alias("syms"))
+        if (step + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_encode_bytes(
+    text: Column, merges: list[tuple[int, str, str, int]]
+) -> Column:
+    """Encode a text column with a learned byte-merge table -> array of
+    hex-string tokens (pre-tokenize, per-pre-token greedy-left folds in
+    merge order, flatten in document order)."""
+
+    def seg(w: Column) -> Column:
+        syms = _byte_symbols(w)
+        for _, left, right, _n in merges:
+            syms = _merge_fold(syms, left, right)
+        return syms
+
+    return F.flatten(F.transform(pretokenize(text), seg))
+
+
+def bpe_decode_bytes(tokens: Column) -> Column:
+    """Exact inverse of :func:`bpe_encode_bytes`: tokens are hex byte
+    strings, so decode is unhex(concat) -> UTF-8. decode(encode(x)) == x
+    for arbitrary input (round-trip property test)."""
+    return F.decode(F.unhex(F.concat_ws("", tokens)), "UTF-8")
+
+
 def bpe_segment(word: Column, merges: list[tuple[int, str, str, int]]) -> Column:
     """Apply a learned merge table to a word column -> subword array
     (the encode step; merges apply in learned order, same greedy-left
