@@ -463,10 +463,15 @@ def q_frontier_growth(spark, sf_dir):
     just its own gate. The seen dim broadcasts here because the fixture
     is tiny; at 10^12 seen URLs the anti-join is a hash shuffle, with
     `sketches.bloom_words`/`bloom_prefilter` as the map-side prefilter
-    that spares most candidates the shuffle (SCALE.md). Oracle derives
-    the links independently from the events arithmetic — regex
-    extraction, reference resolution, and canonicalization are proven
-    against relational ground truth."""
+    that spares most candidates the shuffle (SCALE.md). The growth step
+    runs through frontier.grow_frontier WITH the Bloom prefilter ON
+    (m=2^12): definite-new candidates skip the anti-join, bloom-possible
+    ones take the exact path — and the oracle never heard of the filter,
+    so exact-match here IS the result-identity proof at gate scale (the
+    pytest proves it on adversarial fixtures). Oracle derives the links
+    independently from the events arithmetic — regex extraction,
+    reference resolution, and canonicalization are proven against
+    relational ground truth."""
     from log_analysis_spark.functions.parse import canonical_url, resolve_url
     from log_analysis_spark.operators.graph import extract_links, host_of
 
@@ -505,12 +510,11 @@ def q_frontier_growth(spark, sf_dir):
             ).alias("url")
         )
     )
-    new = cand.join(F.broadcast(seen), "url", "left_anti")
-    return (
-        new.groupBy("url")
-        .agg(F.countDistinct("src_host").cast("long").alias("n_referrers"))
-        .orderBy("url")
-    )
+    from log_analysis_spark.operators.frontier import grow_frontier
+
+    return grow_frontier(
+        cand, seen, bloom_m_bits=1 << 12, broadcast_seen=True
+    ).orderBy("url")
 
 
 def q_charset_decode(spark, sf_dir):

@@ -80,3 +80,59 @@ def schedule_frontier(
             (F.col("fetch_order") - F.lit(1)).cast("double") * F.col("delay_s"),
         )
     )
+
+
+def grow_frontier(
+    cand: DataFrame,
+    seen: DataFrame,
+    url_col: str = "url",
+    src_host_col: str = "src_host",
+    bloom_m_bits: int | None = None,
+    bloom_k: int = 4,
+    hash_fn: str = "xxhash64",
+    broadcast_seen: bool = False,
+) -> DataFrame:
+    """One BFS crawl-growth step: candidate URLs (extracted, resolved,
+    canonicalized link targets with their referring host) anti-joined
+    against the already-seen set, then referrer-weighted:
+    ``(url, n_referrers)`` with n_referrers = distinct source hosts —
+    the classic crawl-priority signal.
+
+    ``bloom_m_bits`` is the 10^12 shape (SCALE.md §crawl-graph): a Bloom
+    filter over the seen set (``sketches.bloom_build`` — false-negative-
+    free by construction) rides the plan as one literal array, so every
+    candidate the filter rejects is DEFINITELY new and skips the
+    anti-join shuffle entirely; only bloom-possible candidates (true
+    seen + the ~(1-e^(-kn/m))^k false-positive sliver) take the exact
+    anti-join. Result-IDENTICAL to the plain anti-join — the filter
+    changes which rows pay the shuffle, never the answer (pinned by
+    pytest and by the gate query running WITH the filter against an
+    oracle that never heard of it). Size m for the seen-set cardinality;
+    past the 2^27-bit literal guard, broadcast-join the words relation
+    (``bloom_words_array`` docstring).
+
+    ``broadcast_seen`` hints the exact anti-join side when the seen dim
+    is small (test fixtures); at scale leave False and let AQE decide.
+    """
+    seen_urls = seen.select(url_col).distinct()
+
+    def _anti(df: DataFrame) -> DataFrame:
+        side = F.broadcast(seen_urls) if broadcast_seen else seen_urls
+        return df.join(side, on=url_col, how="left_anti")
+
+    if bloom_m_bits is not None:
+        from .sketches import bloom_build, bloom_maybe_contains, bloom_words_array
+
+        words = bloom_words_array(
+            bloom_build(seen_urls, F.col(url_col), bloom_m_bits, bloom_k, hash_fn),
+            bloom_m_bits,
+        )
+        maybe = bloom_maybe_contains(
+            F.col(url_col), words, bloom_m_bits, bloom_k, hash_fn
+        )
+        new = cand.filter(~maybe).unionByName(_anti(cand.filter(maybe)))
+    else:
+        new = _anti(cand)
+    return new.groupBy(url_col).agg(
+        F.countDistinct(src_host_col).cast("long").alias("n_referrers")
+    )

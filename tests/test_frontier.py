@@ -78,3 +78,56 @@ def test_md5_variant_matches_shape(spark):
     out = schedule_frontier(_frontier(spark), hash_fn="md5", n_workers=8).collect()
     assert len(out) == 14
     assert all(0 <= r["worker"] < 8 for r in out)
+
+
+# --- grow_frontier (BFS growth step, bloom-prefiltered anti-join) -----------
+
+def _growth_fixture(spark):
+    from log_analysis_spark.operators.frontier import grow_frontier  # noqa: F401
+
+    cand = spark.createDataFrame(
+        [
+            ("h1.net", "https://a.net/1"),   # new, two referrers
+            ("h2.net", "https://a.net/1"),
+            ("h1.net", "https://a.net/2"),   # already seen
+            ("h3.net", "https://b.net/x"),   # new, one referrer
+            ("h3.net", "https://c.net/y"),   # already seen
+            ("h3.net", "https://b.net/x"),   # dup referrer -> still 1 distinct
+        ],
+        "src_host string, url string",
+    )
+    seen = spark.createDataFrame(
+        [("https://a.net/2",), ("https://c.net/y",), ("https://z.net/unrelated",)],
+        "url string",
+    )
+    return cand, seen
+
+
+def test_grow_frontier_bloom_result_identical(spark):
+    """The Bloom prefilter changes which rows pay the anti-join shuffle,
+    never the answer: plain vs bloomed (including a TINY m=64 filter
+    where false positives are near-certain) are row-identical."""
+    from log_analysis_spark.operators.frontier import grow_frontier
+
+    cand, seen = _growth_fixture(spark)
+    expect = {("https://a.net/1", 2), ("https://b.net/x", 1)}
+
+    def run(**kw):
+        return {
+            (r["url"], r["n_referrers"])
+            for r in grow_frontier(cand, seen, **kw).collect()
+        }
+
+    assert run() == expect
+    assert run(bloom_m_bits=1 << 12) == expect
+    assert run(bloom_m_bits=64, bloom_k=2) == expect      # FP-heavy -> exact path absorbs
+    assert run(bloom_m_bits=1 << 12, hash_fn="md5") == expect
+    assert run(bloom_m_bits=1 << 12, broadcast_seen=True) == expect
+
+
+def test_grow_frontier_bloom_rejects_power_of_two_violation(spark):
+    from log_analysis_spark.operators.frontier import grow_frontier
+
+    cand, seen = _growth_fixture(spark)
+    with pytest.raises(ValueError, match="power of two"):
+        grow_frontier(cand, seen, bloom_m_bits=100).collect()
