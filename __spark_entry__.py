@@ -2832,6 +2832,22 @@ def q_ivfpq_topk_indexed(spark, sf_dir):
     )
 
 
+def q_ann_rerank(spark, sf_dir):
+    """Two-stage retrieve-then-rerank (similarity.ann_rerank): IVF-PQ
+    retrieves 30 ADC-ranked candidates (probe 2 of 8 cells, code-only
+    arithmetic), then the bounded candidate-id set joins back to the
+    primary table for EXACT cosine and the final top-10 — the pattern the
+    (id, codes)-minimal index layout was designed around. Oracle replays
+    the full ADC candidate stage (the ivfpq unroll at k=30) and the exact
+    cosine re-rank on top."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = SIM.ivf_centroids(e, n_centroids=8, lloyd_iters=0)
+    books = SIM.pq_codebooks(e, m=4, n_codes=8)
+    q = _query_vec(spark, sf_dir)
+    cand = SIM.ivfpq_topk(e, q, cents, books, k=30, n_probe=2)
+    return SIM.ann_rerank(e, cand, q, k=10)
+
+
 def q_term_lookup(spark, sf_dir):
     """Materialized inverted index (term -> postings partitioned by term
     hash bucket, operators/inverted.py): conjunctive lookup for two
@@ -3647,6 +3663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "notice_action_counts": q_notice_action_counts,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
+        "ann_rerank": q_ann_rerank,
         "ivfpq_topk_indexed": q_ivfpq_topk_indexed,
         "term_lookup": q_term_lookup,
         "corpus_curation": q_corpus_curation,
@@ -5669,6 +5686,16 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _sql_ivf_topk(k=10, n_centroids=8, n_probe=2),
         "pq_topk": _sql_pq_topk(k=10, m=4, n_codes=8, d_sub=16),
         "ivfpq_topk": _sql_ivfpq_topk(k=10, n_cells=8, n_probe=2, m=4, n_codes=8, d_sub=16),
+        "ann_rerank": (
+            # ADC candidate stage (the full ivfpq unroll at k'=30) nested
+            # as a subquery, then exact cosine over the candidate ids only
+            "WITH cand AS (SELECT vec_id FROM ("
+            + _sql_ivfpq_topk(k=30, n_cells=8, n_probe=2, m=4, n_codes=8, d_sub=16)
+            + ")), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+            f"SELECT e.vec_id, {_sql_cos('e.embedding', 'q.qv')} AS cos_sim "
+            "FROM embeddings e JOIN cand USING (vec_id), q "
+            "ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10"
+        ),
         "semdedup": _sql_semdedup(n_centroids=8, threshold=0.3),
         "incremental_dedup": _sql_incremental_dedup(num_perm=64, bands=16, threshold=0.5),
         "embedding_neardup": (

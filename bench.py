@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "pq_topk",
     "ivfpq_topk",
     "ivfpq_topk_indexed",
+    "ann_rerank",
     "corpus_curation",
     "files_mime_counts",
     "repetition_stats",

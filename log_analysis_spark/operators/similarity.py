@@ -909,6 +909,38 @@ def ivfpq_topk_indexed(
     )
 
 
+def ann_rerank(
+    primary_df: DataFrame,
+    topk_df: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Stage 2 of retrieve-then-rerank: exact-cosine re-ranking of an ANN
+    stage's candidates against the PRIMARY table's full vectors.
+
+    ``topk_df`` is any ANN result carrying ``id_col`` — ADC-ranked IVF-PQ
+    (``ivfpq_topk`` / ``ivfpq_topk_indexed``, typically retrieved at
+    k' = 3-10x the final k), LSH, or IVF. The candidate ids are BOUNDED
+    (k' rows), so they broadcast; the primary table is probed by a
+    broadcast semi-join (id-keyed, no shuffle of the big side — with the
+    primary bucketed/partitioned by id hash this is a pruned point
+    lookup), then exact cosine orders the survivors: TakeOrdered top-k,
+    lowest-id tiebreak, same determinism contract as
+    ``brute_force_topk``. This is the "separate join back by id" the
+    IVF-PQ index layout was designed around (``write_ivfpq_index``):
+    index bytes stay (id, codes)-minimal because exactness lives here."""
+    cand_ids = F.broadcast(topk_df.select(id_col).distinct())
+    q = _vec_lit(query_vec)
+    return (
+        primary_df.join(cand_ids, id_col)
+        .select(F.col(id_col), cosine_sim(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def pq_encode_arrow(
     df: DataFrame,
     codebooks: np.ndarray,

@@ -584,3 +584,66 @@ def test_kmeans_det_and_arrow_exclusive(spark):
     df = _planted(spark, per=5)
     with _pt.raises(ValueError):
         kmeans(df, k=2, deterministic=True, arrow=True)
+
+
+def test_ann_rerank_improves_recall_over_raw_adc(spark):
+    """Retrieve-then-rerank on a planted-neighbor fixture built to stress
+    ADC ORDERING (not retrieval): 10 true neighbors at cos 0.90, 30
+    decoys at cos 0.85 — a margin a single-subspace 8-code PQ cannot
+    rank reliably — with k'=80 of 200 retrieved so the truth is always
+    IN the candidate set. Raw ADC top-10 misplaces true neighbors below
+    decoys; ann_rerank's exact cosine over the bounded candidate join
+    recovers them: recall@10 never decreases per query and strictly
+    improves summed over the three seeds (0.9 -> 1.0 on each, verified
+    deterministic)."""
+    raw_sum = rer_sum = 0.0
+    for seed in (7, 77, 123):
+        rng = np.random.default_rng(seed)
+        dim = 64
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        rows, truth, vid = [], set(), 0
+
+        def mix(cos):
+            r = rng.standard_normal(dim)
+            r -= (r @ base) * base
+            r /= np.linalg.norm(r)
+            v = cos * base + np.sqrt(1 - cos * cos) * r
+            return [float(x) for x in v]
+
+        for _ in range(10):
+            rows.append((vid, mix(0.90)))
+            truth.add(vid)
+            vid += 1
+        for _ in range(30):
+            rows.append((vid, mix(0.85)))
+            vid += 1
+        for _ in range(160):
+            v = rng.standard_normal(dim)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+        corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = SIM.ivf_centroids(corpus, n_centroids=8, lloyd_iters=0)
+        books = SIM.pq_codebooks(corpus, m=1, n_codes=8)
+        q = [float(x) for x in base]
+        cand = SIM.ivfpq_topk(corpus, q, cents, books, k=80, n_probe=8)
+        raw10 = {r["vec_id"] for r in cand.limit(10).collect()}
+        rer10 = {r["vec_id"] for r in SIM.ann_rerank(corpus, cand, q, k=10).collect()}
+        raw_r, rer_r = len(raw10 & truth) / 10.0, len(rer10 & truth) / 10.0
+        assert rer_r >= raw_r, (seed, raw_r, rer_r)
+        raw_sum += raw_r
+        rer_sum += rer_r
+    assert rer_sum > raw_sum  # exact re-ranking strictly beats raw ADC
+    assert rer_sum / 3 >= 0.9
+
+
+def test_ann_rerank_equals_brute_force_when_candidates_cover(planted, spark):
+    """With the candidate set = the whole corpus, ann_rerank IS
+    brute_force_topk (same scores, same lowest-id tiebreak)."""
+    corpus, vecs, _ = planted
+    q = [float(x) for x in vecs[0]]
+    all_ids = corpus.select("vec_id")
+    got = [(r["vec_id"], r["cos_sim"]) for r in SIM.ann_rerank(corpus, all_ids, q, k=10).collect()]
+    want = [(r["vec_id"], r["cos_sim"]) for r in SIM.brute_force_topk(corpus, q, k=10).collect()]
+    assert got == want
