@@ -2192,10 +2192,15 @@ def q_incremental_dedup(spark, sf_dir):
 
 def q_simhash(spark, sf_dir):
     """SimHash near-dup pairs; md5-based token hash -> the oracle replays
-    fingerprints, chunk-pigeonhole candidates, and hamming verify exactly."""
+    fingerprints, chunk-pigeonhole candidates, and hamming verify exactly.
+    max_hamming=6 over the 4x16-bit chunks is deliberately the partial-
+    recall diagnostic mode (guaranteed recall is <= 3; the oracle replays
+    the SAME candidate semantics, so the match is still exact) — the
+    guaranteed-recall setting at this threshold is n_chunks=8, exercised
+    by hamming_pairs' image near-dup pytest."""
     return DD.simhash_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=6,
-        hash_fn="md5",
+        hash_fn="md5", allow_partial_recall=True,
     )
 
 
@@ -2879,6 +2884,122 @@ def q_term_lookup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # multimodal plumbing (binary payload metadata; kernel stubbed, see module)
 # ---------------------------------------------------------------------------
+def _phash_fixture(spark, sf_dir):
+    """(doc_id, payload) — REAL BMP bytes for deterministic 16x18 rasters:
+    pixel(y, x) = (gid*7 + y*(13 + gid%11) + x*29 + shift) % 256 on all 3
+    channels, gid = doc_id - doc_id%5 (groups of 5 near-identical images),
+    shift = (doc_id%5)*3 (a small brightness offset within the group —
+    flips only the gradient comparisons that straddle a mod-256 wrap, the
+    planted near-dup structure); the gid%11 row-multiplier keeps
+    fingerprints diverse ACROSS groups (no 256-class collapse). The BYTES
+    exist only Spark-side; the oracle recomputes everything from this
+    arithmetic."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def _make(batches):
+        h, w = 16, 18
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        stride = (w * 3 + 3) & ~3
+        data_off = 14 + 40
+        header = struct.pack("<2sIHHI", b"BM", data_off + stride * h, 0, 0, data_off)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0
+        )
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                gid, shift = did - did % 5, (did % 5) * 3
+                px = (
+                    (gid * 7 + yy * (13 + gid % 11) + xx * 29 + shift) % 256
+                ).astype(np.uint8)
+                body = bytearray()
+                for row in px[::-1]:  # bottom-up, BGR == gray triplets
+                    line = np.repeat(row, 3).tobytes()
+                    body += line + b"\x00" * (stride - len(line))
+                payloads.append(header + info + bytes(body))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads})
+
+    return d.mapInPandas(_make, schema=schema)
+
+
+def _phash_sql_fp() -> str:
+    """The dHash fingerprint of the constructed raster by PURE arithmetic:
+    16x18 -> 8x9 nearest resample picks pixels (2r, 2c); bit r*8+c = 1 iff
+    p(2r, 2c) < p(2r, 2c+2); bit 63 wraps negative (signed int64, same
+    convention as simhash)."""
+    terms = []
+    for r in range(8):
+        for c in range(8):
+            k = r * 8 + c
+            a = f"((gid*7 + {2 * r}*(13 + gid%11) + {2 * c * 29} + s) % 256)"
+            b = f"((gid*7 + {2 * r}*(13 + gid%11) + {2 * (c + 1) * 29} + s) % 256)"
+            # bit 63: INT64_MIN spelled as (-max - 1) — the bare literal
+            # 9223372036854775808 overflows BIGINT before unary minus binds
+            w = "(-9223372036854775807 - 1)" if k == 63 else str(1 << k)
+            terms.append(f"CASE WHEN {a} < {b} THEN {w}::BIGINT ELSE 0::BIGINT END")
+    return (
+        "SELECT doc_id, (" + " + ".join(terms) + ") AS fingerprint "
+        "FROM (SELECT doc_id, doc_id - doc_id % 5 AS gid, "
+        "(doc_id % 5) * 3 AS s FROM documents)"
+    )
+
+
+def q_image_phash(spark, sf_dir):
+    """Perceptual image fingerprints (functions/multimodal.py dhash64 via
+    phash_images): REAL BMP bytes constructed per doc (see _phash_fixture)
+    go through the actual byte path — BMP decode, integer-mean grayscale,
+    nearest resample to 8x9, gradient-sign bits — in ONE mapInPandas
+    stage. INDEPENDENT-DERIVATION oracle: fingerprints recomputed from
+    the raster construction arithmetic alone; the oracle never sees a
+    byte, so a match proves decode+resample+hash end to end."""
+    from log_analysis_spark.functions.multimodal import phash_images
+
+    pages = _phash_fixture(spark, sf_dir)
+    fp = phash_images(
+        pages.select(F.col("doc_id").cast("string").alias("url"), "payload"),
+        url_col="url",
+        payload_col="payload",
+        algo="dhash",
+    )
+    return fp.select(
+        F.col("url").cast("long").alias("doc_id"), "fingerprint"
+    ).orderBy("doc_id")
+
+
+def q_image_neardup(spark, sf_dir):
+    """Image near-dup pairs: the dHash fingerprints above through the
+    generic pigeonhole machinery (dedup.hamming_pairs, 8x8-bit chunks —
+    FULL recall for hamming <= 7). CROSS-ALGORITHM oracle: all-pairs
+    bit_count(xor) over the arithmetic fingerprints — result-identical
+    because 8 chunks guarantee recall at this threshold."""
+    from log_analysis_spark.functions.multimodal import phash_images
+    from log_analysis_spark.operators.dedup import hamming_pairs
+
+    pages = _phash_fixture(spark, sf_dir)
+    fp = phash_images(
+        pages.select(F.col("doc_id").cast("string").alias("url"), "payload"),
+        url_col="url",
+        payload_col="payload",
+        algo="dhash",
+    ).select(F.col("url").cast("long").alias("doc_id"), "fingerprint")
+    return hamming_pairs(
+        fp, "doc_id", "fingerprint", max_hamming=7, n_chunks=8
+    ).orderBy("id_a", "id_b")
+
+
 def q_binary_meta(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
@@ -3598,6 +3719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "ivf_topk": q_ivf_topk,
         "binary_meta": q_binary_meta,
+        "image_phash": q_image_phash,
+        "image_neardup": q_image_neardup,
         # --- link-graph analytics (iterative PageRank) ---
         "nation_pagerank": q_nation_pagerank,
         # ---- entries past the driver's 50-row window: variants whose
@@ -5736,6 +5859,22 @@ def oracle_sql() -> dict[str, str]:
         "binary_meta": (
             "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, "
             "md5(text) AS payload_md5 FROM documents"
+        ),
+        "image_phash": (
+            # independent derivation: the dHash fingerprint from the raster
+            # CONSTRUCTION arithmetic — the oracle never sees image bytes
+            _phash_sql_fp() + " ORDER BY doc_id"
+        ),
+        "image_neardup": (
+            # cross-algorithm: all-pairs hamming over the arithmetic
+            # fingerprints vs Spark's pigeonhole candidates (full recall
+            # at 8 chunks / hamming <= 7)
+            f"WITH fp AS ({_phash_sql_fp()}) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "bit_count(xor(a.fingerprint, b.fingerprint))::BIGINT AS hamming "
+            "FROM fp a JOIN fp b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 7 "
+            "ORDER BY id_a, id_b"
         ),
         "host_edges": (
             "WITH p AS (SELECT "

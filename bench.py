@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "linear_classifier",
     "containment_pairs",
     "containment_banded",
+    "image_phash",
+    "image_neardup",
     "bpe_encode",
     "bpe_bytelevel",
     "script_profile",

@@ -384,3 +384,92 @@ def sample_frames(
             )
 
     return df.select(url_col, payload_col).mapInPandas(_sample, schema=schema)
+
+
+# --- perceptual image hashing ------------------------------------------------
+def _gray(raster: np.ndarray) -> np.ndarray:
+    """Multi-channel -> integer mean luma (same arithmetic as
+    resize_images: uint32 sum // n_channels, exact, no float)."""
+    if raster.ndim == 3:
+        return (raster.astype(np.uint32).sum(axis=2) // raster.shape[2]).astype(
+            np.uint8
+        )
+    return raster
+
+
+def _resample(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resample by pure index arithmetic
+    (``arange(out) * in // out`` — identical to resize_images, so every
+    sampled pixel is an EXACT source pixel an oracle can name)."""
+    yi = (np.arange(out_h) * gray.shape[0] // out_h).astype(int)
+    xi = (np.arange(out_w) * gray.shape[1] // out_w).astype(int)
+    return gray[np.ix_(yi, xi)]
+
+
+def _pack_bits64(bits: np.ndarray) -> int:
+    """64 bools -> signed int64 (bit 63 wraps negative, same convention
+    as dedup.simhash fingerprints, so the hamming/pigeonhole machinery
+    applies unchanged)."""
+    v = 0
+    for k in range(64):
+        if bits[k]:
+            v += (1 << k) if k < 63 else -(1 << 63)
+    return v
+
+
+def dhash64(raster: np.ndarray) -> int:
+    """64-bit difference hash (dHash, Krawetz 2013-style): gray ->
+    nearest-resample to 8x9 -> bit (r*8+c) = 1 iff p[r,c] < p[r,c+1].
+    Gradient signs survive brightness/contrast shifts and recompression;
+    bit-exact integer arithmetic end to end."""
+    g = _resample(_gray(raster), 8, 9).astype(np.int32)
+    bits = (g[:, :-1] < g[:, 1:]).ravel()  # row-major: bit k = r*8+c
+    return _pack_bits64(bits)
+
+
+def ahash64(raster: np.ndarray) -> int:
+    """64-bit average hash (aHash): gray -> 8x8 -> bit = pixel > mean,
+    with mean as INTEGER floor(sum/64) so both engines replay it exactly
+    (ties -> 0)."""
+    g = _resample(_gray(raster), 8, 8).astype(np.int64)
+    mean = int(g.sum()) // 64
+    bits = (g > mean).ravel()
+    return _pack_bits64(bits)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("fingerprint", T.LongType(), True),
+    ]
+)
+
+
+def phash_images(
+    df: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "html",
+    algo: str = "dhash",
+) -> DataFrame:
+    """binary image payload -> (url, 64-bit perceptual fingerprint) in ONE
+    mapInPandas stage (decode + gray + resample + hash share the batch;
+    bytes cross the Arrow boundary once; column-pruned input). The
+    fingerprints feed ``dedup.hamming_pairs`` (the simhash pigeonhole
+    candidate join) for image near-dup at corpus scale — no embedding
+    model needed; near-identical images (bit flips, brightness shifts,
+    re-encodes) land within a few hamming bits, unrelated images at ~32.
+    """
+    hash_fn = {"dhash": dhash64, "ahash": ahash64}[algo]
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf[url_col].to_numpy(),
+                    "fingerprint": [
+                        hash_fn(decode_raster(bytes(b))) for b in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.select(url_col, payload_col).mapInPandas(_hash, schema=PHASH_SCHEMA)

@@ -684,18 +684,36 @@ def simhash_fingerprints(
     return per_id.select("_id", fp.alias("_sh"))
 
 
-def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
-    hash_fn: str = "xxhash64",
+def hamming_pairs(
+    fp_df: DataFrame,
+    id_col: str,
+    fp_col: str,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    allow_partial_recall: bool = False,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+    """Pairs within hamming <= max_hamming over PRECOMPUTED 64-bit
+    fingerprints — text simhash or perceptual image hashes
+    (``multimodal.phash_images``) alike.
 
-    Candidate generation: split the 64-bit fingerprint into 4 16-bit chunks;
-    by pigeonhole any pair within hamming<=3 shares at least one chunk ->
-    equi-join per chunk (keyed shuffle, no cross join), then exact
-    ``bit_count(xor)`` verify.
-    """
-    sh = simhash_fingerprints(df, id_col, text_col, hash_fn=hash_fn)
+    Candidate generation: split the fingerprint into ``n_chunks`` equal
+    bit chunks; by pigeonhole any pair within hamming <= n_chunks - 1
+    shares at least one chunk verbatim -> per-chunk equi-join (keyed
+    shuffle, never a cross join) -> exact ``bit_count(xor)`` verify.
+    Raise ``n_chunks`` with the threshold (8 chunks of 8 bits covers
+    hamming <= 7) — asserted, so a silently-lossy setting is impossible
+    unless ``allow_partial_recall=True`` explicitly opts into the
+    diagnostic chunk-sharing-candidates-only mode.
+    Output: (id_a, id_b, hamming) with id_a < id_b."""
+    assert 64 % n_chunks == 0, "n_chunks must divide 64"
+    assert allow_partial_recall or max_hamming <= n_chunks - 1, (
+        f"pigeonhole recall needs n_chunks > max_hamming "
+        f"(got n_chunks={n_chunks}, max_hamming={max_hamming}); pass "
+        f"allow_partial_recall=True for diagnostic chunk-candidate mode"
+    )
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    sh = fp_df.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_sh"))
     chunks = sh.select(
         "_id",
         "_sh",
@@ -704,11 +722,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("ci"),
-                        F.shiftrightunsigned(F.col("_sh"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                        F.shiftrightunsigned(F.col("_sh"), i * width)
+                        .bitwiseAND(F.lit(mask).cast("long"))
                         .alias("cv"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("c"),
@@ -733,6 +751,20 @@ def simhash_pairs(
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    hash_fn: str = "xxhash64", allow_partial_recall: bool = False,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming: the
+    fingerprint aggregation + the generic pigeonhole chunk join
+    (:func:`hamming_pairs`, 4 x 16-bit chunks)."""
+    sh = simhash_fingerprints(df, id_col, text_col, hash_fn=hash_fn)
+    return hamming_pairs(
+        sh, "_id", "_sh", max_hamming=max_hamming, n_chunks=4,
+        allow_partial_recall=allow_partial_recall,
+    )
 
 
 # --- dup-cluster resolution (connected components) --------------------------

@@ -236,3 +236,82 @@ def test_sample_frames_offsets(media):
     assert [r["offset"] for r in sorted(png_rows, key=lambda r: r["frame_idx"])] == list(
         range(0, 8 + 256 * 8, 256)
     )
+
+
+# --- perceptual image hashing (dHash / aHash + near-dup) --------------------
+def test_dhash_deterministic_and_brightness_tolerant():
+    """dHash is a pure function of the raster; a small uniform brightness
+    shift (order-preserving where unclipped) moves it only a few bits,
+    while an unrelated image sits near the 32-bit random distance."""
+    rng = np.random.default_rng(42)
+    base = rng.integers(10, 240, size=(32, 48, 3), dtype=np.uint8)
+    assert MM.dhash64(base) == MM.dhash64(base.copy())
+    bright = np.clip(base.astype(np.int32) + 3, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(MM.dhash64(base), MM.dhash64(bright)) <= 7
+    assert ham(MM.dhash64(base), MM.dhash64(other)) > 7
+
+
+def test_ahash_known_raster():
+    """aHash on a hand-computable raster: left half 0, right half 255 at
+    8x8 -> bits set exactly on the brighter half (mean = 127, 255 > 127,
+    0 is not)."""
+    r = np.zeros((8, 8), dtype=np.uint8)
+    r[:, 4:] = 255
+    fp = MM.ahash64(r) & ((1 << 64) - 1)
+    want = 0
+    for k in range(64):
+        if (k % 8) >= 4:
+            want |= 1 << k
+    assert fp == want
+
+
+def test_image_neardup_planted_pairs_found(spark):
+    """End-to-end image near-dup: REAL BMP bytes through phash_images ->
+    dedup.hamming_pairs (8x8-bit pigeonhole chunks). Planted: a base image,
+    a single-pixel edit, a +3 brightness shift — all mutually within
+    hamming 7; two unrelated images — found in NO pair."""
+    from log_analysis_spark.operators.dedup import hamming_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(10, 240, size=(24, 36, 3), dtype=np.uint8)
+    onepx = base.copy()
+    onepx[0, 0] = [255, 255, 255]  # bit-flip-ish: one sampled pixel blown out
+    bright = np.clip(base.astype(np.int32) + 3, 0, 255).astype(np.uint8)
+    other1 = rng.integers(0, 256, size=(24, 36, 3), dtype=np.uint8)
+    other2 = rng.integers(0, 256, size=(40, 20, 3), dtype=np.uint8)
+    rows = [
+        ("u0", make_bmp(base)),
+        ("u1", make_bmp(onepx)),
+        ("u2", make_bmp(bright)),
+        ("u3", make_bmp(other1)),
+        ("u4", make_bmp(other2)),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    fp = MM.phash_images(df, payload_col="payload", algo="dhash")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_pairs(
+            fp, "url", "fingerprint", max_hamming=7, n_chunks=8
+        ).collect()
+    }
+    assert ("u0", "u1") in pairs and ("u0", "u2") in pairs
+    assert not any("u3" in p or "u4" in p for p in pairs)
+
+
+def test_phash_ahash_mode_and_fallback(spark):
+    """algo='ahash' works through the same stage, and a non-image payload
+    takes the raw-raster fallback (never raises)."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("img", make_bmp(img)), ("junk", b"not an image at all")],
+        "url string, payload binary",
+    )
+    out = {r["url"]: r["fingerprint"] for r in MM.phash_images(df, payload_col="payload", algo="ahash").collect()}
+    assert out["img"] == MM.ahash64(img)
+    assert isinstance(out["junk"], int)  # fallback raster hashed, no error
