@@ -3000,6 +3000,123 @@ def q_image_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _audio_fixture(spark, sf_dir):
+    """REAL RIFF/WAVE PCM16 payloads constructed deterministically per doc:
+    groups of 5 docs share a base pseudo-noise signal (closed-form in the
+    sample index so BOTH engines can replay it — no LCG recurrence);
+    variant v = doc_id % 5 applies a uniform gain (v+1) (fingerprint-
+    invariant by design) plus one 1500-unit click at sample 80*v+7
+    (disturbs only window 2*v -> pairwise hamming <= 4 within a group).
+    2600 samples = 65 windows x 40 @ 8 kHz mono; peak |s| <= 5*2048+1500
+    < 32767, window energy <= 40 * 11740^2 ~ 5.5e9 — int64-safe in both
+    engines."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def _make(batches):
+        n = np.arange(2600, dtype=np.int64)
+        fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                gid, v = did - did % 5, did % 5
+                base = ((gid * 7 + n * n * (13 + gid % 997) + n * 29) % 4096) - 2048
+                s = (v + 1) * base
+                s[80 * v + 7] += 1500
+                pcm = s.astype("<i2").tobytes()
+                payloads.append(
+                    b"RIFF"
+                    + struct.pack("<I", 4 + len(fmt) + 8 + 8 + len(pcm))
+                    + b"WAVE"
+                    + fmt
+                    + b"data"
+                    + struct.pack("<I", len(pcm))
+                    + pcm
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads})
+
+    return d.mapInPandas(_make, schema=schema)
+
+
+def _audio_sql_fp() -> str:
+    """The energy-contour fingerprint of the constructed clip by PURE
+    arithmetic: replay the closed-form samples, window energies E[w] =
+    SUM(s^2) over 40-sample windows, bit w = E[w+1] > E[w]; bit 63 wraps
+    negative (signed int64, same convention as simhash/dhash)."""
+    return (
+        "SELECT doc_id, SUM(CASE WHEN lead_e > e THEN "
+        "CASE WHEN w = 63 THEN (-9223372036854775807 - 1) "
+        "ELSE (1::BIGINT << w) END ELSE 0::BIGINT END)::BIGINT AS fingerprint "
+        "FROM (SELECT doc_id, w, e, "
+        "LEAD(e) OVER (PARTITION BY doc_id ORDER BY w) AS lead_e "
+        "FROM (SELECT doc_id, n // 40 AS w, SUM(s * s)::BIGINT AS e "
+        "FROM (SELECT doc_id, n, "
+        "(v + 1) * (((gid*7 + n*n*(13 + gid%997) + n*29) % 4096) - 2048) "
+        "+ CASE WHEN n = 80*v + 7 THEN 1500 ELSE 0 END AS s "
+        "FROM (SELECT doc_id, doc_id - doc_id % 5 AS gid, doc_id % 5 AS v "
+        "FROM documents), generate_series(0, 2599) AS t(n)) "
+        "GROUP BY doc_id, w)) WHERE w < 64 GROUP BY doc_id"
+    )
+
+
+def q_audio_fp(spark, sf_dir):
+    """Audio energy-contour fingerprints (functions/multimodal.py
+    audio_fp64 via fingerprint_audio): REAL WAV bytes per doc (see
+    _audio_fixture) go through the actual byte path — RIFF/fmt/data chunk
+    walk, PCM16 decode, 65-window int64 energies, adjacent-comparison
+    bits — in ONE mapInPandas stage. INDEPENDENT-DERIVATION oracle:
+    fingerprints recomputed from the sample-construction arithmetic
+    alone; the oracle never sees a byte, so a match proves decode +
+    window + hash end to end. Time-domain Haitsma-Kalker (2002) analogue;
+    reference parity: the multimodal column story of SURVEY.md §2 (the
+    reference pipeline has no audio path — this is the training-data
+    layer)."""
+    from log_analysis_spark.functions.multimodal import fingerprint_audio
+
+    pages = _audio_fixture(spark, sf_dir)
+    fp = fingerprint_audio(
+        pages.select(F.col("doc_id").cast("string").alias("url"), "payload"),
+        url_col="url",
+        payload_col="payload",
+    )
+    return fp.select(
+        F.col("url").cast("long").alias("doc_id"), "fingerprint"
+    ).orderBy("doc_id")
+
+
+def q_audio_neardup(spark, sf_dir):
+    """Audio near-dup pairs: the energy-contour fingerprints above through
+    the generic pigeonhole machinery (dedup.hamming_pairs, 8x8-bit chunks
+    — FULL recall for hamming <= 7; planted gain-copies sit at hamming
+    <= 4). CROSS-ALGORITHM oracle: all-pairs bit_count(xor) over the
+    arithmetic fingerprints — result-identical because 8 chunks guarantee
+    recall at this threshold."""
+    from log_analysis_spark.functions.multimodal import fingerprint_audio
+    from log_analysis_spark.operators.dedup import hamming_pairs
+
+    pages = _audio_fixture(spark, sf_dir)
+    fp = fingerprint_audio(
+        pages.select(F.col("doc_id").cast("string").alias("url"), "payload"),
+        url_col="url",
+        payload_col="payload",
+    ).select(F.col("url").cast("long").alias("doc_id"), "fingerprint")
+    return hamming_pairs(
+        fp, "doc_id", "fingerprint", max_hamming=7, n_chunks=8
+    ).orderBy("id_a", "id_b")
+
+
 def q_binary_meta(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
@@ -3721,6 +3838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_meta": q_binary_meta,
         "image_phash": q_image_phash,
         "image_neardup": q_image_neardup,
+        "audio_fp": q_audio_fp,
+        "audio_neardup": q_audio_neardup,
         # --- link-graph analytics (iterative PageRank) ---
         "nation_pagerank": q_nation_pagerank,
         # ---- entries past the driver's 50-row window: variants whose
@@ -5870,6 +5989,23 @@ def oracle_sql() -> dict[str, str]:
             # fingerprints vs Spark's pigeonhole candidates (full recall
             # at 8 chunks / hamming <= 7)
             f"WITH fp AS ({_phash_sql_fp()}) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "bit_count(xor(a.fingerprint, b.fingerprint))::BIGINT AS hamming "
+            "FROM fp a JOIN fp b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 7 "
+            "ORDER BY id_a, id_b"
+        ),
+        "audio_fp": (
+            # independent derivation: the energy-contour fingerprint from
+            # the sample CONSTRUCTION arithmetic — the oracle never sees
+            # WAV bytes
+            _audio_sql_fp() + " ORDER BY doc_id"
+        ),
+        "audio_neardup": (
+            # cross-algorithm: all-pairs hamming over the arithmetic
+            # fingerprints vs Spark's pigeonhole candidates (full recall
+            # at 8 chunks / hamming <= 7)
+            f"WITH fp AS ({_audio_sql_fp()}) "
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
             "bit_count(xor(a.fingerprint, b.fingerprint))::BIGINT AS hamming "
             "FROM fp a JOIN fp b ON a.doc_id < b.doc_id "

@@ -315,3 +315,73 @@ def test_phash_ahash_mode_and_fallback(spark):
     out = {r["url"]: r["fingerprint"] for r in MM.phash_images(df, payload_col="payload", algo="ahash").collect()}
     assert out["img"] == MM.ahash64(img)
     assert isinstance(out["junk"], int)  # fallback raster hashed, no error
+
+
+# --- audio fingerprinting -----------------------------------------------------
+def test_audio_fp64_known_bits_and_gain_invariance():
+    """Designed window energies: 65 windows of 4 samples with amplitude
+    i+1 -> strictly increasing energies -> all 64 bits set (== -1 in the
+    signed packing); reversed -> 0. A uniform gain scales every window
+    energy by the same factor, so the fingerprint is EXACTLY invariant."""
+    amps = np.repeat(np.arange(1, 66, dtype=np.int64), 4)
+    up = amps.reshape(-1, 1).astype(np.int16)
+    assert MM.audio_fp64(up) == -1
+    assert MM.audio_fp64(up[::-1].copy()) == 0
+    rng = np.random.default_rng(11)
+    base = rng.integers(-3000, 3000, size=(65 * 7, 1)).astype(np.int16)
+    assert MM.audio_fp64(base * 5) == MM.audio_fp64(base)
+
+
+def test_audio_fp64_local_edit_and_stereo_mix():
+    """A click confined to one window flips at most the two bits whose
+    comparisons involve that window; identical L/R stereo mixes to the
+    mono fingerprint (integer-mean channel mix)."""
+    rng = np.random.default_rng(23)
+    base = rng.integers(-8000, 8000, size=(65 * 10, 1)).astype(np.int16)
+    clicked = base.copy()
+    clicked[30 * 10 + 3, 0] = 32000
+    fp_a, fp_b = MM.audio_fp64(base), MM.audio_fp64(clicked)
+    assert bin((fp_a ^ fp_b) & 0xFFFFFFFFFFFFFFFF).count("1") <= 2
+    stereo = np.concatenate([base, base], axis=1)
+    assert MM.audio_fp64(stereo) == fp_a
+
+
+def test_fingerprint_audio_planted_neardups(spark):
+    """End-to-end audio near-dup: REAL WAV bytes through fingerprint_audio
+    -> dedup.hamming_pairs. Planted: a base clip, a 2x gain copy, a
+    one-click copy — mutually within hamming 7; two unrelated clips in NO
+    pair; undecodable and too-short payloads carry NULL fingerprints."""
+    from log_analysis_spark.operators.dedup import hamming_pairs
+
+    rng = np.random.default_rng(42)
+    base = rng.integers(-6000, 6000, size=(65 * 12, 1)).astype(np.int16)
+    click = base.copy()
+    click[7 * 12 + 1, 0] = 32000
+    rows = [
+        ("a0", make_wav(base)),
+        ("a1", make_wav((base * 2).astype(np.int16))),
+        ("a2", make_wav(click)),
+        ("x0", make_wav(rng.integers(-6000, 6000, size=(65 * 9, 1)).astype(np.int16))),
+        ("x1", make_wav(rng.integers(-6000, 6000, size=(65 * 4, 1)).astype(np.int16))),
+        ("bad", b"notawav"),
+        ("short", make_wav(np.zeros((10, 1), dtype=np.int16))),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    fp = MM.fingerprint_audio(df, payload_col="payload")
+    got = {r["url"]: r for r in fp.collect()}
+    assert got["a0"]["fingerprint"] == got["a1"]["fingerprint"]  # gain-exact
+    assert got["bad"]["fingerprint"] is None
+    assert got["short"]["fingerprint"] is None  # < 65 samples: no contour
+    assert got["a0"]["sample_rate"] == 8000 and got["a0"]["n_samples"] == 65 * 12
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_pairs(
+            fp.filter(F.col("fingerprint").isNotNull()),
+            "url",
+            "fingerprint",
+            max_hamming=7,
+            n_chunks=8,
+        ).collect()
+    }
+    assert ("a0", "a1") in pairs and ("a0", "a2") in pairs and ("a1", "a2") in pairs
+    assert not any("x0" in p or "x1" in p for p in pairs)

@@ -118,6 +118,11 @@ def audit(sf_dir: str, write_plans_md: bool = False) -> list[str]:
     from log_analysis_spark.session import get_spark
 
     spark = get_spark("plan-audit")
+    # cached relations from earlier work in a shared session (pytest runs
+    # the audit after ~400 other tests) get SUBSTITUTED into matching plan
+    # subtrees by the CacheManager, changing the optimized tree — start
+    # cache-free so fingerprints are context-independent
+    spark.catalog.clearCache()
     problems: list[str] = []
     plans: dict[str, str] = {}
     sigs: dict[str, str] = {}
