@@ -3117,6 +3117,139 @@ def q_audio_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _video_fixture(spark, sf_dir):
+    """(doc_id, payload) — REAL multi-frame 'video' containers: N
+    concatenated 24-bit BMPs, each frame self-delimited by its header
+    size field (the walker reads boundaries from the bytes, no index).
+    Frames come from a per-group master sequence: group g = doc_id -
+    doc_id%3, frame j raster pixel(y, x) = (g*7 + j*37 +
+    y*(13 + (g+j)%11) + x*29) % 256 on all 3 channels of a 16x18 image;
+    role doc_id%3 picks the frame window — role 0 = j in [0,8), role 1 =
+    j in [2,6) (a planted CLIP of role 0's video), role 2 = j in [4,10)
+    (overlapping but NOT contained: only 2 of its 4 3-frame windows
+    appear in role 0). The bytes exist only Spark-side; the oracle
+    recomputes every frame hash from this arithmetic."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def _make(batches):
+        h, w = 16, 18
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        stride = (w * 3 + 3) & ~3
+        data_off = 14 + 40
+        header = struct.pack("<2sIHHI", b"BM", data_off + stride * h, 0, 0, data_off)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0
+        )
+        windows = {0: (0, 8), 1: (2, 6), 2: (4, 10)}
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = did - did % 3
+                j0, j1 = windows[did % 3]
+                clip = bytearray()
+                for j in range(j0, j1):
+                    px = (
+                        (g * 7 + j * 37 + yy * (13 + (g + j) % 11) + xx * 29) % 256
+                    ).astype(np.uint8)
+                    body = bytearray()
+                    for row in px[::-1]:  # bottom-up, BGR == gray triplets
+                        line = np.repeat(row, 3).tobytes()
+                        body += line + b"\x00" * (stride - len(line))
+                    clip += header + info + bytes(body)
+                payloads.append(bytes(clip))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads})
+
+    return d.mapInPandas(_make, schema=schema)
+
+
+def _video_sql_fp() -> str:
+    """Per-(doc, frame) dHash of the video-fixture rasters by PURE
+    arithmetic (the oracle never sees a byte): 16x18 -> 8x9 nearest
+    resample picks pixels (2r, 2c); bit r*8+c = 1 iff p(2r,2c) <
+    p(2r,2c+2); bit 63 wraps negative (signed int64). Emits
+    (doc_id, j0, j, fingerprint) for every frame j in the doc's window."""
+    terms = []
+    for r in range(8):
+        for c in range(8):
+            k = r * 8 + c
+            a = f"((g*7 + j*37 + {2 * r}*(13 + (g+j)%11) + {58 * c}) % 256)"
+            b = f"((g*7 + j*37 + {2 * r}*(13 + (g+j)%11) + {58 * (c + 1)}) % 256)"
+            w = "(-9223372036854775807 - 1)" if k == 63 else str(1 << k)
+            terms.append(f"CASE WHEN {a} < {b} THEN {w}::BIGINT ELSE 0::BIGINT END")
+    return (
+        "SELECT doc_id, j0, j, (" + " + ".join(terms) + ") AS fingerprint FROM "
+        "(SELECT d.doc_id, d.g, d.j0, d.j0 + t.u AS j FROM "
+        "(SELECT doc_id, doc_id - doc_id % 3 AS g, "
+        "CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 4 END AS j0, "
+        "CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 6 ELSE 10 END AS j1 "
+        "FROM documents) d, range(0, 10) t(u) WHERE d.j0 + t.u < d.j1)"
+    )
+
+
+def q_video_frame_hashes(spark, sf_dir):
+    """Per-frame perceptual hashes from a video container
+    (multimodal.hash_video_frames): REAL concatenated-BMP bytes walk the
+    actual byte path — header-size frame delimiting, BMP decode,
+    integer-mean gray, nearest resample, gradient-sign dHash — in ONE
+    mapInPandas stage with the Python-side frame explode.
+    INDEPENDENT-DERIVATION oracle: fingerprints recomputed from the
+    frame construction arithmetic alone (the oracle never sees a byte),
+    so a match proves walk+decode+hash end to end, frame order included."""
+    from log_analysis_spark.functions.multimodal import hash_video_frames
+
+    pages = _video_fixture(spark, sf_dir)
+    fh = hash_video_frames(
+        pages.select(F.col("doc_id").cast("string").alias("url"), "payload"),
+        url_col="url",
+        payload_col="payload",
+        algo="dhash",
+    )
+    return fh.select(
+        F.col("url").cast("long").alias("doc_id"), "frame_idx", "fingerprint"
+    ).orderBy("doc_id", "frame_idx")
+
+
+def q_video_clip_pairs(spark, sf_dir):
+    """Video clip detection (multimodal.clip_containment_pairs): per-frame
+    dHash sequences as whitespace token streams -> shingle containment
+    (dedup.containment_pairs, banded block-key-free mode — posting-join
+    candidates, FULL recall, exact verify on candidates only). The
+    planted role-1 clips (frames [2,6) of the group sequence) are found
+    inside their role-0 sources at containment 1.0; the overlapping-but-
+    not-contained role-2 windows stay below threshold. CROSS-ALGORITHM
+    oracle: DuckDB recomputes frame hashes from the fixture arithmetic,
+    rebuilds the token streams, and goes all-pairs — result-identical
+    because the posting join has full candidate recall."""
+    from log_analysis_spark.functions.multimodal import clip_containment_pairs
+
+    pages = _video_fixture(spark, sf_dir)
+    pairs = clip_containment_pairs(
+        pages.select(F.col("doc_id").cast("string").alias("url"), "payload"),
+        url_col="url",
+        payload_col="payload",
+        clip_frames=3,
+        threshold=0.9,
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "containment",
+    ).orderBy("id_a", "id_b")
+
+
 def q_binary_meta(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
@@ -3840,6 +3973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup": q_image_neardup,
         "audio_fp": q_audio_fp,
         "audio_neardup": q_audio_neardup,
+        "video_frame_hashes": q_video_frame_hashes,
+        "video_clip_pairs": q_video_clip_pairs,
         # --- link-graph analytics (iterative PageRank) ---
         "nation_pagerank": q_nation_pagerank,
         # ---- entries past the driver's 50-row window: variants whose
@@ -6010,6 +6145,32 @@ def oracle_sql() -> dict[str, str]:
             "bit_count(xor(a.fingerprint, b.fingerprint))::BIGINT AS hamming "
             "FROM fp a JOIN fp b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 7 "
+            "ORDER BY id_a, id_b"
+        ),
+        "video_frame_hashes": (
+            # independent derivation: per-frame dHash from the frame
+            # CONSTRUCTION arithmetic — the oracle never sees a byte of
+            # the container; frame_idx = position within the doc's window
+            f"WITH fp AS ({_video_sql_fp()}) "
+            "SELECT doc_id, (j - j0)::BIGINT AS frame_idx, fingerprint "
+            "FROM fp ORDER BY doc_id, frame_idx"
+        ),
+        "video_clip_pairs": (
+            # cross-algorithm: arithmetic frame hashes -> signed-decimal
+            # token streams -> 3-frame shingles -> all-pairs containment;
+            # Spark's posting-join candidates are result-identical (full
+            # recall at max_posting=None)
+            f"WITH fp AS ({_video_sql_fp()}), "
+            "streams AS (SELECT doc_id, "
+            "list(CAST(fingerprint AS VARCHAR) ORDER BY j) AS w "
+            "FROM fp GROUP BY doc_id), "
+            f"sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN {_SQL_SHINGLES3} "
+            "ELSE [] END AS s FROM streams) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE AS containment "
+            "FROM sh a JOIN sh b ON a.doc_id != b.doc_id "
+            "WHERE len(a.s) > 0 AND len(b.s) > 0 AND "
+            "len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE >= 0.9 "
             "ORDER BY id_a, id_b"
         ),
         "host_edges": (

@@ -549,3 +549,167 @@ def phash_images(
             )
 
     return df.select(url_col, payload_col).mapInPandas(_hash, schema=PHASH_SCHEMA)
+
+
+# --- video: frame-container walk + per-frame perceptual hash -----------------
+def _walk_bmp_frames(buf: bytes) -> list[bytes]:
+    """Split a concatenated-BMP video container into per-frame buffers
+    using the format's OWN delimiters: every BMP carries its total file
+    size at BITMAPFILEHEADER offset 2 (``<I``, public BMP spec), so the
+    walker jumps frame to frame from the bytes alone — no out-of-band
+    index. Stops at the first malformed header (bad magic, size running
+    past the buffer), so a truncated tail or trailing garbage yields the
+    decodable prefix instead of failing the task (one-bad-row rule)."""
+    frames: list[bytes] = []
+    off = 0
+    n = len(buf)
+    while off + 14 <= n and buf[off : off + 2] == b"BM":
+        size = struct.unpack_from("<I", buf, off + 2)[0]
+        if size < 14 + 40 or off + size > n:
+            break
+        frames.append(buf[off : off + size])
+        off += size
+    return frames
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("frame_idx", T.LongType(), True),
+        T.StructField("fingerprint", T.LongType(), True),
+    ]
+)
+
+
+def hash_video_frames(
+    df: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "html",
+    algo: str = "dhash",
+) -> DataFrame:
+    """binary video container -> (url, frame_idx, 64-bit perceptual hash)
+    — one row per decodable frame, in ONE mapInPandas stage (container
+    walk + frame decode + gray + resample + hash share the batch; the
+    multi-MB payload crosses the Arrow boundary once and the explode to
+    frame rows happens Python-side, so the container bytes are never
+    duplicated across JVM rows). Undecodable frames are skipped, an
+    undecodable container yields zero rows; the task never fails.
+
+    Per-frame fingerprints feed the same downstream machinery as images
+    and audio: ``dedup.hamming_pairs`` for single-frame near-dup, or —
+    treating the per-video hash sequence as a token stream — shingle
+    containment for clip detection (see ``clip_containment_pairs``)."""
+    hash_fn = {"dhash": dhash64, "ahash": ahash64}[algo]
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, idxs, fps = [], [], []
+            for u, b in zip(pdf[url_col], pdf[payload_col]):
+                for i, frame in enumerate(_walk_bmp_frames(bytes(b))):
+                    try:
+                        fp = hash_fn(decode_raster(frame))
+                    except Exception:  # noqa: BLE001 - one bad frame only
+                        continue
+                    urls.append(u)
+                    idxs.append(i)
+                    fps.append(fp)
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "frame_idx": pd.array(idxs, dtype="Int64"),
+                    "fingerprint": pd.array(fps, dtype="Int64"),
+                }
+            )
+
+    return df.select(url_col, payload_col).mapInPandas(_hash, schema=VIDEO_FRAME_SCHEMA)
+
+
+VIDEO_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("hash_stream", T.StringType(), True),
+    ]
+)
+
+
+def video_hash_streams(
+    df: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "html",
+    algo: str = "dhash",
+) -> DataFrame:
+    """binary video container -> (url, n_frames, hash_stream) where
+    ``hash_stream`` is the space-joined signed-decimal per-frame
+    fingerprint sequence, assembled Python-side in the SAME mapInPandas
+    batch as the decode (no per-frame explode, no groupBy shuffle to
+    re-assemble order — frame order is the walk order by construction).
+
+    The stream is a plain whitespace token sequence, so the entire text
+    dedup toolchain applies verbatim: n-gram shingles over it are windows
+    of n CONSECUTIVE frames, which makes ``dedup.containment_pairs`` a
+    clip detector (a clip shares every frame-window shingle with its
+    source video -> containment 1.0)."""
+    hash_fn = {"dhash": dhash64, "ahash": ahash64}[algo]
+
+    def _stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counts, streams = [], []
+            for b in pdf[payload_col]:
+                fps = []
+                for frame in _walk_bmp_frames(bytes(b)):
+                    try:
+                        fps.append(hash_fn(decode_raster(frame)))
+                    except Exception:  # noqa: BLE001 - one bad frame only
+                        continue
+                counts.append(len(fps))
+                streams.append(" ".join(str(v) for v in fps))
+            yield pd.DataFrame(
+                {
+                    "url": pdf[url_col].to_numpy(),
+                    "n_frames": pd.array(counts, dtype="Int64"),
+                    "hash_stream": streams,
+                }
+            )
+
+    return df.select(url_col, payload_col).mapInPandas(_stream, schema=VIDEO_STREAM_SCHEMA)
+
+
+def clip_containment_pairs(
+    df: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "html",
+    clip_frames: int = 3,
+    threshold: float = 0.9,
+    algo: str = "dhash",
+    max_posting: int | None = None,
+    unpersist_handles: list | None = None,
+) -> DataFrame:
+    """Video clip detection: (id_a, id_b, containment) with id_a's frame
+    sequence contained in id_b's at >= threshold.
+
+    Composition, not new machinery: per-frame perceptual hashes become a
+    whitespace token stream (``video_hash_streams``), and
+    ``dedup.containment_pairs`` in banded block-key-free mode does the
+    rest — n-gram shingles over the stream are ``clip_frames``-frame
+    windows, candidates come from the shingle-posting self-join (FULL
+    recall: a contained clip shares every frame-window with its source),
+    exact containment is computed on candidates only. Near-identical
+    frames (brightness shift, re-encode) map to equal dHash tokens, so
+    detection survives mild per-frame distortion; at 10^12 scale the cost
+    profile is the text-containment one — bounded by posting-list sizes,
+    never all-pairs (``max_posting`` caps pathological still-frame hashes
+    shared by everything, e.g. black frames)."""
+    from ..operators.dedup import containment_pairs
+
+    streams = video_hash_streams(df, url_col=url_col, payload_col=payload_col, algo=algo)
+    return containment_pairs(
+        streams,
+        id_col="url",
+        text_col="hash_stream",
+        block_col=None,
+        n=clip_frames,
+        threshold=threshold,
+        max_posting=max_posting,
+        unpersist_handles=unpersist_handles,
+    )

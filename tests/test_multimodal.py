@@ -385,3 +385,89 @@ def test_fingerprint_audio_planted_neardups(spark):
     }
     assert ("a0", "a1") in pairs and ("a0", "a2") in pairs and ("a1", "a2") in pairs
     assert not any("x0" in p or "x1" in p for p in pairs)
+
+
+# --- video: frame-container walk + clip detection ---------------------------
+def test_walk_bmp_frames_self_delimiting_and_truncation():
+    """The walker splits frames purely from the BMP header size field;
+    trailing garbage and a truncated final frame yield the decodable
+    prefix (never raise)."""
+    rng = np.random.default_rng(11)
+    frames = [
+        make_bmp(rng.integers(0, 256, size=(8, 9, 3), dtype=np.uint8))
+        for _ in range(4)
+    ]
+    buf = b"".join(frames)
+    got = MM._walk_bmp_frames(buf)
+    assert got == frames
+    # truncated last frame -> first 3 recovered
+    assert MM._walk_bmp_frames(buf[: len(buf) - 10]) == frames[:3]
+    # trailing garbage after valid frames -> frames recovered, garbage dropped
+    assert MM._walk_bmp_frames(buf + b"\x00garbage") == frames
+    assert MM._walk_bmp_frames(b"not a container") == []
+
+
+def test_hash_video_frames_matches_image_hash(spark):
+    """A container's per-frame hashes equal phash of each frame image —
+    same decode+hash path, walk adds only the delimiting; frame order is
+    the byte order."""
+    rng = np.random.default_rng(23)
+    imgs = [rng.integers(0, 256, size=(16, 18, 3), dtype=np.uint8) for _ in range(3)]
+    df = spark.createDataFrame(
+        [("v0", b"".join(make_bmp(i) for i in imgs))], "url string, payload binary"
+    )
+    rows = (
+        MM.hash_video_frames(df, payload_col="payload", algo="dhash")
+        .orderBy("frame_idx")
+        .collect()
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+    assert [r["fingerprint"] for r in rows] == [MM.dhash64(i) for i in imgs]
+
+
+def test_video_hash_streams_and_empty_container(spark):
+    """hash_stream is the space-joined signed-decimal hash sequence in
+    frame order; an undecodable payload yields n_frames=0 and an empty
+    stream (row preserved, no task death)."""
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, size=(10, 12, 3), dtype=np.uint8) for _ in range(2)]
+    df = spark.createDataFrame(
+        [("v0", b"".join(make_bmp(i) for i in imgs)), ("bad", b"\x01\x02\x03")],
+        "url string, payload binary",
+    )
+    out = {
+        r["url"]: r
+        for r in MM.video_hash_streams(df, payload_col="payload").collect()
+    }
+    assert out["v0"]["n_frames"] == 2
+    assert out["v0"]["hash_stream"] == " ".join(str(MM.dhash64(i)) for i in imgs)
+    assert out["bad"]["n_frames"] == 0 and out["bad"]["hash_stream"] == ""
+
+
+def test_clip_containment_planted(spark):
+    """End-to-end clip detection: video B = a consecutive sub-segment of
+    A's frames -> containment 1.0 (B in A); C shares only a 2-frame
+    overlap with A (below the 3-frame shingle) -> no pair; D is unrelated
+    -> no pair. Brightness-shifted clip frames (+2) still match (dHash
+    tokens are gradient-sign invariant away from mod-256 wraps, and these
+    rasters stay in [10, 240))."""
+    rng = np.random.default_rng(41)
+    seq = [rng.integers(10, 238, size=(16, 18, 3), dtype=np.uint8) for _ in range(8)]
+    shifted = [np.clip(f.astype(np.int32) + 2, 0, 255).astype(np.uint8) for f in seq[2:6]]
+    other = [rng.integers(0, 256, size=(16, 18, 3), dtype=np.uint8) for _ in range(5)]
+    rows = [
+        ("A", b"".join(make_bmp(f) for f in seq)),          # frames 0..7
+        ("B", b"".join(make_bmp(f) for f in shifted)),      # frames 2..5, +2 bright
+        ("C", b"".join(make_bmp(f) for f in (seq[6:8] + other[:3]))),  # 2-frame overlap
+        ("D", b"".join(make_bmp(f) for f in other)),        # unrelated
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in MM.clip_containment_pairs(
+            df, payload_col="payload", clip_frames=3, threshold=0.9
+        ).collect()
+    }
+    assert pairs.get(("B", "A")) == 1.0
+    assert ("A", "B") not in pairs  # containment is DIRECTED
+    assert not any("C" in p or "D" in p for p in pairs)
