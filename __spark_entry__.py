@@ -3117,15 +3117,17 @@ def q_audio_neardup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-def _video_fixture(spark, sf_dir):
+def _video_fixture(spark, sf_dir, scene_len=None):
     """(doc_id, payload) — REAL multi-frame 'video' containers: N
     concatenated 24-bit BMPs, each frame self-delimited by its header
     size field (the walker reads boundaries from the bytes, no index).
     Frames come from a per-group master sequence: group g = doc_id -
-    doc_id%3, frame j raster pixel(y, x) = (g*7 + j*37 +
-    y*(13 + (g+j)%11) + x*29) % 256 on all 3 channels of a 16x18 image;
-    role doc_id%3 picks the frame window — role 0 = j in [0,8), role 1 =
-    j in [2,6) (a planted CLIP of role 0's video), role 2 = j in [4,10)
+    doc_id%3, frame j raster pixel(y, x) = (g*7 + k*37 +
+    y*(13 + (g+k)%11) + x*29) % 256 on all 3 channels of a 16x18 image,
+    where k = j (scene_len=None) or k = j // scene_len (runs of
+    scene_len IDENTICAL frames — the scene-cut fixture); role doc_id%3
+    picks the frame window — role 0 = j in [0,8), role 1 = j in [2,6)
+    (a planted CLIP of role 0's video), role 2 = j in [4,10)
     (overlapping but NOT contained: only 2 of its 4 3-frame windows
     appear in role 0). The bytes exist only Spark-side; the oracle
     recomputes every frame hash from this arithmetic."""
@@ -3161,8 +3163,9 @@ def _video_fixture(spark, sf_dir):
                 j0, j1 = windows[did % 3]
                 clip = bytearray()
                 for j in range(j0, j1):
+                    k = j if scene_len is None else j // scene_len
                     px = (
-                        (g * 7 + j * 37 + yy * (13 + (g + j) % 11) + xx * 29) % 256
+                        (g * 7 + k * 37 + yy * (13 + (g + k) % 11) + xx * 29) % 256
                     ).astype(np.uint8)
                     body = bytearray()
                     for row in px[::-1]:  # bottom-up, BGR == gray triplets
@@ -3175,27 +3178,31 @@ def _video_fixture(spark, sf_dir):
     return d.mapInPandas(_make, schema=schema)
 
 
-def _video_sql_fp() -> str:
+def _video_sql_fp(scene_len: int | None = None) -> str:
     """Per-(doc, frame) dHash of the video-fixture rasters by PURE
     arithmetic (the oracle never sees a byte): 16x18 -> 8x9 nearest
     resample picks pixels (2r, 2c); bit r*8+c = 1 iff p(2r,2c) <
     p(2r,2c+2); bit 63 wraps negative (signed int64). Emits
-    (doc_id, j0, j, fingerprint) for every frame j in the doc's window."""
+    (doc_id, j0, j, fingerprint) for every frame j in the doc's window;
+    ``scene_len`` mirrors the fixture's frame-content index
+    k = j // scene_len (scene-cut variant)."""
     terms = []
     for r in range(8):
         for c in range(8):
             k = r * 8 + c
-            a = f"((g*7 + j*37 + {2 * r}*(13 + (g+j)%11) + {58 * c}) % 256)"
-            b = f"((g*7 + j*37 + {2 * r}*(13 + (g+j)%11) + {58 * (c + 1)}) % 256)"
+            a = f"((g*7 + k*37 + {2 * r}*(13 + (g+k)%11) + {58 * c}) % 256)"
+            b = f"((g*7 + k*37 + {2 * r}*(13 + (g+k)%11) + {58 * (c + 1)}) % 256)"
             w = "(-9223372036854775807 - 1)" if k == 63 else str(1 << k)
             terms.append(f"CASE WHEN {a} < {b} THEN {w}::BIGINT ELSE 0::BIGINT END")
+    k_expr = "j" if scene_len is None else f"j // {scene_len}"
     return (
         "SELECT doc_id, j0, j, (" + " + ".join(terms) + ") AS fingerprint FROM "
+        f"(SELECT doc_id, g, j0, j, {k_expr} AS k FROM "
         "(SELECT d.doc_id, d.g, d.j0, d.j0 + t.u AS j FROM "
         "(SELECT doc_id, doc_id - doc_id % 3 AS g, "
         "CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 4 END AS j0, "
         "CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 6 ELSE 10 END AS j1 "
-        "FROM documents) d, range(0, 10) t(u) WHERE d.j0 + t.u < d.j1)"
+        "FROM documents) d, range(0, 10) t(u) WHERE d.j0 + t.u < d.j1))"
     )
 
 
@@ -3241,6 +3248,175 @@ def q_video_clip_pairs(spark, sf_dir):
         url_col="url",
         payload_col="payload",
         clip_frames=3,
+        threshold=0.9,
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "containment",
+    ).orderBy("id_a", "id_b")
+
+
+def q_video_scene_cuts(spark, sf_dir):
+    """Scene segmentation (multimodal.scene_cuts): the scene-variant
+    video fixture (scene_len=2 -> runs of 2 IDENTICAL frames) through the
+    real byte path — container walk, per-frame dHash — then the pure
+    relational cut detector: one window keyed by video id, cut iff
+    bit_count(xor(fp, prev_fp)) > 0, scene_id = running cut count.
+    INDEPENDENT-DERIVATION oracle: frame fingerprints from the
+    construction arithmetic (k = j // 2), cuts and scene ids replayed
+    with SQL windows — bytes never seen oracle-side."""
+    from log_analysis_spark.functions.multimodal import (
+        hash_video_frames,
+        scene_cuts,
+    )
+
+    pages = _video_fixture(spark, sf_dir, scene_len=2)
+    fh = hash_video_frames(
+        pages.select(F.col("doc_id").cast("string").alias("url"), "payload"),
+        url_col="url",
+        payload_col="payload",
+        algo="dhash",
+    )
+    sc = scene_cuts(fh, id_col="url", max_hamming=0)
+    return sc.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "frame_idx",
+        "is_cut",
+        "scene_id",
+    ).orderBy("doc_id", "frame_idx")
+
+
+def q_video_keyframes(spark, sf_dir):
+    """Keyframe extraction (multimodal.scene_keyframes): one
+    representative frame per detected scene — the scene's first frame,
+    via a map-side-combinable min-struct aggregate over the scene_cuts
+    output (fingerprint rides along for downstream near-dup; no decode
+    rework). Oracle replays cut detection + per-scene argmin
+    relationally from the arithmetic fingerprints."""
+    from log_analysis_spark.functions.multimodal import (
+        hash_video_frames,
+        scene_cuts,
+        scene_keyframes,
+    )
+
+    pages = _video_fixture(spark, sf_dir, scene_len=2)
+    fh = hash_video_frames(
+        pages.select(F.col("doc_id").cast("string").alias("url"), "payload"),
+        url_col="url",
+        payload_col="payload",
+        algo="dhash",
+    )
+    kf = scene_keyframes(scene_cuts(fh, id_col="url", max_hamming=0), id_col="url")
+    return kf.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "scene_id",
+        "frame_idx",
+        "fingerprint",
+    ).orderBy("doc_id", "scene_id")
+
+
+def _audio_clip_fixture(spark, sf_dir):
+    """(doc_id, payload) — REAL WAV clips cut from a per-group master
+    signal for audio CLIP detection: group g = doc_id - doc_id%3, master
+    sample s(m) = ((g*7 + m*m*(13 + g%997) + m*29) % 4096) - 2048; role
+    doc_id%3 selects segment window [a, b) of 520-sample segments —
+    role 0 = [0,8), role 1 = [2,6) (a planted clip), role 2 = [4,10)
+    (overlap, not contained) — and applies a uniform gain (role+1)
+    (the per-segment energy-contour fingerprint is EXACTLY
+    gain-invariant, so the role-1 clip matches role 0 despite the
+    different gain). Peak |s| <= 3*2048 = 6144, segment-window energy
+    <= 8 * 6144^2 ~ 3e8 — int64-safe in both engines. Bytes exist only
+    Spark-side."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def _make(batches):
+        fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        windows = {0: (0, 8), 1: (2, 6), 2: (4, 10)}
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, role = did - did % 3, did % 3
+                a, b = windows[role]
+                m = np.arange(a * 520, b * 520, dtype=np.int64)
+                s = (role + 1) * (((g * 7 + m * m * (13 + g % 997) + m * 29) % 4096) - 2048)
+                pcm = s.astype("<i2").tobytes()
+                payloads.append(
+                    b"RIFF"
+                    + struct.pack("<I", 4 + len(fmt) + 8 + 8 + len(pcm))
+                    + b"WAVE"
+                    + fmt
+                    + b"data"
+                    + struct.pack("<I", len(pcm))
+                    + pcm
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads})
+
+    return d.mapInPandas(_make, schema=schema)
+
+
+def _audio_clip_sql_streams() -> str:
+    """Per-doc segment-fingerprint token streams by PURE arithmetic:
+    replay the clip samples (gain included — the energies scale by
+    gain^2 but every adjacent comparison, hence every bit, is unchanged),
+    520-sample segments x 65 8-sample windows, bit w = E[w+1] > E[w],
+    signed-int64 packing. Emits (doc_id, w: list of decimal tokens in
+    segment order)."""
+    return (
+        "SELECT doc_id, list(CAST(fingerprint AS VARCHAR) ORDER BY seg) AS w FROM ("
+        "SELECT doc_id, seg, SUM(CASE WHEN lead_e > e THEN "
+        "CASE WHEN w = 63 THEN (-9223372036854775807 - 1) "
+        "ELSE (1::BIGINT << w) END ELSE 0::BIGINT END)::BIGINT AS fingerprint "
+        "FROM (SELECT doc_id, seg, w, e, "
+        "LEAD(e) OVER (PARTITION BY doc_id, seg ORDER BY w) AS lead_e "
+        "FROM (SELECT doc_id, (i // 520) AS seg, (i % 520) // 8 AS w, "
+        "SUM(s * s)::BIGINT AS e FROM "
+        "(SELECT doc_id, m - a * 520 AS i, "
+        "(role + 1) * (((g*7 + m*m*(13 + g%997) + m*29) % 4096) - 2048) AS s "
+        "FROM (SELECT doc_id, doc_id - doc_id % 3 AS g, doc_id % 3 AS role, "
+        "CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 4 END AS a, "
+        "CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 6 ELSE 10 END AS b "
+        "FROM documents) d, generate_series(0, 5199) AS t(m) "
+        "WHERE m >= a * 520 AND m < b * 520)"
+        "GROUP BY doc_id, seg, w)) WHERE w < 64 GROUP BY doc_id, seg"
+        ") GROUP BY doc_id"
+    )
+
+
+def q_audio_clip_pairs(spark, sf_dir):
+    """Audio clip detection (multimodal.audio_clip_pairs): segment-wise
+    gain-invariant energy-contour fingerprints (audio_hash_streams,
+    520-sample segments) as whitespace token streams -> shingle
+    containment (dedup.containment_pairs banded mode — posting-join
+    candidates, FULL recall, exact verify on candidates only). The
+    planted role-1 clips — segments [2,6) of the group master at DOUBLE
+    the gain — are found inside their role-0 sources at containment 1.0
+    (per-segment fingerprints are exactly gain-invariant); the
+    overlapping role-2 windows stay below threshold. CROSS-ALGORITHM
+    oracle: DuckDB replays samples, per-segment contours, token streams,
+    and goes all-pairs."""
+    from log_analysis_spark.functions.multimodal import audio_clip_pairs
+
+    pages = _audio_clip_fixture(spark, sf_dir)
+    pairs = audio_clip_pairs(
+        pages.select(F.col("doc_id").cast("string").alias("url"), "payload"),
+        seg_samples=520,
+        url_col="url",
+        payload_col="payload",
+        clip_segments=3,
         threshold=0.9,
     )
     return pairs.select(
@@ -3975,6 +4151,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup": q_audio_neardup,
         "video_frame_hashes": q_video_frame_hashes,
         "video_clip_pairs": q_video_clip_pairs,
+        "video_scene_cuts": q_video_scene_cuts,
+        "video_keyframes": q_video_keyframes,
+        "audio_clip_pairs": q_audio_clip_pairs,
         # --- link-graph analytics (iterative PageRank) ---
         "nation_pagerank": q_nation_pagerank,
         # ---- entries past the driver's 50-row window: variants whose
@@ -6164,6 +6343,54 @@ def oracle_sql() -> dict[str, str]:
             "streams AS (SELECT doc_id, "
             "list(CAST(fingerprint AS VARCHAR) ORDER BY j) AS w "
             "FROM fp GROUP BY doc_id), "
+            f"sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN {_SQL_SHINGLES3} "
+            "ELSE [] END AS s FROM streams) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE AS containment "
+            "FROM sh a JOIN sh b ON a.doc_id != b.doc_id "
+            "WHERE len(a.s) > 0 AND len(b.s) > 0 AND "
+            "len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE >= 0.9 "
+            "ORDER BY id_a, id_b"
+        ),
+        "video_scene_cuts": (
+            # independent derivation: arithmetic frame fingerprints
+            # (k = j // 2 scene variant), cut + running scene id replayed
+            # with SQL windows — container bytes never seen oracle-side
+            f"WITH fp AS ({_video_sql_fp(scene_len=2)}), "
+            "c AS (SELECT doc_id, (j - j0)::BIGINT AS frame_idx, "
+            "CASE WHEN lag_fp IS NULL THEN false "
+            "ELSE bit_count(xor(fingerprint, lag_fp)) > 0 END AS is_cut "
+            "FROM (SELECT doc_id, j0, j, fingerprint, "
+            "LAG(fingerprint) OVER (PARTITION BY doc_id ORDER BY j) AS lag_fp "
+            "FROM fp)) "
+            "SELECT doc_id, frame_idx, is_cut, "
+            "SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) OVER "
+            "(PARTITION BY doc_id ORDER BY frame_idx)::BIGINT AS scene_id "
+            "FROM c ORDER BY doc_id, frame_idx"
+        ),
+        "video_keyframes": (
+            # replay cut detection + per-scene first frame (argmin)
+            f"WITH fp AS ({_video_sql_fp(scene_len=2)}), "
+            "c AS (SELECT doc_id, (j - j0)::BIGINT AS frame_idx, fingerprint, "
+            "CASE WHEN lag_fp IS NULL THEN false "
+            "ELSE bit_count(xor(fingerprint, lag_fp)) > 0 END AS is_cut "
+            "FROM (SELECT doc_id, j0, j, fingerprint, "
+            "LAG(fingerprint) OVER (PARTITION BY doc_id ORDER BY j) AS lag_fp "
+            "FROM fp)), "
+            "s AS (SELECT doc_id, frame_idx, fingerprint, "
+            "SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) OVER "
+            "(PARTITION BY doc_id ORDER BY frame_idx)::BIGINT AS scene_id FROM c) "
+            "SELECT doc_id, scene_id, min(frame_idx)::BIGINT AS frame_idx, "
+            "min_by(fingerprint, frame_idx) AS fingerprint "
+            "FROM s GROUP BY doc_id, scene_id ORDER BY doc_id, scene_id"
+        ),
+        "audio_clip_pairs": (
+            # cross-algorithm: arithmetic per-segment energy-contour
+            # fingerprints (gain replayed; bits provably gain-invariant)
+            # -> token streams -> 3-segment shingles -> all-pairs
+            # containment; Spark's posting-join candidates are
+            # result-identical (full recall at max_posting=None)
+            f"WITH streams AS ({_audio_clip_sql_streams()}), "
             f"sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN {_SQL_SHINGLES3} "
             "ELSE [] END AS s FROM streams) "
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "

@@ -713,3 +713,152 @@ def clip_containment_pairs(
         max_posting=max_posting,
         unpersist_handles=unpersist_handles,
     )
+
+
+def scene_cuts(
+    frames: DataFrame,
+    id_col: str = "url",
+    idx_col: str = "frame_idx",
+    fp_col: str = "fingerprint",
+    max_hamming: int = 0,
+) -> DataFrame:
+    """Scene segmentation over per-frame perceptual hashes: a CUT is a
+    frame whose fingerprint sits more than ``max_hamming`` bits from its
+    predecessor's; ``scene_id`` is the running cut count (first frame =
+    scene 0). Pure relational — one window keyed by video id (a video's
+    frames land on one reducer; videos are bounded, so no skew cliff),
+    ``bit_count(xor)`` verify, running-sum scene numbering; no Python.
+    dHash tokens absorb brightness/re-encode wobble, so ``max_hamming``
+    a few bits above 0 segments on CONTENT changes, not codec noise.
+    Output: (id, frame_idx, fingerprint, is_cut, scene_id)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(idx_col)
+    prev = F.lag(fp_col).over(w)
+    dist = F.bit_count(F.col(fp_col).bitwiseXOR(prev)).cast("long")
+    is_cut = F.when(prev.isNull(), F.lit(False)).otherwise(dist > max_hamming)
+    out = frames.select(
+        F.col(id_col),
+        F.col(idx_col),
+        F.col(fp_col),
+        is_cut.alias("is_cut"),
+    )
+    w2 = Window.partitionBy(id_col).orderBy(idx_col)
+    return out.withColumn(
+        "scene_id",
+        F.sum(F.col("is_cut").cast("long")).over(w2).cast("long"),
+    )
+
+
+def scene_keyframes(scenes: DataFrame, id_col: str = "url") -> DataFrame:
+    """One representative frame per scene: the scene's FIRST frame
+    (deterministic, no decode rework — the fingerprint rides along for
+    downstream near-dup). Map-side-combinable min aggregate over the
+    ``scene_cuts`` output. Output: (id, scene_id, frame_idx, fingerprint)."""
+    first = F.min(F.struct("frame_idx", "fingerprint")).alias("_f")
+    return (
+        scenes.groupBy(id_col, "scene_id")
+        .agg(first)
+        .select(
+            id_col,
+            "scene_id",
+            F.col("_f.frame_idx").alias("frame_idx"),
+            F.col("_f.fingerprint").alias("fingerprint"),
+        )
+    )
+
+
+AUDIO_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("n_segments", T.LongType(), True),
+        T.StructField("hash_stream", T.StringType(), True),
+    ]
+)
+
+
+def audio_hash_streams(
+    df: DataFrame,
+    seg_samples: int,
+    url_col: str = "url",
+    payload_col: str = "html",
+) -> DataFrame:
+    """binary WAV payload -> (url, n_segments, hash_stream): the PCM
+    sample stream split into consecutive ``seg_samples``-sample segments
+    (trailing remainder dropped), each segment fingerprinted with
+    ``audio_fp64`` (gain-invariant energy contour), the per-segment
+    hashes emitted as a space-joined signed-decimal token stream — the
+    audio analogue of ``video_hash_streams``, assembled in the SAME
+    mapInPandas batch as the decode (one Arrow crossing, no re-assembly
+    shuffle). ``seg_samples`` must be >= 65 (the contour window count).
+
+    n-gram shingles over the stream are windows of n CONSECUTIVE audio
+    segments, so ``dedup.containment_pairs`` detects an audio clip
+    embedded in a longer recording (segment-aligned; gain changes on the
+    clip do NOT break the match — the per-segment fingerprint is exactly
+    gain-invariant). Undecodable payloads yield n_segments=0 and an
+    empty stream (row preserved)."""
+    if seg_samples < 65:
+        raise ValueError("seg_samples must be >= 65 (energy-contour windows)")
+
+    def _stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counts, streams = [], []
+            for b in pdf[payload_col]:
+                fps: list[int] = []
+                try:
+                    _rate, _nch, samples = _decode_wav(bytes(b))
+                    if samples.ndim == 2:
+                        mono = samples.astype(np.int64).sum(axis=1) // samples.shape[1]
+                    else:
+                        mono = samples.astype(np.int64)
+                    for k in range(mono.shape[0] // seg_samples):
+                        fp = audio_fp64(mono[k * seg_samples : (k + 1) * seg_samples])
+                        if fp is not None:
+                            fps.append(fp)
+                except Exception:  # noqa: BLE001 - one bad payload only
+                    fps = []
+                counts.append(len(fps))
+                streams.append(" ".join(str(v) for v in fps))
+            yield pd.DataFrame(
+                {
+                    "url": pdf[url_col].to_numpy(),
+                    "n_segments": pd.array(counts, dtype="Int64"),
+                    "hash_stream": streams,
+                }
+            )
+
+    return df.select(url_col, payload_col).mapInPandas(_stream, schema=AUDIO_STREAM_SCHEMA)
+
+
+def audio_clip_pairs(
+    df: DataFrame,
+    seg_samples: int,
+    url_col: str = "url",
+    payload_col: str = "html",
+    clip_segments: int = 3,
+    threshold: float = 0.9,
+    max_posting: int | None = None,
+    unpersist_handles: list | None = None,
+) -> DataFrame:
+    """Audio clip detection: (id_a, id_b, containment) with id_a's
+    segment-fingerprint sequence contained in id_b's at >= threshold —
+    the audio twin of ``clip_containment_pairs`` (same banded
+    ``dedup.containment_pairs`` machinery: posting-join candidates with
+    FULL recall, exact verify on candidates only; ``max_posting`` caps
+    silence-segment hot tokens)."""
+    from ..operators.dedup import containment_pairs
+
+    streams = audio_hash_streams(
+        df, seg_samples, url_col=url_col, payload_col=payload_col
+    )
+    return containment_pairs(
+        streams,
+        id_col="url",
+        text_col="hash_stream",
+        block_col=None,
+        n=clip_segments,
+        threshold=threshold,
+        max_posting=max_posting,
+        unpersist_handles=unpersist_handles,
+    )

@@ -471,3 +471,89 @@ def test_clip_containment_planted(spark):
     assert pairs.get(("B", "A")) == 1.0
     assert ("A", "B") not in pairs  # containment is DIRECTED
     assert not any("C" in p or "D" in p for p in pairs)
+
+
+def test_scene_cuts_and_keyframes(spark):
+    """Relational scene segmentation over per-frame hashes: frames
+    AABBBCC -> cuts at the A->B and B->C transitions, scene ids 0/0/1/1/
+    1/2/2; keyframes = first frame of each scene with its fingerprint."""
+    rng = np.random.default_rng(17)
+    A, B, C = (rng.integers(0, 256, size=(16, 18, 3), dtype=np.uint8) for _ in range(3))
+    container = b"".join(make_bmp(f) for f in [A, A, B, B, B, C, C])
+    df = spark.createDataFrame([("v", container)], "url string, payload binary")
+    fh = MM.hash_video_frames(df, payload_col="payload")
+    sc = MM.scene_cuts(fh, max_hamming=0).orderBy("frame_idx").collect()
+    assert [r["scene_id"] for r in sc] == [0, 0, 1, 1, 1, 2, 2]
+    assert [r["is_cut"] for r in sc] == [False, False, True, False, False, True, False]
+    kf = MM.scene_keyframes(MM.scene_cuts(fh, max_hamming=0)).orderBy("scene_id").collect()
+    assert [(r["scene_id"], r["frame_idx"]) for r in kf] == [(0, 0), (1, 2), (2, 5)]
+    assert [r["fingerprint"] for r in kf] == [MM.dhash64(f) for f in (A, B, C)]
+
+
+def test_scene_cuts_hamming_tolerance(spark):
+    """max_hamming absorbs codec wobble: a one-pixel-edited repeat of a
+    frame (exactly one gradient bit flips — pixel (0,0) is sampled and
+    participates in only the (r=0, c=0) comparison) is NOT a cut at
+    max_hamming=6 but IS at max_hamming=0."""
+    rng = np.random.default_rng(29)
+    A = rng.integers(0, 250, size=(16, 18, 3), dtype=np.uint8)
+    A[0, 0], A[0, 2] = 10, 100  # bit (0,0): 10 < 100 -> 1
+    A2 = A.copy()
+    A2[0, 0] = 255  # -> 255 < 100 is false -> bit flips to 0
+    d = MM.dhash64(A) ^ MM.dhash64(A2)
+    assert 0 < bin(d & 0xFFFFFFFFFFFFFFFF).count("1") <= 6  # fixture sanity
+    df = spark.createDataFrame(
+        [("v", make_bmp(A) + make_bmp(A2))], "url string, payload binary"
+    )
+    fh = MM.hash_video_frames(df, payload_col="payload")
+    strict = MM.scene_cuts(fh, max_hamming=0).orderBy("frame_idx").collect()
+    loose = MM.scene_cuts(fh, max_hamming=6).orderBy("frame_idx").collect()
+    assert [r["scene_id"] for r in strict] == [0, 1]
+    assert [r["scene_id"] for r in loose] == [0, 0]
+
+
+def test_audio_clip_pairs_planted_gain_invariant(spark):
+    """End-to-end audio clip detection: B = segments 2..5 of A's sample
+    stream at 2x gain -> containment 1.0 (the per-segment energy-contour
+    fingerprint is exactly gain-invariant); C overlaps A by only 2
+    segments -> no pair; D unrelated -> no pair."""
+    rng = np.random.default_rng(37)
+    master = rng.integers(-2048, 2048, size=8 * 520, dtype=np.int64)
+    extra = rng.integers(-2048, 2048, size=2 * 520, dtype=np.int64)
+    other = rng.integers(-2048, 2048, size=5 * 520, dtype=np.int64)
+    rows = [
+        ("A", make_wav(master.reshape(-1, 1))),
+        ("B", make_wav((2 * master[2 * 520 : 6 * 520]).reshape(-1, 1))),
+        ("C", make_wav(np.concatenate([master[6 * 520 :], extra, extra]).reshape(-1, 1))),
+        ("D", make_wav(other.reshape(-1, 1))),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in MM.audio_clip_pairs(
+            df, seg_samples=520, payload_col="payload", clip_segments=3, threshold=0.9
+        ).collect()
+    }
+    assert pairs.get(("B", "A")) == 1.0
+    assert ("A", "B") not in pairs
+    assert not any("D" in p for p in pairs)
+
+
+def test_audio_hash_streams_segmentation(spark):
+    """Stream = per-520-sample-segment fingerprints in order; trailing
+    remainder dropped; too-short and undecodable payloads -> 0 segments."""
+    rng = np.random.default_rng(43)
+    s = rng.integers(-2048, 2048, size=2 * 520 + 100, dtype=np.int64)
+    df = spark.createDataFrame(
+        [("a", make_wav(s.reshape(-1, 1))), ("short", make_wav(s[:64].reshape(-1, 1))), ("bad", b"\x00\x01")],
+        "url string, payload binary",
+    )
+    out = {
+        r["url"]: r
+        for r in MM.audio_hash_streams(df, 520, payload_col="payload").collect()
+    }
+    exp = [MM.audio_fp64(s[k * 520 : (k + 1) * 520]) for k in range(2)]
+    assert out["a"]["n_segments"] == 2
+    assert out["a"]["hash_stream"] == " ".join(str(v) for v in exp)
+    assert out["short"]["n_segments"] == 0
+    assert out["bad"]["n_segments"] == 0
