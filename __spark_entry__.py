@@ -3071,6 +3071,35 @@ def _audio_sql_fp() -> str:
     )
 
 
+def q_image_ingest_gate(spark, sf_dir):
+    """Perceptual ingest gate (dedup.fingerprint_gate over
+    dedup.hamming_join): group-base images (doc_id%5==0) form the
+    corpus fingerprint index; the remaining docs arrive as a batch and
+    only those with NO corpus fingerprint within hamming 7 survive —
+    the media analogue of dedup_against's exact-hash anti-join (a
+    re-encoded/brightness-shifted copy gates too). Cross-relation
+    pigeonhole candidates (batch probes the corpus chunk index, corpus
+    never self-joins) -> exact verify -> left_anti. CROSS-ALGORITHM
+    oracle: NOT EXISTS over all-pairs bit_count(xor) on the arithmetic
+    fingerprints — result-identical (full recall at 8 chunks /
+    hamming <= 7)."""
+    from log_analysis_spark.functions.multimodal import phash_images
+    from log_analysis_spark.operators.dedup import fingerprint_gate
+
+    pages = _phash_fixture(spark, sf_dir)
+    fp = phash_images(
+        pages.select(F.col("doc_id").cast("string").alias("url"), "payload"),
+        url_col="url",
+        payload_col="payload",
+        algo="dhash",
+    ).select(F.col("url").cast("long").alias("doc_id"), "fingerprint")
+    corpus = fp.filter(F.col("doc_id") % 5 == 0)
+    batch = fp.filter(F.col("doc_id") % 5 != 0)
+    return fingerprint_gate(
+        batch, corpus, "doc_id", "fingerprint", max_hamming=7, n_chunks=8
+    ).orderBy("doc_id")
+
+
 def q_audio_fp(spark, sf_dir):
     """Audio energy-contour fingerprints (functions/multimodal.py
     audio_fp64 via fingerprint_audio): REAL WAV bytes per doc (see
@@ -4154,6 +4183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_scene_cuts": q_video_scene_cuts,
         "video_keyframes": q_video_keyframes,
         "audio_clip_pairs": q_audio_clip_pairs,
+        "image_ingest_gate": q_image_ingest_gate,
         # --- link-graph analytics (iterative PageRank) ---
         "nation_pagerank": q_nation_pagerank,
         # ---- entries past the driver's 50-row window: variants whose
@@ -6314,6 +6344,18 @@ def oracle_sql() -> dict[str, str]:
             # the sample CONSTRUCTION arithmetic — the oracle never sees
             # WAV bytes
             _audio_sql_fp() + " ORDER BY doc_id"
+        ),
+        "image_ingest_gate": (
+            # cross-algorithm: NOT EXISTS over all-pairs hamming on the
+            # arithmetic fingerprints vs Spark's batch-probes-corpus
+            # pigeonhole gate (full recall at 8 chunks / hamming <= 7)
+            f"WITH fp AS ({_phash_sql_fp()}), "
+            "c AS (SELECT * FROM fp WHERE doc_id % 5 = 0), "
+            "b AS (SELECT * FROM fp WHERE doc_id % 5 != 0) "
+            "SELECT b.doc_id, b.fingerprint FROM b "
+            "WHERE NOT EXISTS (SELECT 1 FROM c "
+            "WHERE bit_count(xor(b.fingerprint, c.fingerprint)) <= 7) "
+            "ORDER BY doc_id"
         ),
         "audio_neardup": (
             # cross-algorithm: all-pairs hamming over the arithmetic

@@ -711,26 +711,7 @@ def hamming_pairs(
         f"(got n_chunks={n_chunks}, max_hamming={max_hamming}); pass "
         f"allow_partial_recall=True for diagnostic chunk-candidate mode"
     )
-    width = 64 // n_chunks
-    mask = (1 << width) - 1
-    sh = fp_df.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_sh"))
-    chunks = sh.select(
-        "_id",
-        "_sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftrightunsigned(F.col("_sh"), i * width)
-                        .bitwiseAND(F.lit(mask).cast("long"))
-                        .alias("cv"),
-                    )
-                    for i in range(n_chunks)
-                ]
-            )
-        ).alias("c"),
-    ).select("_id", "_sh", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    chunks = _fp_chunks(fp_df, id_col, fp_col, n_chunks)
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -751,6 +732,101 @@ def hamming_pairs(
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def _fp_chunks(
+    fp_df: DataFrame, id_col: str, fp_col: str, n_chunks: int
+) -> DataFrame:
+    """(_id, _sh, ci, cv) — the pigeonhole chunk explode shared by the
+    self-join (:func:`hamming_pairs`) and cross-relation
+    (:func:`hamming_join`) candidate generators."""
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    return fp_df.select(
+        F.col(id_col).alias("_id"),
+        F.col(fp_col).alias("_sh"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftrightunsigned(F.col(fp_col), i * width)
+                        .bitwiseAND(F.lit(mask).cast("long"))
+                        .alias("cv"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("_id", "_sh", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+
+
+def hamming_join(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    id_col: str,
+    fp_col: str,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Cross-RELATION near-dup pairs: every (a, b) with a from ``a_df``,
+    b from ``b_df``, and hamming(fp_a, fp_b) <= max_hamming — the
+    batch-vs-corpus form of :func:`hamming_pairs` (which is the
+    self-join form). Same pigeonhole guarantee: any pair within
+    hamming <= n_chunks - 1 shares a chunk verbatim, so candidates come
+    from a per-chunk equi-join (keyed shuffle — and at 10^12 scale the
+    corpus side's chunk relation is a materialized index the batch
+    probes, never a corpus rescan), then exact ``bit_count(xor)``
+    verify. Output: (id_a, id_b, hamming), id_a from a, id_b from b —
+    NOT deduplicated by id pair direction (a and b are different
+    relations)."""
+    assert 64 % n_chunks == 0, "n_chunks must divide 64"
+    assert max_hamming <= n_chunks - 1, (
+        f"pigeonhole recall needs n_chunks > max_hamming "
+        f"(got n_chunks={n_chunks}, max_hamming={max_hamming})"
+    )
+    a = _fp_chunks(a_df, id_col, fp_col, n_chunks).alias("a")
+    b = _fp_chunks(b_df, id_col, fp_col, n_chunks).alias("b")
+    cand = (
+        a.join(b, on=[F.col("a.ci") == F.col("b.ci"), F.col("a.cv") == F.col("b.cv")])
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh"))).cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def fingerprint_gate(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    fp_col: str,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Ingest gate over PRECOMPUTED fingerprints: rows of ``batch`` with
+    NO near-dup (hamming <= max_hamming) in ``index`` — the perceptual
+    analogue of ``dedup_against``'s exact-hash anti-join, for media
+    streams where re-encodes must gate too. :func:`hamming_join`
+    candidates -> distinct matched batch ids -> left_anti; the batch
+    never all-pairs the index and the index never self-joins. Returns
+    ``batch`` rows unchanged (all columns)."""
+    hits = (
+        hamming_join(
+            batch.select(id_col, fp_col),
+            index,
+            id_col,
+            fp_col,
+            max_hamming=max_hamming,
+            n_chunks=n_chunks,
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return batch.join(hits, id_col, "left_anti")
 
 
 def simhash_pairs(

@@ -724,3 +724,75 @@ def start_classifier_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_media_gate_stream(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    url_col: str = "url",
+    payload_col: str = "payload",
+    max_hamming: int = 7,
+    n_chunks: int = 8,
+    max_files_per_trigger: int = 100000,
+):
+    """Perceptual media ingest gate run CONTINUOUSLY — the streaming twin
+    of ``dedup.fingerprint_gate`` over ``multimodal.phash_images``:
+    binary media rows stream in; each micro-batch is fingerprinted
+    (one mapInPandas stage), internally deduped (min-id survivor per
+    near-dup set would need clustering, so the in-batch rule is the
+    simpler exact-fingerprint min-id — re-encodes WITHIN one batch that
+    differ by a few bits both survive the batch and the SECOND one is
+    gated by the index on its next appearance), gated against the corpus
+    fingerprint index by the pigeonhole hamming join, and survivors
+    append to ``{out}/media`` while their fingerprints append to
+    ``{out}/fp_index`` — 8 bytes/item, so the gate probes an index, never
+    the media bytes.
+
+    Delivery semantics: same at-least-once note as
+    ``start_ingest_gate_stream`` (two appends, not atomic; later batches
+    are content-exactly-once because the gate sees the index; Iceberg
+    makes the batch itself transactional — MIGRATION.md)."""
+    import os
+
+    from ..functions.multimodal import phash_images
+    from ..operators.dedup import fingerprint_gate
+
+    schema = spark.read.parquet(input_path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    idx_path = os.path.join(out_dir, "fp_index")
+    media_path = os.path.join(out_dir, "media")
+
+    def _sink(batch: DataFrame, _bid: int) -> None:
+        sp = batch.sparkSession
+        fp = phash_images(batch, url_col=url_col, payload_col=payload_col)
+        # in-batch exact-fingerprint dedup: min-id survivor
+        keep = fp.groupBy("fingerprint").agg(F.min(url_col).alias(url_col))
+        try:
+            idx = sp.read.parquet(idx_path)
+            keep = fingerprint_gate(
+                keep, idx, url_col, "fingerprint",
+                max_hamming=max_hamming, n_chunks=n_chunks,
+            )
+        except Exception:  # noqa: BLE001 - first batch: no index yet
+            pass
+        keep = keep.persist()
+        try:
+            batch.join(keep.select(url_col), url_col).write.mode("append").parquet(
+                media_path
+            )
+            keep.select(url_col, "fingerprint").write.mode("append").parquet(idx_path)
+        finally:
+            keep.unpersist()
+
+    return (
+        src.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -395,3 +395,34 @@ def test_containment_banded_max_posting_guard(spark):
     assert (6, 7) in guarded          # rare shared shingles -> still found
     assert (10, 11) not in guarded    # hot-shingle-only pair -> pruned
     assert guarded <= full            # guard only ever removes pairs
+
+
+def test_hamming_join_and_fingerprint_gate(spark):
+    """Cross-relation pigeonhole: batch fp within max_hamming of any
+    corpus fp is matched (and gated); others survive. Planted: b1 == c1
+    (hamming 0), b2 = c2 with 3 low bits flipped (hamming 3), b3 far
+    from everything."""
+    from log_analysis_spark.operators.dedup import fingerprint_gate, hamming_join
+
+    c1, c2 = 0x0123456789ABCDEF, -6148914691236517206  # 0xAAAA... signed; ham(c1,c2)=32
+    corpus = spark.createDataFrame(
+        [("c1", c1), ("c2", c2)], "url string, fingerprint long"
+    )
+    batch = spark.createDataFrame(
+        [("b1", c1), ("b2", c2 ^ 0b111), ("b3", 0x5555AAAA5555AAAA)],
+        "url string, fingerprint long",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_join(
+            batch, corpus, "url", "fingerprint", max_hamming=3, n_chunks=4
+        ).collect()
+    }
+    assert pairs == {("b1", "c1"): 0, ("b2", "c2"): 3}
+    kept = sorted(
+        r["url"]
+        for r in fingerprint_gate(
+            batch, corpus, "url", "fingerprint", max_hamming=3, n_chunks=4
+        ).collect()
+    )
+    assert kept == ["b3"]

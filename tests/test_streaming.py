@@ -547,3 +547,45 @@ def test_classifier_stream_matches_batch_scores(spark, tmpdir_path):
         for r in linear_scores(docs.select("doc_id", "text"), w).collect()
     }
     assert got == want and len(got) == 500
+
+
+def test_media_gate_stream_near_dup_gating(spark, tmpdir_path):
+    """Streaming perceptual ingest gate: arrival 1 carries a base image
+    and its exact byte-copy (in-batch exact-fingerprint dedup -> min-id
+    survivor); arrival 2 carries a one-pixel re-encode of the base
+    (hamming <= 7 -> gated by the fp index) and an unrelated image
+    (survives). Final media/fp_index hold exactly {base, unrelated}."""
+    import numpy as np
+
+    from log_analysis_spark.streaming.stream_job import start_media_gate_stream
+    from tests.test_multimodal import make_bmp
+
+    rng = np.random.default_rng(61)
+    base = rng.integers(10, 240, size=(24, 36, 3), dtype=np.uint8)
+    edited = base.copy()
+    edited[0, 0] = 255  # one sampled pixel: a few hamming bits
+    other = rng.integers(0, 256, size=(24, 36, 3), dtype=np.uint8)
+
+    inp = f"{tmpdir_path}/media_in"
+    out = f"{tmpdir_path}/media_out"
+    a1 = spark.createDataFrame(
+        [("u1", bytearray(make_bmp(base))), ("u2", bytearray(make_bmp(base)))],
+        "url string, payload binary",
+    )
+    a1.write.parquet(inp)
+    args = (spark, inp, out, f"{tmpdir_path}/ckpt_media")
+    q = start_media_gate_stream(*args)
+    q.awaitTermination(300)
+
+    a2 = spark.createDataFrame(
+        [("u3", bytearray(make_bmp(edited))), ("u4", bytearray(make_bmp(other)))],
+        "url string, payload binary",
+    )
+    a2.write.mode("append").parquet(inp)
+    q2 = start_media_gate_stream(*args)
+    q2.awaitTermination(300)
+
+    media = sorted(r["url"] for r in spark.read.parquet(f"{out}/media").collect())
+    assert media == ["u1", "u4"]
+    idx = spark.read.parquet(f"{out}/fp_index")
+    assert sorted(r["url"] for r in idx.collect()) == ["u1", "u4"]
