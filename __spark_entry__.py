@@ -3154,12 +3154,14 @@ def _video_fixture(spark, sf_dir, scene_len=None):
     doc_id%3, frame j raster pixel(y, x) = (g*7 + k*37 +
     y*(13 + (g+k)%11) + x*29) % 256 on all 3 channels of a 16x18 image,
     where k = j (scene_len=None) or k = j // scene_len (runs of
-    scene_len IDENTICAL frames — the scene-cut fixture); role doc_id%3
-    picks the frame window — role 0 = j in [0,8), role 1 = j in [2,6)
-    (a planted CLIP of role 0's video), role 2 = j in [4,10)
-    (overlapping but NOT contained: only 2 of its 4 3-frame windows
-    appear in role 0). The bytes exist only Spark-side; the oracle
-    recomputes every frame hash from this arithmetic."""
+    scene_len IDENTICAL frames — the scene-cut fixture; a per-role dict
+    {role: len} gives each role its own frame-duplication factor, the
+    'different frame rate' fixture); role doc_id%3 picks the frame
+    window — role 0 = j in [0,8), role 1 = j in [2,6) (a planted CLIP
+    of role 0's video), role 2 = j in [4,10) (overlapping but NOT
+    contained: only 2 of its 4 3-frame windows appear in role 0). The
+    bytes exist only Spark-side; the oracle recomputes every frame hash
+    from this arithmetic."""
     import struct
 
     import numpy as np
@@ -3189,10 +3191,12 @@ def _video_fixture(spark, sf_dir, scene_len=None):
             for did in pdf["doc_id"]:
                 did = int(did)
                 g = did - did % 3
-                j0, j1 = windows[did % 3]
+                role = did % 3
+                j0, j1 = windows[role]
+                sl = scene_len[role] if isinstance(scene_len, dict) else scene_len
                 clip = bytearray()
                 for j in range(j0, j1):
-                    k = j if scene_len is None else j // scene_len
+                    k = j if sl is None else j // sl
                     px = (
                         (g * 7 + k * 37 + yy * (13 + (g + k) % 11) + xx * 29) % 256
                     ).astype(np.uint8)
@@ -3223,7 +3227,13 @@ def _video_sql_fp(scene_len: int | None = None) -> str:
             b = f"((g*7 + k*37 + {2 * r}*(13 + (g+k)%11) + {58 * (c + 1)}) % 256)"
             w = "(-9223372036854775807 - 1)" if k == 63 else str(1 << k)
             terms.append(f"CASE WHEN {a} < {b} THEN {w}::BIGINT ELSE 0::BIGINT END")
-    k_expr = "j" if scene_len is None else f"j // {scene_len}"
+    if scene_len is None:
+        k_expr = "j"
+    elif isinstance(scene_len, dict):
+        cases = " ".join(f"WHEN {r} THEN j // {d}" for r, d in scene_len.items())
+        k_expr = f"CASE doc_id % 3 {cases} END"
+    else:
+        k_expr = f"j // {scene_len}"
     return (
         "SELECT doc_id, j0, j, (" + " + ".join(terms) + ") AS fingerprint FROM "
         f"(SELECT doc_id, g, j0, j, {k_expr} AS k FROM "
@@ -3343,6 +3353,42 @@ def q_video_keyframes(spark, sf_dir):
         "frame_idx",
         "fingerprint",
     ).orderBy("doc_id", "scene_id")
+
+
+def q_video_scene_dedup(spark, sf_dir):
+    """Frame-rate-robust clip detection (multimodal.keyframe_hash_streams
+    -> dedup.containment_pairs): the fixture gives each role a DIFFERENT
+    frame-duplication factor (role 0 repeats each scene 2x, the planted
+    role-1 clip 3x — a rate change that breaks raw frame-level
+    containment), scene collapse normalizes both to the same scene-hash
+    sequence, and 2-scene shingle containment finds the clip at 1.0
+    while the overlapping role-2 window stays at 0.5. CROSS-ALGORITHM
+    oracle: DuckDB recomputes per-frame hashes from the arithmetic,
+    collapses consecutive equal fingerprints with SQL windows, rebuilds
+    the streams, and goes all-pairs."""
+    from log_analysis_spark.functions.multimodal import (
+        hash_video_frames,
+        keyframe_hash_streams,
+    )
+    from log_analysis_spark.operators.dedup import containment_pairs
+
+    pages = _video_fixture(spark, sf_dir, scene_len={0: 2, 1: 3, 2: 2})
+    fh = hash_video_frames(
+        pages.select(F.col("doc_id").cast("string").alias("url"), "payload"),
+        url_col="url",
+        payload_col="payload",
+        algo="dhash",
+    )
+    streams = keyframe_hash_streams(fh, id_col="url", max_hamming=0)
+    pairs = containment_pairs(
+        streams, id_col="url", text_col="hash_stream",
+        block_col=None, n=2, threshold=0.9,
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "containment",
+    ).orderBy("id_a", "id_b")
 
 
 def _audio_clip_fixture(spark, sf_dir):
@@ -4184,6 +4230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_keyframes": q_video_keyframes,
         "audio_clip_pairs": q_audio_clip_pairs,
         "image_ingest_gate": q_image_ingest_gate,
+        "video_scene_dedup": q_video_scene_dedup,
         # --- link-graph analytics (iterative PageRank) ---
         "nation_pagerank": q_nation_pagerank,
         # ---- entries past the driver's 50-row window: variants whose
@@ -6425,6 +6472,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, scene_id, min(frame_idx)::BIGINT AS frame_idx, "
             "min_by(fingerprint, frame_idx) AS fingerprint "
             "FROM s GROUP BY doc_id, scene_id ORDER BY doc_id, scene_id"
+        ),
+        "video_scene_dedup": (
+            # cross-algorithm: arithmetic frame hashes (per-role
+            # duplication factors), SQL-window collapse of consecutive
+            # equal fingerprints, 2-scene shingles, all-pairs containment
+            f"WITH fp AS ({_video_sql_fp(scene_len={0: 2, 1: 3, 2: 2})}), "
+            "kf AS (SELECT doc_id, j, fingerprint FROM "
+            "(SELECT doc_id, j, fingerprint, "
+            "LAG(fingerprint) OVER (PARTITION BY doc_id ORDER BY j) AS lag_fp "
+            "FROM fp) WHERE lag_fp IS NULL OR fingerprint != lag_fp), "
+            "streams AS (SELECT doc_id, "
+            "list(CAST(fingerprint AS VARCHAR) ORDER BY j) AS w "
+            "FROM kf GROUP BY doc_id), "
+            "sh AS (SELECT doc_id, CASE WHEN len(w) >= 2 THEN "
+            "list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) "
+            "ELSE [] END AS s FROM streams) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE AS containment "
+            "FROM sh a JOIN sh b ON a.doc_id != b.doc_id "
+            "WHERE len(a.s) > 0 AND len(b.s) > 0 AND "
+            "len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE >= 0.9 "
+            "ORDER BY id_a, id_b"
         ),
         "audio_clip_pairs": (
             # cross-algorithm: arithmetic per-segment energy-contour

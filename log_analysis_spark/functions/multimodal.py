@@ -862,3 +862,33 @@ def audio_clip_pairs(
         max_posting=max_posting,
         unpersist_handles=unpersist_handles,
     )
+
+
+def keyframe_hash_streams(
+    frames: DataFrame,
+    id_col: str = "url",
+    max_hamming: int = 0,
+) -> DataFrame:
+    """Per-video SCENE-level hash token stream: frames -> scene cuts ->
+    one keyframe fingerprint per scene, space-joined in scene order.
+    Fully relational (window + min-struct + ordered collect_list — one
+    keyed shuffle, videos bounded).
+
+    The collapse of consecutive same-content frames makes the stream
+    invariant to FRAME RATE: a clip re-encoded with every frame
+    duplicated (or its rate halved) yields the SAME scene sequence, so
+    ``dedup.containment_pairs`` over these streams detects clips across
+    rate changes where the raw frame-level stream cannot (pinned in the
+    gate fixture: the planted clip runs at a different duplication
+    factor than its source and still matches at containment 1.0).
+    Output: (id, n_scenes, hash_stream)."""
+    kf = scene_keyframes(
+        scene_cuts(frames, id_col=id_col, max_hamming=max_hamming), id_col=id_col
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("scene_id", "fingerprint")))
+    return kf.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_scenes"),
+        F.concat_ws(
+            " ", F.transform(ordered, lambda s: s["fingerprint"].cast("string"))
+        ).alias("hash_stream"),
+    )

@@ -557,3 +557,42 @@ def test_audio_hash_streams_segmentation(spark):
     assert out["a"]["hash_stream"] == " ".join(str(v) for v in exp)
     assert out["short"]["n_segments"] == 0
     assert out["bad"]["n_segments"] == 0
+
+
+def test_keyframe_streams_frame_rate_robust(spark):
+    """Scene-level streams detect a clip across a FRAME-RATE change
+    where raw frame-level streams cannot: A plays scenes 0..3 at 2
+    frames/scene, B plays scenes 1..2 at 3 frames/scene. Frame-level
+    3-gram containment misses (no 3-frame window of B's AAA BBB pattern
+    appears in A's AA BB); keyframe streams collapse both to the scene
+    sequence and 2-scene containment finds B in A at 1.0."""
+    from log_analysis_spark.operators.dedup import containment_pairs
+
+    rng = np.random.default_rng(53)
+    scenes = [rng.integers(0, 256, size=(16, 18, 3), dtype=np.uint8) for _ in range(4)]
+    a = b"".join(make_bmp(s) for s in scenes for _ in range(2))
+    b = b"".join(make_bmp(s) for s in scenes[1:3] for _ in range(3))
+    df = spark.createDataFrame([("A", a), ("B", b)], "url string, payload binary")
+    fh = MM.hash_video_frames(df, payload_col="payload")
+
+    frame_streams = MM.video_hash_streams(df, payload_col="payload")
+    frame_pairs = containment_pairs(
+        frame_streams, "url", "hash_stream", block_col=None, n=3, threshold=0.9
+    ).collect()
+    assert frame_pairs == []  # rate change defeats frame-level matching
+
+    scene_streams = MM.keyframe_hash_streams(fh)
+    got = {
+        r["url"]: (r["n_scenes"], r["hash_stream"])
+        for r in scene_streams.collect()
+    }
+    exp = [str(MM.dhash64(s)) for s in scenes]
+    assert got["A"] == (4, " ".join(exp))
+    assert got["B"] == (2, " ".join(exp[1:3]))
+    scene_pairs = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(
+            scene_streams, "url", "hash_stream", block_col=None, n=2, threshold=0.9
+        ).collect()
+    }
+    assert scene_pairs == {("B", "A"): 1.0}
