@@ -3100,6 +3100,48 @@ def q_image_ingest_gate(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_image_gate_indexed(spark, sf_dir):
+    """The MATERIALIZED fingerprint-index path under the same gate
+    (dedup.write_fp_index + fingerprint_gate_indexed): the corpus chunk
+    postings land partitioned by (chunk, bucket) once per (sf_dir,
+    documents mtime), then the batch probes ONLY its own chunk-bucket
+    directories (partition pruning at file-listing time — corpus bytes
+    read scale with the batch). Result-identical to the ad-hoc
+    `image_ingest_gate` (pinned in pytest with a PartitionFilters plan
+    assert), so the oracle is the same NOT-EXISTS SQL."""
+    import hashlib
+    import os
+
+    from log_analysis_spark.functions.multimodal import phash_images
+    from log_analysis_spark.operators.dedup import (
+        fingerprint_gate_indexed,
+        write_fp_index,
+    )
+
+    pages = _phash_fixture(spark, sf_dir)
+    fp = phash_images(
+        pages.select(F.col("doc_id").cast("string").alias("url"), "payload"),
+        url_col="url",
+        payload_col="payload",
+        algo="dhash",
+    ).select(F.col("url").cast("long").alias("doc_id"), "fingerprint")
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{src}|{os.stat(src).st_mtime_ns}|fp8x16".encode()
+    ).hexdigest()[:12]
+    idx = f"/tmp/las_fp_idx_{key}"
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        write_fp_index(
+            fp.filter(F.col("doc_id") % 5 == 0), idx, "doc_id", "fingerprint",
+            n_chunks=8, n_buckets=16,
+        )
+    batch = fp.filter(F.col("doc_id") % 5 != 0)
+    return fingerprint_gate_indexed(
+        spark, batch, idx, "doc_id", "fingerprint",
+        max_hamming=7, n_chunks=8, n_buckets=16,
+    ).orderBy("doc_id")
+
+
 def q_audio_fp(spark, sf_dir):
     """Audio energy-contour fingerprints (functions/multimodal.py
     audio_fp64 via fingerprint_audio): REAL WAV bytes per doc (see
@@ -4230,6 +4272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_keyframes": q_video_keyframes,
         "audio_clip_pairs": q_audio_clip_pairs,
         "image_ingest_gate": q_image_ingest_gate,
+        "image_gate_indexed": q_image_gate_indexed,
         "video_scene_dedup": q_video_scene_dedup,
         # --- link-graph analytics (iterative PageRank) ---
         "nation_pagerank": q_nation_pagerank,
@@ -6396,6 +6439,18 @@ def oracle_sql() -> dict[str, str]:
             # cross-algorithm: NOT EXISTS over all-pairs hamming on the
             # arithmetic fingerprints vs Spark's batch-probes-corpus
             # pigeonhole gate (full recall at 8 chunks / hamming <= 7)
+            f"WITH fp AS ({_phash_sql_fp()}), "
+            "c AS (SELECT * FROM fp WHERE doc_id % 5 = 0), "
+            "b AS (SELECT * FROM fp WHERE doc_id % 5 != 0) "
+            "SELECT b.doc_id, b.fingerprint FROM b "
+            "WHERE NOT EXISTS (SELECT 1 FROM c "
+            "WHERE bit_count(xor(b.fingerprint, c.fingerprint)) <= 7) "
+            "ORDER BY doc_id"
+        ),
+        "image_gate_indexed": (
+            # same ground truth as image_ingest_gate — the indexed path
+            # is result-identical by construction (pruning only skips
+            # directories the batch provably cannot match)
             f"WITH fp AS ({_phash_sql_fp()}), "
             "c AS (SELECT * FROM fp WHERE doc_id % 5 = 0), "
             "b AS (SELECT * FROM fp WHERE doc_id % 5 != 0) "

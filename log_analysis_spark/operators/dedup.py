@@ -829,6 +829,92 @@ def fingerprint_gate(
     return batch.join(hits, id_col, "left_anti")
 
 
+def write_fp_index(
+    fp_df: DataFrame,
+    path: str,
+    id_col: str,
+    fp_col: str,
+    n_chunks: int = 8,
+    n_buckets: int = 64,
+) -> None:
+    """Materialize the pigeonhole chunk index: one posting row per
+    (item, chunk), PARTITIONED BY (ci, _b = cv mod n_buckets) — the
+    corpus side of :func:`fingerprint_gate` as an on-disk layout a small
+    batch can PROBE instead of rescanning. A gate then prunes to the
+    batch's (chunk, bucket) directories at file-listing time: a b-item
+    batch touches at most min(b * n_chunks, n_chunks * n_buckets)
+    partitions of the n_chunks * n_buckets total, so corpus bytes read
+    scale with the BATCH, not the corpus — the same
+    partition-pruning-by-construction move as ``write_ivfpq_index``
+    (cells) and the inverted index (term buckets). Index bytes:
+    n_chunks rows x ~20 B per item; the fingerprint rides along for the
+    exact verify so the gate never joins back to the corpus.
+
+    One shuffle-free pass (chunk explode is a projection;
+    ``partitionBy`` splits files per bucket within each task — compact
+    after if small-files pressure matters at 10^12)."""
+    chunks = _fp_chunks(fp_df, id_col, fp_col, n_chunks)
+    out = chunks.select(
+        F.col("_id").alias(id_col),
+        F.col("_sh").alias(fp_col),
+        "cv",
+        "ci",
+        F.pmod(F.col("cv"), F.lit(n_buckets)).alias("_b"),
+    )
+    out.write.mode("overwrite").partitionBy("ci", "_b").parquet(path)
+
+
+def fingerprint_gate_indexed(
+    spark,
+    batch: DataFrame,
+    index_path: str,
+    id_col: str,
+    fp_col: str,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """:func:`fingerprint_gate` against a MATERIALIZED
+    :func:`write_fp_index` — result-identical (pinned in pytest), but
+    the corpus is probed through partition pruning: the batch's distinct
+    (ci, _b) keys (a bounded <= n_chunks * n_buckets collect) become
+    partition filters, so unprobed chunk-bucket directories are never
+    listed or read. ``n_chunks``/``n_buckets`` must match the index
+    write. Returns ``batch`` rows with no indexed fingerprint within
+    ``max_hamming`` (all columns preserved)."""
+    assert 64 % n_chunks == 0, "n_chunks must divide 64"
+    assert max_hamming <= n_chunks - 1, "pigeonhole recall needs n_chunks > max_hamming"
+    bc = _fp_chunks(batch, id_col, fp_col, n_chunks).withColumn(
+        "_b", F.pmod(F.col("cv"), F.lit(n_buckets))
+    )
+    probes: dict[int, set] = {}
+    for r in bc.select("ci", "_b").distinct().collect():  # bounded by n_chunks*n_buckets
+        probes.setdefault(r["ci"], set()).add(r["_b"])
+    if not probes:
+        return batch
+    cond = None
+    for ci, bs in sorted(probes.items()):
+        c = (F.col("ci") == ci) & F.col("_b").isin(*sorted(bs))
+        cond = c if cond is None else (cond | c)
+    idx = spark.read.parquet(index_path).filter(cond)
+    j = bc.alias("a").join(
+        idx.alias("b"),
+        on=[F.col("a.ci") == F.col("b.ci"), F.col("a.cv") == F.col("b.cv")],
+    )
+    hits = (
+        j.select(
+            F.col("a._id").alias(id_col),
+            F.bit_count(
+                F.col("a._sh").bitwiseXOR(F.col(f"b.{fp_col}"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(id_col)
+        .distinct()
+    )
+    return batch.join(hits, id_col, "left_anti")
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
     hash_fn: str = "xxhash64", allow_partial_recall: bool = False,

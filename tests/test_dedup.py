@@ -426,3 +426,43 @@ def test_hamming_join_and_fingerprint_gate(spark):
         ).collect()
     )
     assert kept == ["b3"]
+
+
+def test_fp_index_gate_identity_and_pruning(spark, tmp_path):
+    """The materialized chunk index gate is result-identical to the
+    ad-hoc fingerprint_gate, and the index scan carries PartitionFilters
+    on (ci, _b) — unprobed chunk-bucket directories are never read."""
+    import numpy as np
+
+    from log_analysis_spark.operators.dedup import (
+        fingerprint_gate,
+        fingerprint_gate_indexed,
+        write_fp_index,
+    )
+
+    rng = np.random.default_rng(71)
+    def fps(n, seed):
+        r = np.random.default_rng(seed)
+        return [int(x) for x in r.integers(-(2**63), 2**63, size=n, dtype=np.int64)]
+
+    corpus_fps = fps(40, 1)
+    batch_fps = fps(10, 2) + [corpus_fps[3] ^ 0b11, corpus_fps[7]]  # planted hits
+    corpus = spark.createDataFrame(
+        [(f"c{i}", v) for i, v in enumerate(corpus_fps)], "url string, fingerprint long"
+    )
+    batch = spark.createDataFrame(
+        [(f"b{i}", v) for i, v in enumerate(batch_fps)], "url string, fingerprint long"
+    )
+    idx = str(tmp_path / "fp_idx")
+    write_fp_index(corpus, idx, "url", "fingerprint", n_chunks=8, n_buckets=4)
+    indexed = fingerprint_gate_indexed(
+        spark, batch, idx, "url", "fingerprint", max_hamming=7, n_chunks=8, n_buckets=4
+    )
+    adhoc = fingerprint_gate(
+        batch, corpus, "url", "fingerprint", max_hamming=7, n_chunks=8
+    )
+    got = sorted(r["url"] for r in indexed.collect())
+    want = sorted(r["url"] for r in adhoc.collect())
+    assert got == want and "b10" not in got and "b11" not in got
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ci" in plan and "_b" in plan
