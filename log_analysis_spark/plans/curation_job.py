@@ -20,6 +20,9 @@ params don't match):
     scrub    strip k-word spans duplicated across documents
     dedup    exact dedup (min-id survivor) [+ MinHash-LSH near-dup
              clusters resolved keep-best-quality with --neardup]
+    media_dedup (--media docs.parquet with (doc_id, payload)) drop docs
+             whose image payload is a perceptual near-dup of a lower-id
+             surviving doc (pigeonhole hamming clusters, min-id keep)
     quality  keep docs at/above their language's median quality score
     decontam drop docs sharing n-grams with --benchmark (skipped when no
              benchmark given; the stage still commits, recording 0 drops)
@@ -143,6 +146,41 @@ def _dedup(df: DataFrame, neardup: bool, hash_fn: str) -> DataFrame:
     return out.join(kept, "doc_id").select(*out.columns)
 
 
+def _media_dedup(
+    df: DataFrame, media: DataFrame, max_hamming: int, algo: str
+) -> DataFrame:
+    """Drop docs whose attached media payload is a perceptual near-dup of
+    a lower-id surviving doc (``--media``): dHash/aHash fingerprints in
+    one mapInPandas stage (functions/multimodal.py), pigeonhole candidate
+    join (never all-pairs), connected-component resolution, keep the
+    cluster-minimum doc_id. Docs without a media row pass through — the
+    gate only ever REMOVES near-dup media carriers. Fingerprints are
+    computed only for docs still alive at this stage (the media table
+    joins against the current corpus first), so a shrinking corpus never
+    pays for dead media. Same composition as the `image_neardup` /
+    `image_ingest_gate` gate queries; at 10^12 the fingerprint relation
+    is 8 bytes/doc and every join is keyed."""
+    from ..functions.multimodal import phash_images
+    from ..operators.dedup import dup_clusters, hamming_pairs
+
+    fp = phash_images(
+        media.join(df.select("doc_id"), "doc_id").select(
+            F.col("doc_id").cast("string").alias("url"), "payload"
+        ),
+        url_col="url",
+        payload_col="payload",
+        algo=algo,
+    ).select(F.col("url").cast("long").alias("doc_id"), "fingerprint")
+    pairs = hamming_pairs(
+        fp, "doc_id", "fingerprint", max_hamming=max_hamming, n_chunks=8
+    )
+    clusters = dup_clusters(fp, "doc_id", pairs)
+    drop = clusters.filter(F.col("_id") != F.col("_label")).select(
+        F.col("_id").alias("doc_id")
+    )
+    return df.join(drop, "doc_id", "left_anti")
+
+
 def _quality(df: DataFrame, binned: bool = False) -> DataFrame:
     """Keep docs at/above their language's median quality score.
 
@@ -220,6 +258,9 @@ def run_curation(
     mixture_tokens: int = 0,
     binned_quality: bool = False,
     scrub_mode: str = "blocks",
+    media_path: str | None = None,
+    media_hamming: int = 7,
+    media_algo: str = "dhash",
 ) -> dict:
     """Run (or resume) the curation stage graph. Returns run metrics."""
     manifest = Manifest(os.path.join(out_dir, "_manifest"))
@@ -234,16 +275,35 @@ def run_curation(
             if mixture
             else ""
         )
+        + (
+            # media bytes ride the fingerprint: edited media re-runs the
+            # stage, same contract as --robots in plans.job
+            f"|media={dir_fingerprint(media_path)}:{media_hamming}:{media_algo}"
+            if media_path
+            else ""
+        )
     )
     bench = (
         spark.read.parquet(benchmark_path) if benchmark_path is not None else None
     )
+    media = spark.read.parquet(media_path) if media_path is not None else None
 
     stages: list[tuple[str, Callable[[DataFrame], DataFrame], str | None]] = [
         *([("extract", _extract, None)] if html else []),
         *([("c4", _c4, None)] if c4 else []),
         ("scrub", lambda d: _scrub(d, span_k, hash_fn, scrub_mode), None),
         ("dedup", lambda d: _dedup(d, neardup, hash_fn), None),
+        *(
+            [
+                (
+                    "media_dedup",
+                    lambda d: _media_dedup(d, media, media_hamming, media_algo),
+                    None,
+                )
+            ]
+            if media is not None
+            else []
+        ),
         ("quality", lambda d: _quality(d, binned_quality), None),
         ("decontam", lambda d: _decontam(d, bench, decontam_n, hash_fn), None),
         *(
@@ -351,6 +411,22 @@ def main() -> None:
         "any-alignment exact-substring semantics)",
     )
     ap.add_argument(
+        "--media",
+        help="media parquet (doc_id, payload binary) — adds a media_dedup "
+        "stage after dedup: perceptual-fingerprint near-dup clusters "
+        "(pigeonhole hamming join) keep only the minimum doc_id",
+    )
+    ap.add_argument(
+        "--media-hamming",
+        type=int,
+        default=7,
+        help="max hamming distance for media near-dup (default 7, 8-chunk "
+        "pigeonhole full recall)",
+    )
+    ap.add_argument(
+        "--media-algo", choices=["dhash", "ahash"], default="dhash"
+    )
+    ap.add_argument(
         "--binned-quality",
         action="store_true",
         help="use the fixed-bin quantile sketch for the per-lang median "
@@ -394,6 +470,9 @@ def main() -> None:
         mixture_tokens=args.mixture_tokens,
         binned_quality=args.binned_quality,
         scrub_mode=args.scrub_mode,
+        media_path=args.media,
+        media_hamming=args.media_hamming,
+        media_algo=args.media_algo,
     )
     print(json.dumps(stats))
     sys.stdout.flush()

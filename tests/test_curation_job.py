@@ -214,3 +214,76 @@ def test_html_extract_decodes_binary_through_charset_sniff(spark):
     )
     row = _extract(df).collect()[0]
     assert "café" in row.text and "Ã" not in row.text
+
+
+def test_media_dedup_stage_drops_perceptual_neardups(spark, tmpdir_path):
+    """--media adds a media_dedup stage after dedup: docs whose BMP
+    payload is a perceptual near-dup of a lower-id surviving doc drop
+    (min-id keep via connected components over the pigeonhole hamming
+    join); unrelated images and docs WITHOUT a media row pass through.
+    Edited media bytes invalidate the stage's manifest fingerprint."""
+    import numpy as np
+
+    from tests.test_multimodal import make_bmp
+
+    rng = np.random.default_rng(41)
+    base = rng.integers(10, 240, size=(24, 36, 3), dtype=np.uint8)
+    bright = np.clip(base.astype(np.int32) + 3, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, size=(24, 36, 3), dtype=np.uint8)
+
+    # texts long + unique enough to survive scrub (k=6) and exact dedup
+    words = lambda i: " ".join(f"w{i}x{j} word{j}" for j in range(12))
+    docs = spark.createDataFrame(
+        [(i, f"http://ex/{i}", "en", words(i)) for i in range(1, 5)],
+        "doc_id long, url string, lang string, text string",
+    )
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(make_bmp(base))),
+            (2, bytearray(make_bmp(bright))),  # near-dup of doc 1 -> drop
+            (3, bytearray(make_bmp(other))),   # unrelated -> keep
+            # doc 4 has no media row -> keep
+        ],
+        "doc_id long, payload binary",
+    )
+    docs_path = f"{tmpdir_path}/docs"
+    media_path = f"{tmpdir_path}/media"
+    docs.write.parquet(docs_path)
+    media.write.parquet(media_path)
+
+    out = f"{tmpdir_path}/cur_media"
+    r = run_curation(
+        spark, docs_path, out, span_k=6, test_frac=0.1, valid_frac=0.1,
+        media_path=media_path,
+    )
+    assert "media_dedup" in r["stages_run"]
+    kept = sorted(
+        x["doc_id"]
+        for x in spark.read.parquet(f"{out}/stage_media_dedup").collect()
+    )
+    assert kept == [1, 3, 4]
+
+    # resume: identical inputs skip every stage
+    r2 = run_curation(
+        spark, docs_path, out, span_k=6, test_frac=0.1, valid_frac=0.1,
+        media_path=media_path,
+    )
+    assert "media_dedup" in r2["stages_skipped"]
+
+    # changed media bytes re-run the stage (fingerprint rides the params)
+    media2 = spark.createDataFrame(
+        [(1, bytearray(make_bmp(base))), (3, bytearray(make_bmp(other)))],
+        "doc_id long, payload binary",
+    )
+    media_path2 = f"{tmpdir_path}/media2"
+    media2.write.parquet(media_path2)
+    r3 = run_curation(
+        spark, docs_path, out, span_k=6, test_frac=0.1, valid_frac=0.1,
+        media_path=media_path2,
+    )
+    assert "media_dedup" in r3["stages_run"]
+    kept3 = sorted(
+        x["doc_id"]
+        for x in spark.read.parquet(f"{out}/stage_media_dedup").collect()
+    )
+    assert kept3 == [1, 2, 3, 4]  # doc 2's near-dup media row is gone
