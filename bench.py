@@ -133,6 +133,12 @@ BENCH_QUERIES = [
     "script_profile",
     "tfidf_cosine_topk",
     "window_scrub",
+    "image_ingest_gate",
+    "image_gate_indexed",
+    "audio_neardup",
+    "video_clip_pairs",
+    "video_scene_dedup",
+    "frontier_growth",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at

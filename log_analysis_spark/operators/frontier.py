@@ -91,6 +91,7 @@ def grow_frontier(
     bloom_k: int = 4,
     hash_fn: str = "xxhash64",
     broadcast_seen: bool = False,
+    unpersist_handles: list | None = None,
 ) -> DataFrame:
     """One BFS crawl-growth step: candidate URLs (extracted, resolved,
     canonicalized link targets with their referring host) anti-joined
@@ -113,6 +114,17 @@ def grow_frontier(
 
     ``broadcast_seen`` hints the exact anti-join side when the seen dim
     is small (test fixtures); at scale leave False and let AQE decide.
+
+    The bloom branch consumes ``cand`` twice (bloom-miss stream + exact
+    anti-join stream), so the tagged candidate relation is PERSISTED
+    before branching — same contract as the MinHash shingle relation
+    (dedup.py): pass ``unpersist_handles=[]`` to release it after your
+    action. This is load-bearing twice over: (a) one compute of the
+    candidate projection instead of two, and (b) a projection-collapse
+    barrier — candidate URLs arrive as deep canonicalize(resolve(...))
+    expression trees, and without the barrier Catalyst inlines that tree
+    into every bloom hash probe, both union branches, and the aggregate
+    key (~10 copies; measured 22.8 s -> 1.5 s on the gate fixture).
     """
     seen_urls = seen.select(url_col).distinct()
 
@@ -130,7 +142,14 @@ def grow_frontier(
         maybe = bloom_maybe_contains(
             F.col(url_col), words, bloom_m_bits, bloom_k, hash_fn
         )
-        new = cand.filter(~maybe).unionByName(_anti(cand.filter(maybe)))
+        tagged = cand.select(
+            url_col, src_host_col, maybe.alias("_bloom_maybe")
+        ).persist()
+        if unpersist_handles is not None:
+            unpersist_handles.append(tagged)
+        new = tagged.filter(~F.col("_bloom_maybe")).unionByName(
+            _anti(tagged.filter(F.col("_bloom_maybe")))
+        ).drop("_bloom_maybe")
     else:
         new = _anti(cand)
     return new.groupBy(url_col).agg(
