@@ -4182,6 +4182,51 @@ def q_html_text(spark, sf_dir):
     return d.select("doc_id", html_to_text(page).alias("clean")).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# jusText-style block classification (operators/quality.py
+# boilerplate_blocks): line classes from stopword density + one-step
+# neighbor smoothing. The fixture wraps each document in a 4-line page:
+# its own text, a residue-selected boilerplate/prose line, a SHORT line
+# ("Next up"), and a parity-selected GOOD/BAD closer — so the smoothing
+# rule (SHORT rescued only by an adjacent base-GOOD line) decides line 3
+# differently across docs, and the chain case (SHORT next to SHORT) is
+# exercised when line 2 is 'Read more'.
+# ---------------------------------------------------------------------------
+_BP_EXTRA = (
+    "the cat sat on the mat with a hat",                        # GOOD
+    "Home About Contact Products Pricing Careers",              # BAD
+    "Read more",                                                # SHORT
+    "Copyright 2024 Example Corp legal notices privacy policy", # BAD
+    "all content is served by the network of mirrors",          # GOOD
+)
+_BP_GOOD_TAIL = "it was the best of times and it was the worst of times"
+_BP_BAD_TAIL = "Download Windows Mac Linux Android iOS versions now"
+
+
+def q_boilerplate_blocks(spark, sf_dir):
+    """Context-smoothed boilerplate classification: the oracle replays
+    the base classes (integer 4*stop >= words test, exact in any
+    engine), the neighbor rule via list indexing, and the byte-exact
+    ordered reassembly."""
+    from log_analysis_spark.operators.quality import boilerplate_blocks
+
+    d = _t(spark, sf_dir, "documents")
+    extra = F.element_at(
+        F.array(*[F.lit(s) for s in _BP_EXTRA]),
+        (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int"),
+    )
+    tail = F.when(
+        F.pmod(F.col("doc_id"), F.lit(2)) == 0, F.lit(_BP_GOOD_TAIL)
+    ).otherwise(F.lit(_BP_BAD_TAIL))
+    t2 = d.select(
+        F.col("doc_id"),
+        F.concat_ws("\n", F.col("text"), extra, F.lit("Next up"), tail).alias(
+            "text"
+        ),
+    )
+    return boilerplate_blocks(t2).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so that ONE representative of EVERY operator family from
     SURVEY.md §2 and the LLM-pipeline capability table sits inside the
@@ -4326,6 +4371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": q_canonical_urls,
         "binned_quantiles": q_binned_quantiles,
         "c4_line_filter": q_c4_line_filter,
+        "boilerplate_blocks": q_boilerplate_blocks,
         "lang_temperature": q_lang_temperature,
         "bpe_tokens": q_bpe_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -5989,6 +6035,44 @@ def oracle_sql() -> dict[str, str]:
             "sum(tf)::BIGINT AS sum_tf FROM tfs "
             "WHERE term IN ('table', 'row') GROUP BY doc_id) "
             "SELECT doc_id, sum_tf FROM sel WHERE nt = 2 ORDER BY doc_id"
+        ),
+        "boilerplate_blocks": (
+            # Replays q_boilerplate_blocks: same 4-line page fixture,
+            # same base classes (SHORT if < 3 tokens, GOOD if integer
+            # 4*stopwords >= tokens, else BAD), same one-step neighbor
+            # smoothing via list indexing, byte-exact ordered reassembly.
+            "WITH t2 AS (SELECT doc_id, text || chr(10) || "
+            "(['the cat sat on the mat with a hat', "
+            "'Home About Contact Products Pricing Careers', "
+            "'Read more', "
+            "'Copyright 2024 Example Corp legal notices privacy policy', "
+            "'all content is served by the network of mirrors'])"
+            "[(doc_id % 5) + 1] || chr(10) || 'Next up' || chr(10) || "
+            "CASE WHEN doc_id % 2 = 0 "
+            "THEN 'it was the best of times and it was the worst of times' "
+            "ELSE 'Download Windows Mac Linux Android iOS versions now' END "
+            "AS text FROM documents), "
+            "l AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM t2), "
+            "b AS (SELECT doc_id, ls, list_transform(ls, x -> CASE "
+            "WHEN len(list_filter(regexp_split_to_array(trim(lower(x)), "
+            "'\\s+'), t -> t != '')) < 3 THEN 1 "
+            "WHEN 4 * len(list_filter(regexp_split_to_array(trim(lower(x)), "
+            "'\\s+'), t -> t != '' AND list_contains(['the','a','an','and',"
+            "'or','of','to','in','is','was','it','for','on','that','with',"
+            "'as','at','by','this','be'], t))) >= "
+            "len(list_filter(regexp_split_to_array(trim(lower(x)), '\\s+'), "
+            "t -> t != '')) THEN 2 ELSE 0 END) AS bc FROM l), "
+            "f AS (SELECT doc_id, ls, list_transform(range(1, len(ls) + 1), "
+            "i -> CASE WHEN bc[i] = 2 THEN 2 "
+            "WHEN bc[i] = 1 AND (coalesce(CASE WHEN i > 1 THEN bc[i - 1] END, 0) = 2 "
+            "OR coalesce(bc[i + 1], 0) = 2) THEN 2 ELSE 0 END) AS fc FROM b), "
+            "k AS (SELECT doc_id, ls, list_transform(list_filter("
+            "range(1, len(ls) + 1), i -> fc[i] = 2), i -> ls[i]) AS kept "
+            "FROM f) "
+            "SELECT doc_id, len(ls)::BIGINT AS n_lines, "
+            "len(kept)::BIGINT AS n_content, "
+            "coalesce(array_to_string(kept, chr(10)), '') AS content_text "
+            "FROM k ORDER BY doc_id"
         ),
         "c4_line_filter": (
             # Replays q_c4_line_filter: same synthetic multi-line text,

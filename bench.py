@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "script_profile",
     "tfidf_cosine_topk",
     "window_scrub",
+    "boilerplate_blocks",
     "image_ingest_gate",
     "image_gate_indexed",
     "audio_neardup",

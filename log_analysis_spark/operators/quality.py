@@ -334,3 +334,97 @@ def c4_line_filter(
             F.concat_ws("\n", kept)
         ).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Block-level boilerplate classification (jusText-style context smoothing)
+# ---------------------------------------------------------------------------
+
+# Function-word density separates prose from navigation chrome: nav bars,
+# tag clouds, and footer link lists are content words stacked without
+# grammar. Small fixed vocabulary so the ratio is an exact integer
+# comparison (4*stop >= words) that any engine replays bit-identically.
+BOILERPLATE_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "was",
+    "it", "for", "on", "that", "with", "as", "at", "by", "this", "be",
+)
+
+
+def boilerplate_blocks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    stopwords: tuple[str, ...] = BOILERPLATE_STOPWORDS,
+) -> DataFrame:
+    """jusText-style line/block boilerplate classification (Pomikalek
+    2011 ch. 4, simplified to one smoothing step): each line gets a base
+    class from its own features, then SHORT lines inherit GOOD from an
+    adjacent GOOD neighbor — headers and one-word leads survive next to
+    real prose, while isolated nav fragments drop.
+
+    Base class per line (tokens = non-empty splits of lower(trim(line))
+    on whitespace):
+      - SHORT if token count < ``min_words`` (too little evidence);
+      - GOOD  if 4 * stopword_count >= token_count (function-word
+        density >= 0.25 — grammatical prose);
+      - BAD   otherwise (long but stopword-free: link lists, tag soup).
+    Smoothing: SHORT -> GOOD iff the PREVIOUS or NEXT line's BASE class
+    is GOOD (single-step, deliberately not transitive — a chain of
+    shorts does not bootstrap itself); SHORT -> BAD otherwise. GOOD and
+    BAD are final.
+
+    Returns (id, n_lines, n_content, content_text) with content_text
+    the GOOD lines reassembled in original order ('' if none).
+
+    Scale shape: ZERO shuffle, like c4_line_filter above — the classes
+    are array expressions over split(text, '\\n') and the neighbor
+    lookup is F.get on the base-class array (0-based, NULL out of
+    range, never an ANSI index error), so the whole operator is one
+    whole-stage-codegen projection. The contrast with c4_line_filter is
+    the CONTEXT rule: C4 judges each line alone; this operator's verdict
+    on line i reads lines i-1 and i+1, which is why the base-class array
+    must exist as a value before the final classes are derived from it.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+
+    def toks(line):  # noqa: ANN001 - Column lambda
+        return F.filter(
+            F.split(F.lower(F.trim(line)), r"\s+"), lambda t: t != ""
+        )
+
+    def base_class(line):  # noqa: ANN001 - Column lambda
+        ts = toks(line)
+        n_tok = F.size(ts)
+        n_stop = F.size(F.filter(ts, lambda t: F.array_contains(stop_arr, t)))
+        return (
+            F.when(n_tok < min_words, F.lit(1))       # SHORT
+            .when(n_stop * 4 >= n_tok, F.lit(2))      # GOOD
+            .otherwise(F.lit(0))                      # BAD
+        )
+
+    base = F.transform(lines, base_class)
+    final = F.transform(
+        base,
+        lambda c, i: F.when(c == F.lit(2), F.lit(2))
+        .when(
+            (c == F.lit(1))
+            & (
+                (F.coalesce(F.get(base, i - 1), F.lit(0)) == F.lit(2))
+                | (F.coalesce(F.get(base, i + 1), F.lit(0)) == F.lit(2))
+            ),
+            F.lit(2),
+        )
+        .otherwise(F.lit(0)),
+    )
+    kept = F.filter(
+        F.zip_with(lines, final, lambda l, c: F.when(c == F.lit(2), l)),
+        lambda x: x.isNotNull(),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_content"),
+        F.concat_ws("\n", kept).alias("content_text"),
+    )

@@ -195,3 +195,79 @@ def test_c4_line_filter_all_dropped_page(spark):
     df = spark.createDataFrame([(1, "nothing survives here")], "doc_id long, text string")
     r = c4_line_filter(df).collect()[0]
     assert r.page_dropped and r.clean_text == "" and r.n_kept == 0
+
+
+# --- boilerplate_blocks (jusText-style context smoothing) --------------------
+
+def test_boilerplate_blocks_classes_and_smoothing(spark):
+    from log_analysis_spark.operators.quality import boilerplate_blocks
+
+    doc = "\n".join(
+        [
+            "the cat sat on the mat with a hat",   # GOOD (stopword-dense)
+            "Go on",                               # SHORT next to GOOD -> kept
+            "Home About Contact Products Pricing", # BAD (no stopwords)
+            "Read more",                           # SHORT: neighbors BAD+SHORT -> dropped
+            "Buy now",                             # SHORT: neighbors SHORT+BAD -> dropped
+            "Download Windows Mac Linux Android iOS versions now",  # BAD
+            "it was the best of times and the worst",  # GOOD
+        ]
+    )
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    r = boilerplate_blocks(df).collect()[0]
+    assert r.n_lines == 7
+    # kept: line 1 (GOOD), line 2 (SHORT rescued by line 1), line 7 (GOOD).
+    # Lines 4 and 5 prove smoothing is single-step: a SHORT chain between
+    # two BADs does not bootstrap itself.
+    assert r.n_content == 3
+    assert r.content_text == (
+        "the cat sat on the mat with a hat\nGo on\n"
+        "it was the best of times and the worst"
+    )
+
+
+def test_boilerplate_blocks_short_not_transitive(spark):
+    from log_analysis_spark.operators.quality import boilerplate_blocks
+
+    # SHORT adjacent to a smoothed-SHORT (not base-GOOD) stays dropped:
+    # the rule reads BASE classes, never final ones.
+    doc = "\n".join(
+        [
+            "it was the best of times and the worst",  # GOOD
+            "Chapter one",                             # SHORT -> rescued
+            "Read more",                               # SHORT, neighbors SHORT+SHORT -> dropped
+            "Buy now",                                 # SHORT, neighbors SHORT+BAD -> dropped
+            "Home About Contact Products Pricing",     # BAD
+        ]
+    )
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    r = boilerplate_blocks(df).collect()[0]
+    assert r.n_content == 2
+    assert r.content_text == (
+        "it was the best of times and the worst\nChapter one"
+    )
+
+
+def test_boilerplate_blocks_empty_and_all_bad(spark):
+    from log_analysis_spark.operators.quality import boilerplate_blocks
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "Home About\nContact Products Pricing Careers Jobs")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in boilerplate_blocks(df).collect()}
+    assert rows[1].n_lines == 1 and rows[1].n_content == 0
+    assert rows[1].content_text == ""
+    assert rows[2].n_content == 0 and rows[2].content_text == ""
+
+
+def test_boilerplate_blocks_zero_shuffle_plan(spark):
+    from pyspark.sql import functions as F
+
+    from log_analysis_spark.operators.quality import boilerplate_blocks
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("the cat sat on a mat\nOk then").alias("text")
+    )
+    plan = boilerplate_blocks(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
