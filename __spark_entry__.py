@@ -4227,6 +4227,66 @@ def q_boilerplate_blocks(spark, sf_dir):
     return boilerplate_blocks(t2).orderBy("doc_id")
 
 
+def q_url_templates(spark, sf_dir):
+    """Crawler-trap detection (operators/frontier.py url_templates):
+    URLs collapse to path templates (hex runs -> 'H' before digit runs
+    -> 'N'), one count-distinct aggregate per (host, template). The
+    fixture plants three shapes — numeric ids (/p/N/view), 12-hex
+    session segments (/s/H/cart), and a static page — so the template
+    relation is tiny while the URL space is corpus-sized, which is the
+    signal the operator exists to produce. Oracle replays both
+    regexp_replace passes ('g' flag — Spark replaces all by default)."""
+    from log_analysis_spark.operators.frontier import url_templates
+
+    ev = _t(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("user_id") % 10).cast("string"),
+        F.lit(".ex.net"),
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(3)) == 0,
+            F.concat(
+                F.lit("/p/"), F.col("event_id").cast("string"), F.lit("/view")
+            ),
+        )
+        .when(
+            F.pmod(F.col("event_id"), F.lit(3)) == 1,
+            F.concat(
+                F.lit("/s/"),
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 12),
+                F.lit("/cart"),
+            ),
+        )
+        .otherwise(F.lit("/about")),
+    )
+    return url_templates(ev.select(url.alias("url"))).orderBy(
+        "host", "template"
+    )
+
+
+def q_domain_reputation(spark, sf_dir):
+    """Domain-level quality prior (operators/reputation.py): integer
+    token counts and a boolean per-doc verdict aggregate per registrable
+    domain; the two ratios are each ONE correctly-rounded division of
+    exact integers, so the relation is bit-identical in any engine (the
+    float-sum-order trap never arises). Join-back decoration is pinned
+    in pytest (broadcast left join, null prior for unseen domains)."""
+    from log_analysis_spark.operators.reputation import domain_reputation
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+    rows = d.select(
+        F.concat(
+            F.lit("d"),
+            F.pmod(F.col("doc_id"), F.lit(23)).cast("string"),
+            F.lit(".example.org"),
+        ).alias("domain"),
+        toks.cast("long").alias("n_tokens"),
+        ((F.col("n_chars") >= 200) & (toks >= 30)).alias("passed"),
+    )
+    return domain_reputation(rows).orderBy("domain")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so that ONE representative of EVERY operator family from
     SURVEY.md §2 and the LLM-pipeline capability table sits inside the
@@ -4372,6 +4432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binned_quantiles": q_binned_quantiles,
         "c4_line_filter": q_c4_line_filter,
         "boilerplate_blocks": q_boilerplate_blocks,
+        "url_templates": q_url_templates,
+        "domain_reputation": q_domain_reputation,
         "lang_temperature": q_lang_temperature,
         "bpe_tokens": q_bpe_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -6035,6 +6097,43 @@ def oracle_sql() -> dict[str, str]:
             "sum(tf)::BIGINT AS sum_tf FROM tfs "
             "WHERE term IN ('table', 'row') GROUP BY doc_id) "
             "SELECT doc_id, sum_tf FROM sel WHERE nt = 2 ORDER BY doc_id"
+        ),
+        "url_templates": (
+            # Replays q_url_templates: same URL synthesis, host regex,
+            # path regex, and the two ordered replace-all passes (hex>=8
+            # first, then digits); count-distinct per (host, template)
+            # with the min_count=2 HAVING cut.
+            "WITH u AS (SELECT 'https://h' || (user_id % 10) || '.ex.net' || "
+            "CASE WHEN event_id % 3 = 0 THEN '/p/' || event_id || '/view' "
+            "WHEN event_id % 3 = 1 THEN '/s/' || "
+            "substr(md5(event_id::VARCHAR), 1, 12) || '/cart' "
+            "ELSE '/about' END AS url FROM events), "
+            "t AS (SELECT "
+            "regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS host, "
+            "regexp_replace(regexp_replace("
+            "regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/]+(/[^?#]*)?', 1), "
+            "'[0-9a-f]{8,}', 'H', 'g'), '[0-9]+', 'N', 'g') AS template, "
+            "url FROM u) "
+            "SELECT host, template, count(DISTINCT url)::BIGINT AS n_urls "
+            "FROM t GROUP BY host, template "
+            "HAVING count(DISTINCT url) >= 2 ORDER BY host, template"
+        ),
+        "domain_reputation": (
+            # Replays q_domain_reputation: same token split, same
+            # integer pass rule, integer sums, and one exact division
+            # per ratio.
+            "WITH r AS (SELECT 'd' || (doc_id % 23) || '.example.org' AS domain, "
+            "len(list_filter(regexp_split_to_array(text, '\\s+'), "
+            "t -> t != ''))::BIGINT AS n_tokens, "
+            "(n_chars >= 200 AND len(list_filter("
+            "regexp_split_to_array(text, '\\s+'), t -> t != '')) >= 30) "
+            "AS passed FROM documents) "
+            "SELECT domain, count(*)::BIGINT AS n_docs, "
+            "sum(passed::BIGINT)::BIGINT AS n_pass, "
+            "sum(n_tokens)::BIGINT AS total_tokens, "
+            "sum(passed::BIGINT)::DOUBLE / count(*)::DOUBLE AS pass_rate, "
+            "sum(n_tokens)::DOUBLE / count(*)::DOUBLE AS avg_tokens "
+            "FROM r GROUP BY domain ORDER BY domain"
         ),
         "boilerplate_blocks": (
             # Replays q_boilerplate_blocks: same 4-line page fixture,

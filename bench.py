@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "tfidf_cosine_topk",
     "window_scrub",
     "boilerplate_blocks",
+    "url_templates",
+    "domain_reputation",
     "image_ingest_gate",
     "image_gate_indexed",
     "audio_neardup",

@@ -155,3 +155,55 @@ def grow_frontier(
     return new.groupBy(url_col).agg(
         F.countDistinct(src_host_col).cast("long").alias("n_referrers")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL path-template mining (crawler-trap / infinite-space detection)
+# ---------------------------------------------------------------------------
+
+def url_templates(
+    df: DataFrame,
+    url_col: str = "url",
+    min_count: int = 2,
+) -> DataFrame:
+    """Collapse URL paths to structural templates and count distinct
+    URLs per (host, template): ``/p/482/view`` and ``/p/483/view`` are
+    one template ``/p/N/view`` with n_urls=2. Templates whose distinct-
+    URL count explodes are PARAMETER SPACES — calendars, session ids,
+    pagination, faceted search — the classic crawler traps a frontier
+    must cap per template rather than discover one URL at a time
+    (Heritrix's path-ology rules and IRLbot's spam/budget work both
+    gate on exactly this signal).
+
+    Template rules, in order (order matters — a >=8-char hex run is 'H'
+    BEFORE shorter digit runs become 'N'):
+      1. runs of >= 8 hex chars -> 'H'   (session ids, content hashes)
+      2. runs of digits         -> 'N'   (numeric ids, page numbers)
+    Both are single regexp_replace passes (replace-all), exact in any
+    regex engine; the host rides separately (``graph.host_of``), so the
+    same path shape on different hosts stays distinct.
+
+    Scale shape at 10^12 URLs: project (host, template, url) then ONE
+    count-distinct aggregate keyed by (host, template) — map-side
+    partials collapse each task's repeats of a template before the
+    shuffle, and the output relation is bounded by the template
+    vocabulary (tiny next to the URL space: that reduction is the whole
+    point of the operator). No joins, no windows.
+    """
+    from .graph import host_of
+
+    url = F.col(url_col)
+    path = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/]+(/[^?#]*)?", 1)
+    tmpl = F.regexp_replace(
+        F.regexp_replace(path, "[0-9a-f]{8,}", "H"), "[0-9]+", "N"
+    )
+    return (
+        df.select(
+            host_of(url).alias("host"),
+            tmpl.alias("template"),
+            url.alias("_u"),
+        )
+        .groupBy("host", "template")
+        .agg(F.countDistinct("_u").cast("long").alias("n_urls"))
+        .filter(F.col("n_urls") >= min_count)
+    )

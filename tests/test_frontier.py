@@ -131,3 +131,40 @@ def test_grow_frontier_bloom_rejects_power_of_two_violation(spark):
     cand, seen = _growth_fixture(spark)
     with pytest.raises(ValueError, match="power of two"):
         grow_frontier(cand, seen, bloom_m_bits=100).collect()
+
+
+# --- url_templates (crawler-trap detection) ---------------------------------
+
+def test_url_templates_collapses_traps(spark):
+    from log_analysis_spark.operators.frontier import url_templates
+
+    urls = (
+        [f"https://a.net/p/{i}/view" for i in range(50)]          # numeric trap
+        + [f"https://a.net/s/{'%012x' % (i * 2654435761)}/cart" for i in range(20)]
+        + ["https://a.net/about", "https://b.net/about",
+           "https://b.net/about"]                                  # dup URL: 1 distinct
+    )
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = {(r.host, r.template): r.n_urls
+            for r in url_templates(df, min_count=2).collect()}
+    assert rows[("a.net", "/p/N/view")] == 50
+    assert rows[("a.net", "/s/H/cart")] == 20
+    # static pages: a.net/about is 1 distinct URL -> cut by min_count;
+    # b.net/about is 1 distinct URL (dup rows collapse) -> also cut.
+    assert ("a.net", "/about") not in rows and ("b.net", "/about") not in rows
+
+
+def test_url_templates_hex_before_digits(spark):
+    from log_analysis_spark.operators.frontier import url_templates
+
+    # 8+ all-digit run is hex too -> 'H' (rule order), shorter digit
+    # runs -> 'N'; query strings and fragments never reach the template.
+    df = spark.createDataFrame(
+        [("https://x.org/d/12345678/y",), ("https://x.org/d/99999999/y",),
+         ("https://x.org/d/123/y?page=9#f",), ("https://x.org/d/456/y",)],
+        "url string",
+    )
+    rows = {(r.host, r.template): r.n_urls
+            for r in url_templates(df, min_count=1).collect()}
+    assert rows[("x.org", "/d/H/y")] == 2
+    assert rows[("x.org", "/d/N/y")] == 2
