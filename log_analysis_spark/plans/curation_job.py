@@ -16,6 +16,12 @@ Stage graph (each stage materializes to parquet and commits a manifest
 unit; a killed run resumes at the first stage whose input fingerprint +
 params don't match):
 
+    domain_filter (--domain-min-pass R) drop every doc of a source/
+             domain whose rate of docs passing the len(text) >=
+             --domain-min-chars test is below R (needs >=
+             --domain-min-docs docs of evidence) — the RefinedWeb-style
+             domain gate, run FIRST because one domain verdict spares
+             every later stage all of that domain's pages
     c4       (--c4-clean) C4 line-level boilerplate cleaning
     scrub    strip k-word spans duplicated across documents
     dedup    exact dedup (min-id survivor) [+ MinHash-LSH near-dup
@@ -99,6 +105,46 @@ def _c4(df: DataFrame) -> DataFrame:
         .select("doc_id", F.col("clean_text").alias("text"))
     )
     return df.drop("text").join(cleaned, "doc_id").select(*df.columns)
+
+
+def _domain_filter(
+    df: DataFrame, min_pass: float, min_chars: int, min_docs: int
+) -> DataFrame:
+    """Optional early stage (``--domain-min-pass``): drop every document
+    of a domain whose pages are consistently junk — the RefinedWeb-style
+    URL/domain-level gate that runs BEFORE per-document rules, because
+    one domain verdict spares the pipeline every page from it. The
+    domain key is the corpus ``source`` column; the per-doc signal is
+    the integer ``length(text) >= min_chars`` test; a domain is dropped
+    iff its pass rate < ``min_pass`` AND it has >= ``min_docs``
+    documents (low-evidence domains are never condemned on a sample of
+    one). After ``--html`` extraction there is no ``source`` column, so
+    the key falls back to the url host (graph.host_of). Costs one
+    bounded aggregate (operators/reputation.py — output is O(domains))
+    plus a broadcast anti-join back; the document side never shuffles."""
+    from ..operators.reputation import domain_reputation
+
+    if "source" in df.columns:
+        key = F.col("source")
+    else:
+        from ..operators.graph import host_of
+
+        key = host_of(F.col("url"))
+    sig = df.select(
+        key.alias("domain"),
+        F.length("text").cast("long").alias("n_tokens"),
+        (F.length("text") >= min_chars).alias("passed"),
+    )
+    bad = (
+        domain_reputation(sig)
+        .filter((F.col("pass_rate") < min_pass) & (F.col("n_docs") >= min_docs))
+        .select(F.col("domain").alias("_bad_dom"))
+    )
+    return (
+        df.join(
+            F.broadcast(bad), key == F.col("_bad_dom"), "left_anti"
+        ).select(*df.columns)
+    )
 
 
 def _scrub(
@@ -261,6 +307,9 @@ def run_curation(
     media_path: str | None = None,
     media_hamming: int = 7,
     media_algo: str = "dhash",
+    domain_min_pass: float | None = None,
+    domain_min_chars: int = 200,
+    domain_min_docs: int = 3,
 ) -> dict:
     """Run (or resume) the curation stage graph. Returns run metrics."""
     manifest = Manifest(os.path.join(out_dir, "_manifest"))
@@ -282,6 +331,11 @@ def run_curation(
             if media_path
             else ""
         )
+        + (
+            f"|dom={domain_min_pass}:{domain_min_chars}:{domain_min_docs}"
+            if domain_min_pass is not None
+            else ""
+        )
     )
     bench = (
         spark.read.parquet(benchmark_path) if benchmark_path is not None else None
@@ -290,6 +344,19 @@ def run_curation(
 
     stages: list[tuple[str, Callable[[DataFrame], DataFrame], str | None]] = [
         *([("extract", _extract, None)] if html else []),
+        *(
+            [
+                (
+                    "domain_filter",
+                    lambda d: _domain_filter(
+                        d, domain_min_pass, domain_min_chars, domain_min_docs
+                    ),
+                    None,
+                )
+            ]
+            if domain_min_pass is not None
+            else []
+        ),
         *([("c4", _c4, None)] if c4 else []),
         ("scrub", lambda d: _scrub(d, span_k, hash_fn, scrub_mode), None),
         ("dedup", lambda d: _dedup(d, neardup, hash_fn), None),
@@ -434,6 +501,17 @@ def main() -> None:
         "scale path (one-sided: the gate gets at most one bin-width "
         "stricter)",
     )
+    ap.add_argument(
+        "--domain-min-pass",
+        type=float,
+        default=None,
+        help="adds an early domain_filter stage: drop every doc of a "
+        "source/domain whose fraction of docs with len(text) >= "
+        "--domain-min-chars falls below this rate (domains with fewer "
+        "than --domain-min-docs docs are never dropped)",
+    )
+    ap.add_argument("--domain-min-chars", type=int, default=200)
+    ap.add_argument("--domain-min-docs", type=int, default=3)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -473,6 +551,9 @@ def main() -> None:
         media_path=args.media,
         media_hamming=args.media_hamming,
         media_algo=args.media_algo,
+        domain_min_pass=args.domain_min_pass,
+        domain_min_chars=args.domain_min_chars,
+        domain_min_docs=args.domain_min_docs,
     )
     print(json.dumps(stats))
     sys.stdout.flush()

@@ -287,3 +287,43 @@ def test_media_dedup_stage_drops_perceptual_neardups(spark, tmpdir_path):
         for x in spark.read.parquet(f"{out}/stage_media_dedup").collect()
     )
     assert kept3 == [1, 2, 3, 4]  # doc 2's near-dup media row is gone
+
+
+def test_domain_filter_stage_drops_junk_domains(spark, tmpdir_path):
+    out = f"{tmpdir_path}/cur_dom"
+    # spamfarm: 4 docs, all under 40 chars -> pass_rate 0 < 0.5, dropped.
+    # lowev: 2 short docs but below min_docs=3 evidence -> kept.
+    # good: 4 docs, 3 long -> pass_rate 0.75 >= 0.5, kept.
+    long = "word " * 20  # 100 chars
+    rows = (
+        [(i, "short junk", "en", "spamfarm", 10) for i in range(4)]
+        + [(10 + i, "tiny", "en", "lowev", 4) for i in range(2)]
+        + [(20, "brief", "en", "good", 5)]
+        + [(21 + i, long + str(i), "en", "good", 101) for i in range(3)]
+    )
+    src = f"{tmpdir_path}/docs_dom"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(src)
+    r = run_curation(
+        spark, src, out, span_k=6, test_frac=0.0, valid_frac=0.0,
+        domain_min_pass=0.5, domain_min_chars=40, domain_min_docs=3,
+    )
+    assert r["stages_run"][0] == "domain_filter"
+    st = r["stages"]["domain_filter"]
+    assert (st["rows_in"], st["rows_out"]) == (10, 6)  # spamfarm gone
+    kept = spark.read.parquet(f"{out}/stage_domain_filter")
+    assert set(x.source for x in kept.select("source").distinct().collect()) == {
+        "lowev", "good"
+    }
+    # resume: identical params skip the stage; changed threshold re-runs it
+    r2 = run_curation(
+        spark, src, out, span_k=6, test_frac=0.0, valid_frac=0.0,
+        domain_min_pass=0.5, domain_min_chars=40, domain_min_docs=3,
+    )
+    assert "domain_filter" in r2["stages_skipped"]
+    r3 = run_curation(
+        spark, src, out, span_k=6, test_frac=0.0, valid_frac=0.0,
+        domain_min_pass=0.9, domain_min_chars=40, domain_min_docs=3,
+    )
+    assert "domain_filter" in r3["stages_run"]
