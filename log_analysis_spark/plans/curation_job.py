@@ -23,6 +23,8 @@ params don't match):
              domain gate, run FIRST because one domain verdict spares
              every later stage all of that domain's pages
     c4       (--c4-clean) C4 line-level boilerplate cleaning
+    justext  (--justext) context-smoothed block classification keeps
+             only GOOD lines (boilerplate_blocks); no-content pages drop
     scrub    strip k-word spans duplicated across documents
     dedup    exact dedup (min-id survivor) [+ MinHash-LSH near-dup
              clusters resolved keep-best-quality with --neardup]
@@ -145,6 +147,23 @@ def _domain_filter(
             F.broadcast(bad), key == F.col("_bad_dom"), "left_anti"
         ).select(*df.columns)
     )
+
+
+def _justext(df: DataFrame) -> DataFrame:
+    """Optional leading stage (``--justext``): context-smoothed block
+    classification (operators/quality.py boilerplate_blocks) — GOOD
+    lines replace `text`, pages with no content lines leave the corpus.
+    The contextual alternative to ``--c4-clean``: C4 judges each line
+    alone, this rescues short lines adjacent to prose. Zero-shuffle
+    projection, so as a stage it costs one read + one write."""
+    from ..operators.quality import boilerplate_blocks
+
+    cleaned = (
+        boilerplate_blocks(df)
+        .filter(F.col("n_content") > 0)
+        .select("doc_id", F.col("content_text").alias("text"))
+    )
+    return df.drop("text").join(cleaned, "doc_id").select(*df.columns)
 
 
 def _scrub(
@@ -299,6 +318,7 @@ def run_curation(
     hash_fn: str = "xxhash64",
     resume: bool = True,
     c4: bool = False,
+    justext: bool = False,
     html: bool = False,
     mixture: dict[str, float] | None = None,
     mixture_tokens: int = 0,
@@ -317,7 +337,7 @@ def run_curation(
     params = (
         f"span_k={span_k}|scrub={scrub_mode}|neardup={neardup}|n={decontam_n}"
         f"|t={test_frac}|v={valid_frac}|hash={hash_fn}"
-        f"|bench={benchmark_path}|c4={c4}|html={html}"
+        f"|bench={benchmark_path}|c4={c4}|jt={justext}|html={html}"
         + (f"|binnedq={binned_quality}" if binned_quality else "")
         + (
             f"|mix={sorted(mixture.items())}:{mixture_tokens}"
@@ -358,6 +378,7 @@ def run_curation(
             else []
         ),
         *([("c4", _c4, None)] if c4 else []),
+        *([("justext", _justext, None)] if justext else []),
         ("scrub", lambda d: _scrub(d, span_k, hash_fn, scrub_mode), None),
         ("dedup", lambda d: _dedup(d, neardup, hash_fn), None),
         *(
@@ -449,6 +470,13 @@ def main() -> None:
         "--c4-clean",
         action="store_true",
         help="prepend the C4 line-level boilerplate stage",
+    )
+    ap.add_argument(
+        "--justext",
+        action="store_true",
+        help="prepend the context-smoothed block-classification cleaning "
+        "stage (boilerplate_blocks) - the contextual alternative to "
+        "--c4-clean; both may run (C4 first)",
     )
     ap.add_argument(
         "--html",
@@ -543,6 +571,7 @@ def main() -> None:
         hash_fn=args.hash_fn,
         resume=not args.no_resume,
         c4=args.c4_clean,
+        justext=args.justext,
         html=args.html,
         mixture=mixture,
         mixture_tokens=args.mixture_tokens,

@@ -327,3 +327,28 @@ def test_domain_filter_stage_drops_junk_domains(spark, tmpdir_path):
         domain_min_pass=0.9, domain_min_chars=40, domain_min_docs=3,
     )
     assert "domain_filter" in r3["stages_run"]
+
+
+def test_justext_stage_cleans_and_drops_no_content_pages(spark, tmpdir_path):
+    out = f"{tmpdir_path}/cur_jt"
+    prose = "it was the best of times and the worst of it all"
+    doc_mixed = prose + "\nGo on\nHome About Contact Products Pricing"
+    doc_nav = "Home About Contact Products Pricing\nBuy now"
+    rows = [
+        (1, doc_mixed, "en", "s0", len(doc_mixed)),
+        (2, doc_nav, "en", "s0", len(doc_nav)),
+    ]
+    src = f"{tmpdir_path}/docs_jt"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(src)
+    r = run_curation(
+        spark, src, out, span_k=6, test_frac=0.0, valid_frac=0.0, justext=True
+    )
+    assert r["stages_run"][0] == "justext"
+    st = r["stages"]["justext"]
+    assert (st["rows_in"], st["rows_out"]) == (2, 1)  # nav-only page gone
+    kept = spark.read.parquet(f"{out}/stage_justext").collect()
+    assert len(kept) == 1 and kept[0].doc_id == 1
+    # GOOD prose + rescued short line survive; nav line stripped
+    assert kept[0].text == prose + "\nGo on"
