@@ -2018,6 +2018,38 @@ def q_bpe_tokens(spark, sf_dir):
     )
 
 
+def q_stupid_backoff(spark, sf_dir):
+    """Stupid Backoff LM scoring (operators/lm.py; Brants et al. 2007):
+    trigram/bigram/unigram counts trained on the ENGLISH sub-corpus
+    (min_count=2 trigram pruning), every document scored with the
+    trigram -> alpha*bigram -> alpha^2*unigram backoff chain — the
+    CCNet-style reference-LM quality signal. English docs mostly hit
+    trigrams; other languages exercise every backoff branch and OOV.
+    Per-doc score is the position-ordered fold MEAN of per-token scores
+    (one correctly-rounded division per branch, ln deliberately absent),
+    so the oracle replays bit-for-bit."""
+    from log_analysis_spark.operators.lm import (
+        stupid_backoff_model,
+        stupid_backoff_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    model = stupid_backoff_model(d.filter(F.col("lang") == "en"), min_count=2)
+    return stupid_backoff_scores(d, model).orderBy("doc_id")
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """PMI-lift collocations (operators/collocations.py): top-40
+    adjacent word pairs with pair count >= 3, ranked by the likelihood
+    ratio p(w1,w2)/(p(w1)p(w2)). The lift is ONE fixed tree of IEEE
+    double ops over exact integer counts (ln skipped — monotone), so
+    the oracle's identical expression matches bit-for-bit."""
+    from log_analysis_spark.operators.collocations import pmi_collocations
+
+    d = _t(spark, sf_dir, "documents")
+    return pmi_collocations(d, text_col="text", min_count=3, k=40)
+
+
 # ---------------------------------------------------------------------------
 # dedup family (documents)
 # ---------------------------------------------------------------------------
@@ -4147,6 +4179,37 @@ def q_nation_pagerank(spark, sf_dir):
     return GR.pagerank(edges, iters=3, deterministic=True).orderBy("node")
 
 
+def q_nation_hits(spark, sf_dir):
+    """HITS hubs/authorities (operators/graph.py hits; Kleinberg 1999)
+    over the same customer-nation -> supplier-nation trade graph as
+    q_nation_pagerank: 3 iterations, fold-deterministic contribution
+    sums, L-infinity (max) normalization — max and one division are
+    exact, so the oracle's unrolled CTE replay matches bit-for-bit.
+    Exporter nations (supplier side) earn authority; importer nations
+    (customer side) earn hub mass — the two-sided centrality PageRank's
+    single score conflates."""
+    from log_analysis_spark.operators import graph as GR
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n_cust = n.select(F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("src"))
+    n_supp = n.select(F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("dst"))
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n_cust), c["c_nationkey"] == F.col("_ck"))
+        .join(F.broadcast(n_supp), s["s_nationkey"] == F.col("_sk"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return GR.hits(edges, iters=3, deterministic=True).orderBy("node")
+
+
 # ---------------------------------------------------------------------------
 # generic html -> text extraction (functions/html.py): the no-markers
 # boilerplate strip real crawl pages need. The gate wraps document text in
@@ -4381,6 +4444,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_scene_dedup": q_video_scene_dedup,
         # --- link-graph analytics (iterative PageRank) ---
         "nation_pagerank": q_nation_pagerank,
+        "nation_hits": q_nation_hits,
+        "pmi_collocations": q_pmi_collocations,
+        "stupid_backoff": q_stupid_backoff,
         # ---- entries past the driver's 50-row window: variants whose
         # family already has a green representative above ----
         "host_edges": q_host_edges,
@@ -5363,6 +5429,141 @@ def _sql_pagerank_ctes(iters: int = 3) -> str:
             f"FROM nodes LEFT JOIN s{i} USING (node) CROSS JOIN nn)"
         )
     return head + ", " + ", ".join(its)
+
+
+def _sql_hits_ctes(iters: int = 3) -> str:
+    """HITS iterations UNROLLED over an already-defined CTE
+    ``e(src, dst, w)`` — mirrors graph.hits exactly: contribution
+    ``score * w`` in the same order, per-key summation as the
+    counterpart-sorted left fold, L-infinity normalization as
+    ``coalesce(s / nullif(max, 0), 0)``. Final scores land in
+    ``h{iters}(node, h)`` / ``a{iters}(node, a)``."""
+    head = (
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+        "a0 AS (SELECT node, 1.0::DOUBLE AS a FROM nodes)"
+    )
+    its = []
+    for i in range(1, iters + 1):
+        its.append(
+            f"hr{i} AS (SELECT e.src AS node, "
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list((a{i - 1}.a * e.w::DOUBLE) ORDER BY e.dst)), "
+            f"(x, v) -> x + v) AS s "
+            f"FROM e JOIN a{i - 1} ON e.dst = a{i - 1}.node GROUP BY e.src), "
+            f"hm{i} AS (SELECT max(s) AS m FROM hr{i}), "
+            f"h{i} AS (SELECT nodes.node, coalesce(hr{i}.s / "
+            f"nullif(hm{i}.m, 0.0::DOUBLE), 0.0::DOUBLE) AS h "
+            f"FROM nodes LEFT JOIN hr{i} USING (node) CROSS JOIN hm{i}), "
+            f"ar{i} AS (SELECT e.dst AS node, "
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list((h{i}.h * e.w::DOUBLE) ORDER BY e.src)), "
+            f"(x, v) -> x + v) AS s "
+            f"FROM e JOIN h{i} ON e.src = h{i}.node GROUP BY e.dst), "
+            f"am{i} AS (SELECT max(s) AS m FROM ar{i}), "
+            f"a{i} AS (SELECT nodes.node, coalesce(ar{i}.s / "
+            f"nullif(am{i}.m, 0.0::DOUBLE), 0.0::DOUBLE) AS a "
+            f"FROM nodes LEFT JOIN ar{i} USING (node) CROSS JOIN am{i})"
+        )
+    return head + ", " + ", ".join(its)
+
+
+_NATION_EDGES_SQL = (
+    "e AS (SELECT src, dst, count(*)::BIGINT AS w FROM ("
+    "SELECT n1.n_name AS src, n2.n_name AS dst "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+    "JOIN nation n1 ON c.c_nationkey = n1.n_nationkey "
+    "JOIN nation n2 ON s.s_nationkey = n2.n_nationkey "
+    "WHERE n1.n_name != n2.n_name) GROUP BY src, dst)"
+)
+
+
+def _sql_nation_hits(iters: int = 3) -> str:
+    """DuckDB replay of q_nation_hits: identical edge derivation, then
+    the unrolled hub/authority chain."""
+    return (
+        "WITH "
+        + _NATION_EDGES_SQL
+        + ", "
+        + _sql_hits_ctes(iters)
+        + f" SELECT node, h{iters}.h AS hub, a{iters}.a AS auth "
+        + f"FROM h{iters} JOIN a{iters} USING (node) ORDER BY node"
+    )
+
+
+def _sql_stupid_backoff(min_count: int = 2) -> str:
+    """DuckDB replay of q_stupid_backoff: same tokens fragment, model
+    CTEs from the en sub-corpus, identical CASE/backoff expression tree
+    (0.4 literals cast to DOUBLE — DuckDB would otherwise read them as
+    DECIMAL and round differently), position-ordered fold mean."""
+    tok = _TOKENS.format(t="text")
+    return (
+        f"WITH l AS (SELECT doc_id, {tok} AS t FROM documents), "
+        f"ml AS (SELECT {tok} AS t FROM documents WHERE lang = 'en'), "
+        "muni AS (SELECT z.w AS w, count(*)::BIGINT AS c1 "
+        "FROM ml, UNNEST(t) AS z(w) GROUP BY z.w), "
+        "mn AS (SELECT sum(c1)::BIGINT AS n FROM muni), "
+        "mbi AS (SELECT t[i] AS wa, t[i+1] AS wb, count(*)::BIGINT AS c2 "
+        "FROM ml, UNNEST(generate_series(1, greatest(len(t)-1, 0))) AS u(i) "
+        "GROUP BY 1, 2), "
+        "mtri AS (SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3, "
+        "count(*)::BIGINT AS c3 "
+        "FROM ml, UNNEST(generate_series(1, greatest(len(t)-2, 0))) AS u(i) "
+        f"GROUP BY 1, 2, 3 HAVING count(*) >= {min_count}), "
+        "pos AS (SELECT doc_id, i, "
+        "CASE WHEN i >= 3 THEN t[i-2] END AS w1, "
+        "CASE WHEN i >= 2 THEN t[i-1] END AS w2, t[i] AS w3 "
+        "FROM l, UNNEST(generate_series(1, len(t))) AS u(i)), "
+        "j AS (SELECT pos.doc_id, pos.i, pos.w1, pos.w2, "
+        "tri.c3, b12.c2 AS c12, b23.c2 AS c23, u2.c1 AS cw2, u3.c1 AS cw3, mn.n "
+        "FROM pos "
+        "LEFT JOIN mtri tri ON tri.w1 = pos.w1 AND tri.w2 = pos.w2 "
+        "AND tri.w3 = pos.w3 "
+        "LEFT JOIN mbi b12 ON b12.wa = pos.w1 AND b12.wb = pos.w2 "
+        "LEFT JOIN mbi b23 ON b23.wa = pos.w2 AND b23.wb = pos.w3 "
+        "LEFT JOIN muni u2 ON u2.w = pos.w2 "
+        "LEFT JOIN muni u3 ON u3.w = pos.w3 CROSS JOIN mn), "
+        "s AS (SELECT doc_id, i, CASE "
+        "WHEN c3 IS NOT NULL THEN c3::DOUBLE / c12::DOUBLE "
+        "WHEN w1 IS NOT NULL THEN (CASE WHEN c23 IS NOT NULL "
+        "THEN 0.4::DOUBLE * (c23::DOUBLE / cw2::DOUBLE) "
+        "ELSE (0.4::DOUBLE * 0.4::DOUBLE) * "
+        "(coalesce(cw3, 0)::DOUBLE / n::DOUBLE) END) "
+        "WHEN w2 IS NOT NULL THEN (CASE WHEN c23 IS NOT NULL "
+        "THEN c23::DOUBLE / cw2::DOUBLE "
+        "ELSE 0.4::DOUBLE * (coalesce(cw3, 0)::DOUBLE / n::DOUBLE) END) "
+        "ELSE coalesce(cw3, 0)::DOUBLE / n::DOUBLE END AS p FROM j), "
+        "agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, "
+        "list_reduce(list_prepend(0.0::DOUBLE, list(p ORDER BY i)), "
+        "(a, v) -> a + v) AS sm FROM s GROUP BY doc_id) "
+        "SELECT doc_id, n_tokens, sm / n_tokens::DOUBLE AS sb_score "
+        "FROM agg ORDER BY doc_id"
+    )
+
+
+def _sql_pmi_collocations(min_count: int = 3, k: int = 40) -> str:
+    """DuckDB replay of q_pmi_collocations: same tokens fragment as
+    top_terms, positional bigrams via generate_series, and the lift
+    expression re-parenthesized NOWHERE — bit-identical doubles."""
+    tok = _TOKENS.format(t="text")
+    return (
+        f"WITH l AS (SELECT {tok} AS t FROM documents), "
+        "bg AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM l, "
+        "UNNEST(generate_series(1, greatest(len(t)-1, 0))) AS u(i)), "
+        "ug AS (SELECT z.term AS term, count(*)::BIGINT AS c "
+        "FROM l, UNNEST(t) AS z(term) GROUP BY term), "
+        "nn AS (SELECT sum(c)::BIGINT AS n FROM ug), "
+        "bb AS (SELECT count(*)::BIGINT AS b FROM bg), "
+        "bc AS (SELECT w1, w2, count(*)::BIGINT AS n_pair FROM bg "
+        f"GROUP BY w1, w2 HAVING count(*) >= {min_count}) "
+        "SELECT bc.w1, bc.w2, bc.n_pair, "
+        "(bc.n_pair::DOUBLE / bb.b::DOUBLE) / "
+        "((u1.c::DOUBLE / nn.n::DOUBLE) * (u2.c::DOUBLE / nn.n::DOUBLE)) AS lift "
+        "FROM bc JOIN ug u1 ON bc.w1 = u1.term JOIN ug u2 ON bc.w2 = u2.term "
+        "CROSS JOIN nn CROSS JOIN bb "
+        f"ORDER BY lift DESC, w1, w2 LIMIT {k}"
+    )
 
 
 def _sql_nation_pagerank(iters: int = 3) -> str:
@@ -6767,6 +6968,9 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY src, dst ORDER BY src, dst"
         ),
         "nation_pagerank": _sql_nation_pagerank(iters=3),
+        "nation_hits": _sql_nation_hits(iters=3),
+        "pmi_collocations": _sql_pmi_collocations(min_count=3, k=40),
+        "stupid_backoff": _sql_stupid_backoff(min_count=2),
         "html_text": _html_text_oracle_sql(),
         "anchor_texts": _anchor_texts_oracle_sql(),
         "host_profile": _host_profile_oracle_sql(),

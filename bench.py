@@ -142,6 +142,9 @@ BENCH_QUERIES = [
     "video_clip_pairs",
     "video_scene_dedup",
     "frontier_growth",
+    "nation_hits",
+    "pmi_collocations",
+    "stupid_backoff",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at

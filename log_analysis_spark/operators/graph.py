@@ -264,3 +264,98 @@ def host_pagerank(
         damping=damping,
         deterministic=deterministic,
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = "w",
+    iters: int = 5,
+    deterministic: bool = True,
+    checkpoint_every: int = 3,
+    unpersist_handles: list | None = None,
+) -> DataFrame:
+    """(node, hub, auth) after ``iters`` HITS iterations (Kleinberg 1999).
+
+    hub'(u)  = sum_{u->v} w(u,v) * auth(v)   then hub  := hub / max(hub)
+    auth'(v) = sum_{u->v} w(u,v) * hub(u)    then auth := auth / max(auth)
+
+    Normalization is L-infinity (divide by the max score), NOT the
+    textbook L2: max over doubles is exact and order-independent, and
+    one division is a single correctly-rounded op — so the whole
+    iteration replays bit-for-bit in the DuckDB oracle, where an L2 norm
+    (sqrt of a float sum) would pin the last ulp to summation order and
+    libm. The ranking and the fixed point direction are identical under
+    any p-norm; only the scale of the scores differs.
+
+    Same contracts as :func:`pagerank`: pre-aggregated edge relation
+    (one row per (src, dst) — ``host_edges`` output shape; duplicate
+    pairs would make the deterministic fold's sort order ambiguous),
+    fixed iteration count, ``deterministic=True`` sums contributions as
+    a left fold over the counterpart-sorted list (test-time contract;
+    pass False at production scale for the associative partial-agg sum),
+    lineage truncated every ``checkpoint_every`` iterations. The two
+    1-row max relations ride whitelisted broadcast crossJoins (the
+    dsir_select pattern). Nodes with no out-edges have hub 0; no
+    in-edges, auth 0; an empty edge relation yields an empty result.
+    """
+    if weight is None:
+        edges = edges.select(src, dst).withColumn("_w", F.lit(1).cast("long"))
+    else:
+        edges = edges.select(src, dst, F.col(weight).cast("long").alias("_w"))
+    ew = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"), "_w"
+    ).persist()
+    nodes = (
+        ew.select(F.col("_src").alias("node"))
+        .union(ew.select(F.col("_dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+
+    def _fold_sum(contribs: DataFrame, key: str, other: str) -> DataFrame:
+        """sum(_c) per key — ordered left fold in deterministic mode."""
+        if deterministic:
+            return contribs.groupBy(key).agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct(other, "_c"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["_c"],
+                ).alias("_s")
+            )
+        return contribs.groupBy(key).agg(F.sum("_c").alias("_s"))
+
+    def _linf_normalize(raw: DataFrame, out_col: str) -> DataFrame:
+        """nodes left-join raw, divide by max(_s); all-zero-safe."""
+        mx = raw.agg(F.max("_s").alias("_m"))
+        return (
+            nodes.join(raw.withColumnRenamed(raw.columns[0], "node"), "node", "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.coalesce(
+                    F.col("_s") / F.nullif(F.col("_m"), F.lit(0.0)), F.lit(0.0)
+                ).alias(out_col),
+            )
+        )
+
+    auth = nodes.select("node", F.lit(1.0).alias("auth"))
+    hub = None
+    for i in range(iters):
+        hc = ew.join(auth, on=ew["_dst"] == auth["node"]).select(
+            "_src", "_dst", (F.col("auth") * F.col("_w").cast("double")).alias("_c")
+        )
+        hub = _linf_normalize(_fold_sum(hc, "_src", "_dst"), "hub")
+        ac = ew.join(hub, on=ew["_src"] == hub["node"]).select(
+            "_dst", "_src", (F.col("hub") * F.col("_w").cast("double")).alias("_c")
+        )
+        auth = _linf_normalize(_fold_sum(ac, "_dst", "_src"), "auth")
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            hub = hub.localCheckpoint(eager=True)
+            auth = auth.localCheckpoint(eager=True)
+
+    out = hub.join(auth, on="node")
+    if unpersist_handles is not None:
+        unpersist_handles.extend([nodes, ew])
+    return out

@@ -1,0 +1,192 @@
+"""Distributed n-gram language-model scoring: Stupid Backoff.
+
+Brants et al. 2007 ("Large Language Models in Machine Translation")
+introduced Stupid Backoff as THE n-gram smoothing for MapReduce-scale
+corpora: no discounting, no normalization pass — the score of a word in
+context is a raw count ratio, backing off one order (times a fixed
+penalty alpha = 0.4) whenever the longer n-gram is unseen:
+
+    S(w3 | w1 w2) = c(w1 w2 w3) / c(w1 w2)        if c(w1 w2 w3) > 0
+                  = alpha * S(w3 | w2)             otherwise
+    S(w3 | w2)    = c(w2 w3) / c(w2)               if c(w2 w3) > 0
+                  = alpha * S(w3)                  otherwise
+    S(w3)         = c(w3) / N          (OOV words contribute 0)
+
+The training side is exactly three map-side-combinable aggregates
+(unigram / bigram / trigram counts) — the reason the scheme scales where
+Kneser-Ney's cross-order statistics don't. The serving side is Brants'
+"distributed LM": the scored corpus shuffles to the gram tables by gram
+key (an equi-join), never the reverse; the model is NOT broadcast
+because at web scale the trigram relation is corpus-sized. CCNet-style
+use (Wenzek et al. 2020): train on a clean reference corpus, score the
+crawl, drop the tail.
+
+Per-document score: the ARITHMETIC MEAN of per-position scores, under
+the repo's bit-exact replay contract (quality.char_bigram_scores sets
+the precedent): every branch is a fixed tree of correctly-rounded IEEE
+ops (one division, zero/one/two multiplies by the 0.4 literal), the
+per-document sum folds in POSITION order, and the final mean is one
+division. log-perplexity is deliberately not used — ln() is not required
+to be correctly rounded, so it can differ between the JVM and another
+engine in the last ulp and break replay. The mean of S values keeps the
+same gibberish-vs-fluent separation at fixed document length.
+
+Position handling: position 1 scores with the unigram ratio and
+position 2 with the bigram chain — each position's MAXIMAL available
+context starts the chain unpenalized; alpha applies only to actual
+backoffs, per the paper. Documents with zero tokens produce no output
+row (there is nothing to score).
+
+Scale shape at 10^12 tokens: the exploded (doc, pos, w1, w2, w3)
+relation is corpus-sized and joins the three gram relations by gram key
+— hash joins whose build sides are the (Zipf-bounded, min_count-pruned)
+gram vocabularies; hot function-word grams skew the probe side and AQE
+skew-join splitting handles them like every hot-key join in this repo.
+The per-document regroup carries one (pos, double) pair per token —
+the same order of bytes as the tokenized text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.textstats import tokens
+
+ALPHA = 0.4  # the paper's backoff penalty; "stupid" because it's constant
+
+
+def _positional_grams(t):
+    """(pos, w1, w2, w3) structs for every position of token array ``t``;
+    w1/w2 null where the context window crosses the document start."""
+    return F.when(
+        F.size(t) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.when(i >= 3, F.element_at(t, i - 2)).alias("w1"),
+                F.when(i >= 2, F.element_at(t, i - 1)).alias("w2"),
+                F.element_at(t, i).alias("w3"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<pos:int,w1:string,w2:string,w3:string>>")
+    )
+
+
+def stupid_backoff_model(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> dict[str, DataFrame]:
+    """Train the three gram-count relations over ``df``'s text.
+
+    Returns ``{"uni": (w, c1), "bi": (wa, wb, c2), "tri": (w1, w2, w3,
+    c3), "n": 1-row (_n)}``. ``min_count`` prunes trigrams below the
+    threshold (the MapReduce-LM entropy-pruning analogue) — pruned
+    trigrams back off at score time, exactly as unseen ones do.
+    """
+    t = df.select(tokens(F.col(text_col)).alias("_t"))
+    uni = (
+        t.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    n = uni.agg(F.sum("c1").alias("_n"))
+    bi = (
+        t.filter(F.size("_t") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("_t"), 1, F.size("_t") - 1).alias("wa"),
+                    F.slice(F.col("_t"), 2, F.size("_t") - 1).alias("wb"),
+                )
+            ).alias("_p")
+        )
+        .groupBy(F.col("_p.wa").alias("wa"), F.col("_p.wb").alias("wb"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    tri = (
+        t.filter(F.size("_t") >= 3)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("_t"), 1, F.size("_t") - 2).alias("w1"),
+                    F.slice(F.col("_t"), 2, F.size("_t") - 2).alias("w2"),
+                    F.slice(F.col("_t"), 3, F.size("_t") - 2).alias("w3"),
+                )
+            ).alias("_p")
+        )
+        .groupBy(
+            F.col("_p.w1").alias("w1"),
+            F.col("_p.w2").alias("w2"),
+            F.col("_p.w3").alias("w3"),
+        )
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    if min_count > 1:
+        tri = tri.filter(F.col("c3") >= min_count)
+    return {"uni": uni, "bi": bi, "tri": tri, "n": n}
+
+
+def stupid_backoff_scores(
+    docs: DataFrame,
+    model: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, sb_score) — mean Stupid Backoff score per document
+    under ``model`` (from :func:`stupid_backoff_model`). The expression
+    tree below is the replay contract — do not re-parenthesize."""
+    a = F.lit(ALPHA)
+    pos = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_positional_grams(tokens(F.col(text_col)))).alias("_g"),
+    ).select("_id", "_g.pos", "_g.w1", "_g.w2", "_g.w3")
+
+    tri = model["tri"]
+    b12 = model["bi"].select(
+        F.col("wa").alias("w1"), F.col("wb").alias("w2"), F.col("c2").alias("c12")
+    )
+    b23 = model["bi"].select(
+        F.col("wa").alias("w2"), F.col("wb").alias("w3"), F.col("c2").alias("c23")
+    )
+    u2 = model["uni"].select(F.col("w").alias("w2"), F.col("c1").alias("cw2"))
+    u3 = model["uni"].select(F.col("w").alias("w3"), F.col("c1").alias("cw3"))
+
+    j = (
+        pos.join(tri, ["w1", "w2", "w3"], "left")
+        .join(b12, ["w1", "w2"], "left")
+        .join(b23, ["w2", "w3"], "left")
+        .join(u2, ["w2"], "left")
+        .join(u3, ["w3"], "left")
+        .crossJoin(F.broadcast(model["n"]))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    unig = F.coalesce(F.col("cw3"), F.lit(0)).cast("double") / d("_n")
+    bigr = d("c23") / d("cw2")
+    score = (
+        F.when(F.col("c3").isNotNull(), d("c3") / d("c12"))
+        .when(
+            F.col("w1").isNotNull(),  # pos >= 3, trigram unseen -> back off
+            F.when(F.col("c23").isNotNull(), a * bigr).otherwise((a * a) * unig),
+        )
+        .when(
+            F.col("w2").isNotNull(),  # pos == 2: bigram is the maximal context
+            F.when(F.col("c23").isNotNull(), bigr).otherwise(a * unig),
+        )
+        .otherwise(unig)  # pos == 1
+    )
+    per_doc = (
+        j.select("_id", "pos", score.alias("_p"))
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "_p"))).alias("_pp"))
+    )
+    fold = F.aggregate(
+        F.transform("_pp", lambda s: s["_p"]),
+        F.lit(0.0).cast("double"),
+        lambda acc, p: acc + p,
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        F.size("_pp").cast("long").alias("n_tokens"),
+        (fold / F.size("_pp").cast("double")).alias("sb_score"),
+    )

@@ -183,3 +183,85 @@ def test_anchor_text_summary_spam_resistance(spark):
         7,
         3,
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities
+# ---------------------------------------------------------------------------
+
+def _hits_py(edges, iters):
+    """Independent replay: counterpart-sorted fold sums, L-inf norm."""
+    nodes = {s for s, _, _ in edges} | {d for _, d, _ in edges}
+    auth = {v: 1.0 for v in nodes}
+    hub = {}
+    for _ in range(iters):
+        raw = {}
+        for s, d, w in sorted(edges, key=lambda e: (e[0], e[1])):
+            raw[s] = raw.get(s, 0.0) + auth[d] * w
+        m = max(raw.values(), default=0.0)
+        hub = {v: (raw.get(v, 0.0) / m if m else 0.0) for v in nodes}
+        raw = {}
+        for s, d, w in sorted(edges, key=lambda e: (e[1], e[0])):
+            raw[d] = raw.get(d, 0.0) + hub[s] * w
+        m = max(raw.values(), default=0.0)
+        auth = {v: (raw.get(v, 0.0) / m if m else 0.0) for v in nodes}
+    return {v: (hub[v], auth[v]) for v in nodes}
+
+
+_HITS_EDGES = [
+    # hub0 links to every authority; auth0 is linked by every hub;
+    # stragglers link sparsely.
+    ("hub0", "auth0", 3), ("hub0", "auth1", 1), ("hub0", "auth2", 1),
+    ("hub1", "auth0", 2), ("hub1", "auth1", 1),
+    ("hub2", "auth0", 1),
+    ("auth1", "hub2", 1),  # a back-edge: auth1 is also a (weak) hub
+]
+
+
+def test_hits_matches_python_replay_bitwise(spark):
+    from log_analysis_spark.operators.graph import hits
+
+    e = spark.createDataFrame(_HITS_EDGES, "src string, dst string, w int")
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(e, iters=3).collect()}
+    assert got == _hits_py(_HITS_EDGES, 3)
+
+
+def test_hits_separates_hubs_from_authorities(spark):
+    from log_analysis_spark.operators.graph import hits
+
+    e = spark.createDataFrame(_HITS_EDGES, "src string, dst string, w int")
+    got = {r["node"]: r for r in hits(e, iters=3).collect()}
+    # L-inf normalization: the best hub / best authority score exactly 1
+    assert got["hub0"]["hub"] == 1.0 and got["auth0"]["auth"] == 1.0
+    # pure hubs earn no authority, pure authorities no hub mass
+    assert got["hub0"]["auth"] == 0.0 and got["auth0"]["hub"] == 0.0
+    assert got["hub0"]["hub"] > got["hub1"]["hub"] > got["hub2"]["hub"]
+    assert got["auth0"]["auth"] > got["auth1"]["auth"] > got["auth2"]["auth"]
+
+
+def test_hits_deterministic_matches_fast_mode_approx(spark):
+    from log_analysis_spark.operators.graph import hits
+
+    e = spark.createDataFrame(_HITS_EDGES, "src string, dst string, w int")
+    det = {r["node"]: (r["hub"], r["auth"]) for r in hits(e, iters=2).collect()}
+    fast = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits(e, iters=2, deterministic=False).collect()
+    }
+    assert set(det) == set(fast)
+    for v in det:
+        assert abs(det[v][0] - fast[v][0]) < 1e-12
+        assert abs(det[v][1] - fast[v][1]) < 1e-12
+
+
+def test_hits_unpersist_handles_and_empty_graph(spark):
+    from log_analysis_spark.operators.graph import hits
+
+    handles: list = []
+    e = spark.createDataFrame(_HITS_EDGES, "src string, dst string, w int")
+    out = hits(e, iters=1, unpersist_handles=handles)
+    assert out.count() == 6 and len(handles) == 2
+    for h in handles:
+        h.unpersist()
+    empty = spark.createDataFrame([], "src string, dst string, w int")
+    assert hits(empty, iters=2).count() == 0

@@ -35,7 +35,13 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 # deliberate bounded single-row/tiny broadcasts (query vector, centroid set)
-NLJ_WHITELIST = {"quantized_topk", "dsir_select"}  # 1-row bounded broadcasts
+NLJ_WHITELIST = {
+    "quantized_topk",
+    "dsir_select",
+    "nation_hits",  # 2 × iters 1-row max-score normalizers
+    "pmi_collocations",  # 1-row N (tokens) and B (bigrams) totals
+    "stupid_backoff",  # 1-row N (model token total)
+}  # 1-row bounded broadcasts
 # queries that should show a pushed filter on their scan
 PUSHDOWN_EXPECTED = {"filter_eq", "filter_combo", "sample_mod"}
 
@@ -75,6 +81,9 @@ def tree_signature(df) -> str:
     txt = re.sub(r"plan_id=\d+", "plan_id=", txt)  # py4j plan ids
     # lambda variable names carry a session-global counter (x_11 vs x_34)
     txt = re.sub(r"\b([xyz])_\d+\b", r"\1_", txt)
+    # common-subexpression names from Catalyst's With/CSE rewrite carry a
+    # session-global counter too (_common_expr_0 vs _common_expr_3)
+    txt = re.sub(r"\b_common_expr_\d+\b", "_common_expr_", txt)
     # Repartition counts follow defaultParallelism (8 under pytest's
     # local[8], 32 under the driver's local[32]) — environment, not shape
     txt = re.sub(r"\b(Repartition(?:ByExpression)?\b[^\n]*?), \d+\b", r"\1, N", txt)
