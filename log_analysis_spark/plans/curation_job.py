@@ -32,6 +32,9 @@ params don't match):
              whose image payload is a perceptual near-dup of a lower-id
              surviving doc (pigeonhole hamming clusters, min-id keep)
     quality  keep docs at/above their language's median quality score
+    lm_filter (--lm-ref ref.parquet --lm-min-score S) CCNet-style
+             reference-LM gate: Stupid Backoff model trained on the
+             reference corpus, docs below the mean-score threshold drop
     decontam drop docs sharing n-grams with --benchmark (skipped when no
              benchmark given; the stage still commits, recording 0 drops)
     mixture  (--mixture 'en=3,de=1' --mixture-tokens N) keep only the
@@ -274,6 +277,26 @@ def _quality(df: DataFrame, binned: bool = False) -> DataFrame:
     )
 
 
+def _lm_filter(
+    df: DataFrame, ref: DataFrame, min_score: float, min_count: int
+) -> DataFrame:
+    """CCNet-style reference-LM gate (``--lm-ref`` + ``--lm-min-score``):
+    train a Stupid Backoff model (operators/lm.py; Brants et al. 2007)
+    on the REFERENCE corpus — the clean-text stand-in for CCNet's
+    Wikipedia LM — and drop every document whose mean per-token score
+    falls below the threshold. Zero-token documents have nothing to
+    score and drop with the gibberish (inner join on the scored ids).
+    The reference bytes ride the manifest fingerprint, so an edited
+    reference re-runs the stage."""
+    from ..operators.lm import stupid_backoff_model, stupid_backoff_scores
+
+    model = stupid_backoff_model(ref, min_count=min_count)
+    keep = stupid_backoff_scores(df, model).filter(
+        F.col("sb_score") >= F.lit(min_score)
+    )
+    return df.join(keep.select("doc_id"), "doc_id")
+
+
 def _decontam(
     df: DataFrame, bench: DataFrame | None, n: int, hash_fn: str
 ) -> DataFrame:
@@ -330,6 +353,9 @@ def run_curation(
     domain_min_pass: float | None = None,
     domain_min_chars: int = 200,
     domain_min_docs: int = 3,
+    lm_ref_path: str | None = None,
+    lm_min_score: float = 0.0,
+    lm_min_count: int = 2,
 ) -> dict:
     """Run (or resume) the curation stage graph. Returns run metrics."""
     manifest = Manifest(os.path.join(out_dir, "_manifest"))
@@ -356,11 +382,19 @@ def run_curation(
             if domain_min_pass is not None
             else ""
         )
+        + (
+            # reference-corpus bytes ride the fingerprint: an edited
+            # reference LM re-runs the stage, same contract as --media
+            f"|lm={dir_fingerprint(lm_ref_path)}:{lm_min_score}:{lm_min_count}"
+            if lm_ref_path is not None
+            else ""
+        )
     )
     bench = (
         spark.read.parquet(benchmark_path) if benchmark_path is not None else None
     )
     media = spark.read.parquet(media_path) if media_path is not None else None
+    lm_ref = spark.read.parquet(lm_ref_path) if lm_ref_path is not None else None
 
     stages: list[tuple[str, Callable[[DataFrame], DataFrame], str | None]] = [
         *([("extract", _extract, None)] if html else []),
@@ -393,6 +427,17 @@ def run_curation(
             else []
         ),
         ("quality", lambda d: _quality(d, binned_quality), None),
+        *(
+            [
+                (
+                    "lm_filter",
+                    lambda d: _lm_filter(d, lm_ref, lm_min_score, lm_min_count),
+                    None,
+                )
+            ]
+            if lm_ref is not None
+            else []
+        ),
         ("decontam", lambda d: _decontam(d, bench, decontam_n, hash_fn), None),
         *(
             [("mixture", lambda d: _mixture(d, mixture, mixture_tokens, hash_fn), None)]
@@ -540,6 +585,19 @@ def main() -> None:
     )
     ap.add_argument("--domain-min-chars", type=int, default=200)
     ap.add_argument("--domain-min-docs", type=int, default=3)
+    ap.add_argument(
+        "--lm-ref",
+        help="reference-corpus parquet to train the Stupid Backoff LM on "
+        "(enables the lm_filter stage; CCNet's Wikipedia-LM analogue)",
+    )
+    ap.add_argument(
+        "--lm-min-score",
+        type=float,
+        default=0.0,
+        help="drop docs whose mean Stupid Backoff score under the "
+        "--lm-ref model is below this",
+    )
+    ap.add_argument("--lm-min-count", type=int, default=2)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -583,6 +641,9 @@ def main() -> None:
         domain_min_pass=args.domain_min_pass,
         domain_min_chars=args.domain_min_chars,
         domain_min_docs=args.domain_min_docs,
+        lm_ref_path=args.lm_ref,
+        lm_min_score=args.lm_min_score,
+        lm_min_count=args.lm_min_count,
     )
     print(json.dumps(stats))
     sys.stdout.flush()

@@ -352,3 +352,55 @@ def test_justext_stage_cleans_and_drops_no_content_pages(spark, tmpdir_path):
     assert len(kept) == 1 and kept[0].doc_id == 1
     # GOOD prose + rescued short line survive; nav line stripped
     assert kept[0].text == prose + "\nGo on"
+
+
+def test_lm_filter_stage_drops_oov_gibberish(spark, tmpdir_path):
+    """--lm-ref + --lm-min-score adds the CCNet-style lm_filter stage
+    after quality: a Stupid Backoff model trained on the reference
+    corpus scores every doc; pure-OOV gibberish scores exactly 0.0 and
+    drops, in-domain prose passes. Re-run skips via the manifest; a
+    changed threshold re-runs the stage."""
+    ref = spark.createDataFrame(
+        [
+            ("the quick brown fox jumps over the lazy dog",),
+            ("the quick brown fox runs over the green hill",),
+            ("a quick brown fox is a happy fox indeed",),
+        ],
+        "text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # one lang each: the per-lang median quality gate is then a
+            # self-median pass-through, isolating the lm_filter verdicts
+            (1, "http://ex/1", "en",
+             "the quick brown fox jumps over the lazy dog today"),
+            (2, "http://ex/2", "de",
+             "a quick brown fox runs over the green hill again"),
+            (3, "http://ex/3", "xx", "zzqj vvkx pplm qqrs ttuv wwxy"),
+        ],
+        "doc_id long, url string, lang string, text string",
+    )
+    ref_path = f"{tmpdir_path}/lm_ref"
+    docs_path = f"{tmpdir_path}/docs_lm"
+    ref.write.parquet(ref_path)
+    docs.write.parquet(docs_path)
+
+    out = f"{tmpdir_path}/cur_lm"
+    kw = dict(span_k=6, test_frac=0.1, valid_frac=0.1,
+              lm_ref_path=ref_path, lm_min_score=1e-12)
+    r = run_curation(spark, docs_path, out, **kw)
+    assert "lm_filter" in r["stages_run"]
+    kept = sorted(
+        x["doc_id"]
+        for x in spark.read.parquet(f"{out}/stage_lm_filter").collect()
+    )
+    assert kept == [1, 2]
+
+    r2 = run_curation(spark, docs_path, out, **kw)
+    assert "lm_filter" in r2["stages_skipped"]
+
+    # a stricter threshold rides the fingerprint: everything re-runs and
+    # an impossible bar empties the corpus at the lm_filter stage
+    kw3 = dict(kw, lm_min_score=2.0)
+    r3 = run_curation(spark, docs_path, f"{tmpdir_path}/cur_lm3", **kw3)
+    assert r3["halted_empty_at"] == "lm_filter"
