@@ -796,3 +796,63 @@ def start_media_gate_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_lm_score_stream(
+    spark: SparkSession,
+    input_path: str,
+    ref_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    max_files_per_trigger: int = 100000,
+):
+    """Online reference-LM scoring — the streaming twin of
+    ``lm.stupid_backoff_scores``: the Stupid Backoff model is trained
+    ONCE from the static reference corpus at start (three gram
+    relations, persisted so micro-batches re-read the cache instead of
+    re-aggregating), then every micro-batch runs the BATCH scorer
+    verbatim inside ``foreachBatch`` and appends (id, n_tokens,
+    sb_score) rows. foreachBatch is required because the per-document
+    position-ordered fold is a grouped aggregation, which an append-mode
+    streaming plan cannot host without a watermark the use case doesn't
+    have (documents are complete rows, not windows).
+
+    Delivery: at-least-once on a crash-replayed trigger (same caveat
+    and self-heal note as ``start_ingest_gate_stream`` — scores are a
+    pure function of the row, so replayed rows are byte-identical
+    duplicates a downstream exact dedup removes). Model roll = stop,
+    retrain, restart — scored history is immutable, rescoring is the
+    batch job. The returned query object carries ``_lm_handles`` —
+    unpersist after stopping."""
+    from ..operators.lm import stupid_backoff_model, stupid_backoff_scores
+
+    model = stupid_backoff_model(spark.read.parquet(ref_path), min_count=min_count)
+    handles = []
+    for key in ("uni", "bi", "tri"):
+        model[key] = model[key].persist()
+        model[key].count()  # materialize once; batches re-read the cache
+        handles.append(model[key])
+
+    schema = spark.read.parquet(input_path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+    def _sink(batch: DataFrame, _bid: int) -> None:
+        stupid_backoff_scores(batch, model, id_col, text_col).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        src.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q._lm_handles = handles
+    return q

@@ -589,3 +589,47 @@ def test_media_gate_stream_near_dup_gating(spark, tmpdir_path):
     assert media == ["u1", "u4"]
     idx = spark.read.parquet(f"{out}/fp_index")
     assert sorted(r["url"] for r in idx.collect()) == ["u1", "u4"]
+
+
+def test_lm_score_stream_matches_batch_scores(spark, tmpdir_path):
+    """Streaming reference-LM scoring: scores streamed over two arrivals
+    equal batch stupid_backoff_scores over the full input, bit-for-bit
+    (the foreachBatch sink runs the batch operator verbatim; per-doc
+    scores are row-pure, so arrival partitioning cannot change them)."""
+    from log_analysis_spark.operators.lm import (
+        stupid_backoff_model,
+        stupid_backoff_scores,
+    )
+    from log_analysis_spark.streaming.stream_job import start_lm_score_stream
+
+    all_docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    ref_path = f"{tmpdir_path}/lm_ref"
+    all_docs.filter(F.col("lang") == "en").select("text").write.parquet(ref_path)
+
+    docs = all_docs.select("doc_id", "text").limit(60).persist()
+    inp = f"{tmpdir_path}/lm_docs_in"
+    out = f"{tmpdir_path}/lm_scores_out"
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(inp)
+    args = (spark, inp, ref_path, out, f"{tmpdir_path}/ckpt_lm")
+    q = start_lm_score_stream(*args)
+    q.awaitTermination(300)
+    for h in q._lm_handles:
+        h.unpersist()
+
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(inp)
+    q2 = start_lm_score_stream(*args)
+    q2.awaitTermination(300)
+    for h in q2._lm_handles:
+        h.unpersist()
+
+    streamed = {
+        r["doc_id"]: (r["n_tokens"], r["sb_score"])
+        for r in spark.read.parquet(out).collect()
+    }
+    model = stupid_backoff_model(spark.read.parquet(ref_path), min_count=2)
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["sb_score"])
+        for r in stupid_backoff_scores(docs, model).collect()
+    }
+    docs.unpersist()
+    assert streamed == want
