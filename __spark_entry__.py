@@ -2038,6 +2038,39 @@ def q_stupid_backoff(spark, sf_dir):
     return stupid_backoff_scores(d, model).orderBy("doc_id")
 
 
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary-growth diagnostic: |distinct terms| as a
+    function of corpus prefix size, computed WITHOUT any cumulative
+    state — one aggregate maps each term to the FIRST doc (min doc_id)
+    that introduces it, then each checkpoint counts terms introduced at
+    or before it plus the token mass up to it. Sub-linear growth
+    (Heaps' law) is the health signature; near-linear growth flags
+    boilerplate-id/serial-number pollution the url_templates miner then
+    localizes. Both aggregates are vocabulary- resp. checkpoint-bounded;
+    the token relation streams through once."""
+    d = _t(spark, sf_dir, "documents")
+    checkpoints = [100, 200, 300, 400, 500, 1000, 2000, 5000]
+    ex = d.select("doc_id", F.explode(TS.tokens(F.col("text"))).alias("term"))
+    first = ex.groupBy("term").agg(F.min("doc_id").alias("_fd"))
+    cp = spark.createDataFrame([(c,) for c in checkpoints], "cp long")
+    vocab = (
+        cp.join(first, first["_fd"] <= cp["cp"])
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    toks = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_nt"))
+    mass = (
+        cp.join(toks, toks["doc_id"] <= cp["cp"])
+        .groupBy("cp")
+        .agg(F.sum("_nt").alias("tokens"))
+    )
+    return (
+        vocab.join(mass, "cp")
+        .select("cp", "tokens", "vocab")
+        .orderBy("cp")
+    )
+
+
 def q_pmi_collocations(spark, sf_dir):
     """PMI-lift collocations (operators/collocations.py): top-40
     adjacent word pairs with pair count >= 3, ranked by the likelihood
@@ -4447,6 +4480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_hits": q_nation_hits,
         "pmi_collocations": q_pmi_collocations,
         "stupid_backoff": q_stupid_backoff,
+        "vocab_growth": q_vocab_growth,
         # ---- entries past the driver's 50-row window: variants whose
         # family already has a green representative above ----
         "host_edges": q_host_edges,
@@ -5539,6 +5573,24 @@ def _sql_stupid_backoff(min_count: int = 2) -> str:
         "(a, v) -> a + v) AS sm FROM s GROUP BY doc_id) "
         "SELECT doc_id, n_tokens, sm / n_tokens::DOUBLE AS sb_score "
         "FROM agg ORDER BY doc_id"
+    )
+
+
+def _sql_vocab_growth() -> str:
+    """DuckDB replay of q_vocab_growth: same tokens fragment, same
+    first-introduction min aggregate and checkpoint range joins."""
+    tok = _TOKENS.format(t="text")
+    cps = "[100, 200, 300, 400, 500, 1000, 2000, 5000]"
+    return (
+        f"WITH ex AS (SELECT doc_id, unnest({tok}) AS term FROM documents), "
+        "f AS (SELECT term, min(doc_id) AS fd FROM ex GROUP BY term), "
+        "tk AS (SELECT doc_id, count(*)::BIGINT AS nt FROM ex GROUP BY doc_id), "
+        f"cp AS (SELECT unnest({cps}::BIGINT[]) AS cp), "
+        "v AS (SELECT cp, count(*)::BIGINT AS vocab FROM cp JOIN f "
+        "ON f.fd <= cp.cp GROUP BY cp), "
+        "m AS (SELECT cp, sum(nt)::BIGINT AS tokens FROM cp JOIN tk "
+        "ON tk.doc_id <= cp.cp GROUP BY cp) "
+        "SELECT v.cp, m.tokens, v.vocab FROM v JOIN m USING (cp) ORDER BY cp"
     )
 
 
@@ -6971,6 +7023,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_hits": _sql_nation_hits(iters=3),
         "pmi_collocations": _sql_pmi_collocations(min_count=3, k=40),
         "stupid_backoff": _sql_stupid_backoff(min_count=2),
+        "vocab_growth": _sql_vocab_growth(),
         "html_text": _html_text_oracle_sql(),
         "anchor_texts": _anchor_texts_oracle_sql(),
         "host_profile": _host_profile_oracle_sql(),

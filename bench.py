@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "nation_hits",
     "pmi_collocations",
     "stupid_backoff",
+    "vocab_growth",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at
