@@ -813,6 +813,126 @@ def q_warc_roundtrip(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_wet_pages(spark, sf_dir):
+    """WET ingest fidelity (sources/warc.py pages_from_wet): build REAL
+    WET ``conversion`` records in-plan (the block IS the page's UTF-8
+    text, per the Common Crawl WET layout), walk them back through the
+    same Content-Length-driven container parser as .warc, and land the
+    text-pages shape. Oracle is an independent derivation straight from
+    the documents table (never sees the bytes) — any slicing or decode
+    defect breaks the md5/length equality."""
+    from log_analysis_spark.sources.warc import pages_from_wet, parse_warc_column
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _url_expr().alias("url"), "text"
+    )
+    raw = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        F.col("url"),
+        F.lit("\r\nWARC-Date: 2024-07-02T12:34:56Z\r\nWARC-Record-ID: <urn:uuid:"),
+        F.col("doc_id").cast("string"),
+        F.lit(">\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.octet_length("text").cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col("text"),
+        F.lit("\r\n\r\n"),
+    ).cast("binary")
+    recs = parse_warc_column(d.select(raw.alias("raw")), "raw")
+    return (
+        pages_from_wet(recs, lang=False)
+        .select(
+            "url",
+            F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts_s"),
+            F.md5(F.col("text").cast("binary")).alias("text_md5"),
+            F.octet_length("text").cast("long").alias("text_len"),
+        )
+        .orderBy("url")
+    )
+
+
+def q_wat_outlinks(spark, sf_dir):
+    """WAT ingest fidelity (sources/warc.py wat_links): build REAL WAT
+    ``metadata`` records in-plan — the block is the JSON Envelope with
+    Head.Title and the Links array, serialized by to_json — re-parse the
+    container, decode the envelope JVM-side with from_json against the
+    typed subset schema, and explode the outlink relation. Docs with
+    doc_id % 50 == 0 carry an EMPTY Links array and must vanish (inner
+    explode: edges, not inventory). Oracle derives every expected link
+    row relationally from doc_id arithmetic — it never sees JSON, so a
+    serialization/decoding defect anywhere breaks equality."""
+    from log_analysis_spark.sources.warc import parse_warc_column, wat_links
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _url_expr().alias("url")
+    )
+    link_t = "array<struct<path:string,url:string,text:string>>"
+    links = F.when(
+        F.pmod(F.col("doc_id"), F.lit(50)) == 0, F.array().cast(link_t)
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.lit("A@/href").alias("path"),
+                F.concat(
+                    F.lit("/p/"), (F.col("doc_id") * 2 + 1).cast("string")
+                ).alias("url"),
+                F.concat(
+                    F.lit("next "), (F.col("doc_id") + 1).cast("string")
+                ).alias("text"),
+            ),
+            F.struct(
+                F.lit("IMG@/src").alias("path"),
+                F.concat(
+                    F.lit("http://img.example/"),
+                    F.pmod(F.col("doc_id"), F.lit(17)).cast("string"),
+                ).alias("url"),
+                F.lit("img").alias("text"),
+            ),
+        )
+    )
+    env_json = F.to_json(
+        F.struct(
+            F.struct(
+                F.struct(
+                    F.struct(
+                        F.struct(
+                            F.struct(
+                                F.concat(
+                                    F.lit("Doc "), F.col("doc_id").cast("string")
+                                ).alias("Title")
+                            ).alias("Head"),
+                            links.alias("Links"),
+                        ).alias("HTML-Metadata")
+                    ).alias("HTTP-Response-Metadata")
+                ).alias("Payload-Metadata")
+            ).alias("Envelope")
+        )
+    )
+    raw = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Target-URI: "),
+        F.col("url"),
+        F.lit("\r\nWARC-Date: 2024-07-02T12:34:56Z\r\nWARC-Record-ID: <urn:uuid:"),
+        F.col("doc_id").cast("string"),
+        F.lit(">\r\nContent-Type: application/json\r\nContent-Length: "),
+        F.octet_length(env_json).cast("string"),
+        F.lit("\r\n\r\n"),
+        env_json,
+        F.lit("\r\n\r\n"),
+    ).cast("binary")
+    recs = parse_warc_column(d.select(raw.alias("raw")), "raw")
+    return (
+        wat_links(recs)
+        .select(
+            "url",
+            F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts_s"),
+            "title",
+            "link_path",
+            "link_url",
+            "link_text",
+        )
+        .orderBy("url", "link_path")
+    )
+
+
 def q_crawl_frontier(spark, sf_dir):
     """Politeness-aware crawl-frontier scheduling
     (operators/frontier.py): host-affine worker assignment (a host is
@@ -2036,6 +2156,25 @@ def q_stupid_backoff(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     model = stupid_backoff_model(d.filter(F.col("lang") == "en"), min_count=2)
     return stupid_backoff_scores(d, model).orderBy("doc_id")
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail quality buckets (operators/lm.py
+    perplexity_buckets; Wenzek et al. 2020): every document scored under
+    the English reference Stupid Backoff LM (same model as
+    stupid_backoff), binned on the [0,1] score (one correctly-rounded
+    multiply + exact floor), tercile-bucketed per language with pure
+    integer arithmetic over the bounded (lang, bin) histogram. English
+    docs concentrate in head (they match the reference LM); other
+    languages' OOV-heavy scores fill tail — the CCNet selection signal."""
+    from log_analysis_spark.operators.lm import (
+        perplexity_buckets,
+        stupid_backoff_model,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    model = stupid_backoff_model(d.filter(F.col("lang") == "en"), min_count=2)
+    return perplexity_buckets(d, model).orderBy("doc_id")
 
 
 def q_vocab_growth(spark, sf_dir):
@@ -4441,6 +4580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grok_parse": q_grok_parse,
         # --- ingest-format fidelity (WARC = Common Crawl's on-disk layout) ---
         "warc_roundtrip": q_warc_roundtrip,
+        "wet_pages": q_wet_pages,
+        "wat_outlinks": q_wat_outlinks,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "langid": q_langid,
@@ -4480,6 +4621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_hits": q_nation_hits,
         "pmi_collocations": q_pmi_collocations,
         "stupid_backoff": q_stupid_backoff,
+        "perplexity_buckets": q_perplexity_buckets,
         "vocab_growth": q_vocab_growth,
         # ---- entries past the driver's 50-row window: variants whose
         # family already has a green representative above ----
@@ -5116,6 +5258,40 @@ def _warc_roundtrip_sql() -> str:
     )
 
 
+def _wet_pages_sql() -> str:
+    """Independent derivation for q_wet_pages: what a correct WET
+    container walk + text landing must recover, straight from the
+    documents table — the oracle never sees the record bytes."""
+    return _hosts_ctes() + (
+        f"urls AS (SELECT doc_id, {_URL_SQL} AS url FROM hosts) "
+        "SELECT u.url, '2024-07-02 12:34:56' AS warc_ts_s, "
+        "md5(d.text) AS text_md5, "
+        "strlen(d.text)::BIGINT AS text_len "  # strlen = BYTE length in DuckDB
+        "FROM documents d JOIN urls u USING (doc_id) ORDER BY u.url"
+    )
+
+
+def _wat_outlinks_sql() -> str:
+    """Independent derivation for q_wat_outlinks: the expected exploded
+    link relation from doc_id arithmetic — the JSON envelope is never
+    constructed oracle-side, so to_json/from_json round-trip defects and
+    the empty-Links drop rule are both proven against relational ground
+    truth."""
+    return _hosts_ctes() + (
+        f"urls AS (SELECT doc_id, {_URL_SQL} AS url FROM hosts), "
+        "l AS (SELECT doc_id, url, 'Doc ' || doc_id::VARCHAR AS title "
+        "FROM urls WHERE doc_id % 50 <> 0) "
+        "SELECT url, '2024-07-02 12:34:56' AS warc_ts_s, title, "
+        "'A@/href' AS link_path, "
+        "'/p/' || (doc_id * 2 + 1)::VARCHAR AS link_url, "
+        "'next ' || (doc_id + 1)::VARCHAR AS link_text FROM l "
+        "UNION ALL "
+        "SELECT url, '2024-07-02 12:34:56', title, 'IMG@/src', "
+        "'http://img.example/' || (doc_id % 17)::VARCHAR, 'img' FROM l "
+        "ORDER BY url, link_path"
+    )
+
+
 def _data_mixture_sql() -> str:
     """DuckDB replay of q_data_mixture: same token counts, same 60-bit
     md5 order, one exclusive-prefix window per lang, literal budgets
@@ -5526,14 +5702,16 @@ def _sql_nation_hits(iters: int = 3) -> str:
     )
 
 
-def _sql_stupid_backoff(min_count: int = 2) -> str:
-    """DuckDB replay of q_stupid_backoff: same tokens fragment, model
-    CTEs from the en sub-corpus, identical CASE/backoff expression tree
-    (0.4 literals cast to DOUBLE — DuckDB would otherwise read them as
-    DECIMAL and round differently), position-ordered fold mean."""
+def _sb_ctes(min_count: int = 2) -> str:
+    """Shared Stupid Backoff replay CTE chain (model from the en
+    sub-corpus, identical CASE/backoff expression tree — 0.4 literals
+    cast to DOUBLE since DuckDB would otherwise read them as DECIMAL and
+    round differently, position-ordered fold mean). Ends with ``agg``
+    (doc_id, n_tokens, sm); both _sql_stupid_backoff and
+    _sql_perplexity_buckets build on it."""
     tok = _TOKENS.format(t="text")
     return (
-        f"WITH l AS (SELECT doc_id, {tok} AS t FROM documents), "
+        f"l AS (SELECT doc_id, {tok} AS t FROM documents), "
         f"ml AS (SELECT {tok} AS t FROM documents WHERE lang = 'en'), "
         "muni AS (SELECT z.w AS w, count(*)::BIGINT AS c1 "
         "FROM ml, UNNEST(t) AS z(w) GROUP BY z.w), "
@@ -5570,9 +5748,41 @@ def _sql_stupid_backoff(min_count: int = 2) -> str:
         "ELSE coalesce(cw3, 0)::DOUBLE / n::DOUBLE END AS p FROM j), "
         "agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, "
         "list_reduce(list_prepend(0.0::DOUBLE, list(p ORDER BY i)), "
-        "(a, v) -> a + v) AS sm FROM s GROUP BY doc_id) "
+        "(a, v) -> a + v) AS sm FROM s GROUP BY doc_id)"
+    )
+
+
+def _sql_stupid_backoff(min_count: int = 2) -> str:
+    """DuckDB replay of q_stupid_backoff: the shared :func:`_sb_ctes`
+    chain, then the per-doc fold mean."""
+    return (
+        f"WITH {_sb_ctes(min_count)} "
         "SELECT doc_id, n_tokens, sm / n_tokens::DOUBLE AS sb_score "
         "FROM agg ORDER BY doc_id"
+    )
+
+
+def _sql_perplexity_buckets(min_count: int = 2, n_bins: int = 1000) -> str:
+    """DuckDB replay of q_perplexity_buckets: the shared Stupid Backoff
+    CTEs, then the identical bit-replayable binning (one double multiply
+    + exact floor + least clamp), the bounded per-(lang, bin) histogram,
+    and the integer-arithmetic tercile CASE over cumulative counts."""
+    return (
+        f"WITH {_sb_ctes(min_count)}, "
+        "sc AS (SELECT a.doc_id, d.lang, a.n_tokens, "
+        "a.sm / a.n_tokens::DOUBLE AS sb_score "
+        "FROM agg a JOIN documents d USING (doc_id)), "
+        f"b AS (SELECT *, least(floor(sb_score * {float(n_bins)}::DOUBLE)::BIGINT, "
+        f"{n_bins - 1}) AS bin FROM sc), "
+        "h AS (SELECT lang, bin, count(*)::BIGINT AS c FROM b GROUP BY 1, 2), "
+        "cm AS (SELECT lang, bin, "
+        "sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cum, "
+        "sum(c) OVER (PARTITION BY lang) AS n FROM h), "
+        "bk AS (SELECT lang, bin, CASE WHEN 3 * cum <= n THEN 'tail' "
+        "WHEN 3 * cum <= 2 * n THEN 'middle' ELSE 'head' END AS bucket FROM cm) "
+        "SELECT b.doc_id, b.lang, b.n_tokens, b.sb_score, bk.bucket "
+        "FROM b JOIN bk ON b.lang = bk.lang AND b.bin = bk.bin "
+        "ORDER BY b.doc_id"
     )
 
 
@@ -6307,6 +6517,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_quota": _domain_quota_sql(),
         "canonical_urls": _canonical_urls_sql(),
         "warc_roundtrip": _warc_roundtrip_sql(),
+        "wet_pages": _wet_pages_sql(),
+        "wat_outlinks": _wat_outlinks_sql(),
         "crawl_frontier": _crawl_frontier_sql(),
         "data_mixture": _data_mixture_sql(),
         "linear_classifier": _linear_classifier_sql(),
@@ -7023,6 +7235,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_hits": _sql_nation_hits(iters=3),
         "pmi_collocations": _sql_pmi_collocations(min_count=3, k=40),
         "stupid_backoff": _sql_stupid_backoff(min_count=2),
+        "perplexity_buckets": _sql_perplexity_buckets(min_count=2, n_bins=1000),
         "vocab_growth": _sql_vocab_growth(),
         "html_text": _html_text_oracle_sql(),
         "anchor_texts": _anchor_texts_oracle_sql(),

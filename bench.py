@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "bpe_merges",
     "host_profile",
     "warc_roundtrip",
+    "wet_pages",
+    "wat_outlinks",
     "crawl_frontier",
     "data_mixture",
     "linear_classifier",
@@ -145,6 +147,7 @@ BENCH_QUERIES = [
     "nation_hits",
     "pmi_collocations",
     "stupid_backoff",
+    "perplexity_buckets",
     "vocab_growth",
 ]
 

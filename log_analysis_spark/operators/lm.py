@@ -190,3 +190,75 @@ def stupid_backoff_scores(
         F.size("_pp").cast("long").alias("n_tokens"),
         (fold / F.size("_pp").cast("double")).alias("sb_score"),
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    model: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_bins: int = 1000,
+) -> DataFrame:
+    """CCNet-style head/middle/tail quality buckets per language.
+
+    Wenzek et al. 2020 ("CCNet: Extracting High Quality Monolingual
+    Datasets from Web Crawl Data") partition each language's crawl into
+    perplexity terciles under a clean reference LM — "head" (most
+    fluent) feeds training, "tail" is dropped. This is that operator
+    over the repo's Stupid Backoff scorer (higher ``sb_score`` = more
+    fluent, so head = the TOP score tercile).
+
+    Cutoffs are computed on a BINNED score histogram, not an exact sort:
+    every per-position Stupid Backoff score is a count ratio in [0, 1]
+    (c(w1w2w3) <= c(w1w2), c(w2w3) <= c(w2), c(w3) <= N; alpha only
+    shrinks), hence the per-document mean is in [0, 1]; bin =
+    min(floor(score * n_bins), n_bins - 1) is one correctly-rounded IEEE
+    multiply + an exact floor, so the binning replays bit-for-bit in any
+    engine. The per-(lang, bin) histogram is BOUNDED (|langs| * n_bins
+    rows); tercile assignment is pure integer arithmetic on its
+    cumulative counts (bin b is tail iff 3 * cum(b) <= n, middle iff
+    3 * cum(b) <= 2n, else head) — all documents sharing a bin share a
+    bucket, the documented tie rule. CCNet itself quantizes cutoffs the
+    same way (published per-lang cutoff tables, not per-doc ranks).
+
+    Returns (id, lang, n_tokens, sb_score, bucket).
+
+    Scale shape at 10^12 docs: scoring is :func:`stupid_backoff_scores`'s
+    gram-key shuffles; the lang attach is one id-keyed equi-join; the
+    histogram is one map-side-combinable groupBy collapsing to a bounded
+    relation; the cumulative window runs over that bounded relation
+    (partitioned by lang); the bucket map broadcasts back. No extra
+    corpus-sized shuffle beyond the id join.
+    """
+    from pyspark.sql.window import Window
+
+    scores = stupid_backoff_scores(docs, model, id_col=id_col, text_col=text_col)
+    scored = scores.join(
+        docs.select(F.col(id_col), F.col(lang_col)), id_col
+    ).withColumn(
+        "_bin",
+        F.least(
+            F.floor(F.col("sb_score") * F.lit(float(n_bins))),
+            F.lit(n_bins - 1).cast("long"),
+        ),
+    )
+    hist = scored.groupBy(lang_col, "_bin").agg(F.count(F.lit(1)).alias("_c"))
+    wl = Window.partitionBy(lang_col)
+    cum = hist.select(
+        lang_col,
+        "_bin",
+        F.sum("_c").over(wl.orderBy("_bin")).alias("_cum"),
+        F.sum("_c").over(wl).alias("_n"),
+    )
+    buckets = cum.select(
+        lang_col,
+        "_bin",
+        F.when(F.lit(3) * F.col("_cum") <= F.col("_n"), F.lit("tail"))
+        .when(F.lit(3) * F.col("_cum") <= F.lit(2) * F.col("_n"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("bucket"),
+    )
+    return scored.join(F.broadcast(buckets), [lang_col, "_bin"]).select(
+        id_col, lang_col, "n_tokens", "sb_score", "bucket"
+    )

@@ -109,3 +109,91 @@ def test_stupid_backoff_min_count_prunes_to_backoff(spark):
     assert pruned[1][1] < loose[1][1]
     want = _py_scores(SCORE_DOCS, _py_model(MODEL_TEXTS, 2))
     assert pruned[1][1] == want[1][1]
+
+# ---- perplexity_buckets (CCNet head/middle/tail) ----
+
+
+def _py_buckets(docs_with_lang, model, n_bins=1000):
+    """Pure-python replay of perplexity_buckets' binning + tercile rule."""
+    import math
+
+    scores = _py_scores([(i, t) for i, t, _ in docs_with_lang], model)
+    langs = {i: lg for i, _, lg in docs_with_lang}
+    binned = {
+        i: min(int(math.floor(s * float(n_bins))), n_bins - 1)
+        for i, (_, s) in scores.items()
+    }
+    hist: dict = {}
+    for i, b in binned.items():
+        hist.setdefault(langs[i], Counter())[b] += 1
+    bucket_of = {}
+    for lg, h in hist.items():
+        n = sum(h.values())
+        cum = 0
+        for b in sorted(h):
+            cum += h[b]
+            bucket_of[(lg, b)] = (
+                "tail" if 3 * cum <= n else "middle" if 3 * cum <= 2 * n else "head"
+            )
+    return {
+        i: (langs[i], scores[i][0], scores[i][1], bucket_of[(langs[i], binned[i])])
+        for i in scores
+    }
+
+
+BUCKET_DOCS = [
+    # nine en docs spanning fluent -> shuffled -> OOV so the en terciles
+    # are non-degenerate; two de docs prove per-lang independence.
+    (1, "the quick brown fox jumps over the lazy dog", "en"),
+    (2, "the quick brown fox runs over the green hill", "en"),
+    (3, "the lazy dog sleeps in the warm sun", "en"),
+    (4, "a quick brown fox is a happy fox", "en"),
+    (5, "fox brown quick the dog lazy the over jumps", "en"),
+    (6, "hill green the over runs fox brown quick", "en"),
+    (7, "zyx wvu tsr qpo", "en"),
+    (8, "qqq www eee rrr", "en"),
+    (9, "dog the sun warm", "en"),
+    (10, "der schnelle braune fuchs", "de"),
+    (11, "the quick brown fox", "de"),
+]
+
+
+def _spark_buckets(spark, n_bins=1000):
+    from log_analysis_spark.operators.lm import perplexity_buckets
+
+    model_df = spark.createDataFrame([(t,) for t in MODEL_TEXTS], "text string")
+    docs_df = spark.createDataFrame(
+        BUCKET_DOCS, "doc_id long, text string, lang string"
+    )
+    model = stupid_backoff_model(model_df, min_count=1)
+    return {
+        r["doc_id"]: (r["lang"], r["n_tokens"], r["sb_score"], r["bucket"])
+        for r in perplexity_buckets(docs_df, model, n_bins=n_bins).collect()
+    }
+
+
+def test_perplexity_buckets_match_python_replay(spark):
+    got = _spark_buckets(spark)
+    want = _py_buckets(BUCKET_DOCS, _py_model(MODEL_TEXTS, 1))
+    assert got == want  # lang, n_tokens, bit-exact score, bucket
+
+
+def test_perplexity_buckets_fluent_head_oov_tail(spark):
+    got = _spark_buckets(spark)
+    # in-model English prose lands in head, pure-OOV gibberish in tail
+    assert got[1][3] == "head"
+    assert got[7][3] == "tail" and got[8][3] == "tail"
+    # terciles are PER LANGUAGE: de has its own split even though doc 11
+    # would be head-fluent under the global en distribution
+    en_buckets = {b for i, (lg, _, _, b) in got.items() if lg == "en"}
+    assert en_buckets == {"head", "middle", "tail"}
+    de = {i: v for i, v in got.items() if v[0] == "de"}
+    assert len(de) == 2 and {v[3] for v in de.values()} <= {"head", "middle", "tail"}
+
+
+def test_perplexity_buckets_tie_rule_same_bin_same_bucket(spark):
+    # coarse binning (n_bins=1) forces every doc into bin 0: the
+    # bin-granular tie rule must put ALL docs of a lang in ONE bucket
+    # (cum == n -> head by the integer CASE).
+    got = _spark_buckets(spark, n_bins=1)
+    assert {v[3] for v in got.values()} == {"head"}

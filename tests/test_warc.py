@@ -242,3 +242,65 @@ def test_pages_from_warc_charset_sniff(spark, tmpdir_path):
         ).collect()
     }
     assert "café" not in raw["http://l1.example/a"]  # blind cast mangles é
+
+
+# ---- WET / WAT companion distributions ----
+
+
+def test_wet_pages_from_fixture_file(spark, tmpdir_path):
+    from log_analysis_spark.sources.warc import build_wet_record, pages_from_wet
+
+    recs = [
+        build_wet_record("http://a.example/x", "2024-07-02T00:00:01Z", "alpha page"),
+        build_wet_record("http://b.example/y", "2024-07-02T00:00:02Z", "café naïve"),
+    ]
+    write_warc_fixture(os.path.join(tmpdir_path, "s.wet.gz"), recs)
+    got = {
+        r["url"]: r
+        for r in pages_from_wet(
+            read_warc(spark, tmpdir_path, types=("conversion",))
+        ).collect()
+    }
+    assert got["http://a.example/x"]["text"] == "alpha page"
+    assert got["http://b.example/y"]["text"] == "café naïve"  # UTF-8 decode
+    assert str(got["http://a.example/x"]["warc_ts"]) == "2024-07-02 00:00:01"
+    assert set(got["http://a.example/x"].asDict()) == {
+        "url", "warc_ts", "text", "lang",
+    }
+
+
+def test_wat_links_explode_and_empty_drop(spark, tmpdir_path):
+    from log_analysis_spark.sources.warc import build_wat_record, wat_links
+
+    recs = [
+        build_wat_record(
+            "http://a.example/x",
+            "2024-07-02T00:00:01Z",
+            [("A@/href", "/next", "more"), ("IMG@/src", "http://i.example/1", "")],
+            title="Page A",
+        ),
+        # no outlinks: must not produce rows (edges, not inventory)
+        build_wat_record("http://b.example/y", "2024-07-02T00:00:02Z", [], title="B"),
+    ]
+    write_warc_fixture(os.path.join(tmpdir_path, "s.wat.gz"), recs)
+    rows = wat_links(read_warc(spark, tmpdir_path, types=("metadata",))).collect()
+    assert {r["url"] for r in rows} == {"http://a.example/x"}
+    got = {(r["link_path"], r["link_url"], r["link_text"]) for r in rows}
+    assert got == {("A@/href", "/next", "more"), ("IMG@/src", "http://i.example/1", "")}
+    assert all(r["title"] == "Page A" for r in rows)
+
+
+def test_wat_links_malformed_json_nulls_out(spark):
+    from log_analysis_spark.sources.warc import wat_links
+
+    rec = build_record(
+        "metadata",
+        "http://broken.example/",
+        "2024-07-02T00:00:03Z",
+        b"{not json",
+        content_type="application/json",
+    )
+    df = spark.createDataFrame([(bytearray(rec),)], "raw binary")
+    out = wat_links(parse_warc_column(df, "raw"))
+    # malformed envelope -> from_json nulls -> inner explode drops the row
+    assert out.count() == 0

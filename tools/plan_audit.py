@@ -41,6 +41,7 @@ NLJ_WHITELIST = {
     "nation_hits",  # 2 × iters 1-row max-score normalizers
     "pmi_collocations",  # 1-row N (tokens) and B (bigrams) totals
     "stupid_backoff",  # 1-row N (model token total)
+    "perplexity_buckets",  # same 1-row N broadcast via stupid_backoff_scores
     "vocab_growth",  # 8-row checkpoint dim range-joins two bounded aggs
 }  # 1-row bounded broadcasts
 # queries that should show a pushed filter on their scan
