@@ -2574,6 +2574,45 @@ def q_span_scrub(spark, sf_dir):
     )
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet cross-corpus paragraph dedup (operators/dedup.py
+    paragraph_dedup; Wenzek et al. 2020 §3.1 — the stage CCNet runs
+    before any LM scoring). Documents are deterministically multi-lined:
+    a Copyright line whose YEAR varies by doc_id%4 but whose normalized
+    form (lowercase, digits->0) is ONE global hash group — exactly one
+    survivor corpus-wide, the min-(id,pos) winner; a nav line shared by
+    each doc_id%3 class (one survivor per class); the doc's own base
+    text (dedups only where the corpus itself repeats); and an
+    always-unique closer. md5 base hash for the cross-engine replay."""
+    from log_analysis_spark.operators.dedup import paragraph_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    boiler = F.concat(
+        F.lit("Copyright "),
+        (F.lit(2000) + F.pmod(F.col("doc_id"), F.lit(4))).cast("string"),
+        F.lit(" Example Corp."),
+    )
+    nav = F.element_at(
+        F.array(
+            F.lit("Home | About | Contact"),
+            F.lit("Cookie settings"),
+            F.lit("Subscribe to our newsletter"),
+        ),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    uniq = F.concat(
+        F.lit("Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" body "),
+        (F.col("doc_id") * 7).cast("string"),
+        F.lit("."),
+    )
+    text2 = F.concat_ws("\n", boiler, F.col("text"), nav, uniq)
+    return paragraph_dedup(
+        d.select("doc_id", text2.alias("text")), hash_fn="md5"
+    ).orderBy("doc_id")
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR importance-resampling data selection (Xie et al. 2023):
     hashed unigram+bigram features (B=64), per-document likelihood-ratio
@@ -4592,6 +4631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "decontaminate": q_decontaminate,
         "span_scrub": q_span_scrub,
+        "paragraph_dedup": q_paragraph_dedup,
         # --- dedup family ---
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -6512,6 +6552,45 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(dup_spans, 0)::BIGINT AS dup_spans, "
             "coalesce(clean, '') AS clean_text "
             "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"
+        ),
+        "paragraph_dedup": (
+            # Replays dedup.paragraph_dedup(max_docs=1, 'md5') over the
+            # gate's deterministic multi-lining: newline split with
+            # positions, blank-paragraph drop, the SAME two-regex
+            # normalization (lowercase, digits->0, whitespace collapse,
+            # trim), 60-bit md5 hash, min-(id,pos) winner election
+            # (arithmetic key — positions are tiny), survivors re-join
+            # in order with ORIGINAL bytes.
+            "WITH docs2 AS (SELECT doc_id, "
+            "'Copyright ' || (2000 + doc_id % 4)::VARCHAR || ' Example Corp.' "
+            "|| chr(10) || text || chr(10) || "
+            "list_extract(['Home | About | Contact', 'Cookie settings', "
+            "'Subscribe to our newsletter'], (doc_id % 3 + 1)::INT) "
+            "|| chr(10) || 'Doc ' || doc_id::VARCHAR || ' body ' || "
+            "(doc_id * 7)::VARCHAR || '.' AS text FROM documents), "
+            "paras0 AS (SELECT doc_id, u['pos'] AS pos, u['ptxt'] AS ptxt FROM "
+            "(SELECT doc_id, unnest([{'pos': i - 1, 'ptxt': p[i]} "
+            "for i in range(1, len(p) + 1)]) AS u FROM "
+            "(SELECT doc_id, string_split(text, chr(10)) AS p FROM docs2))), "
+            "paras AS (SELECT doc_id, pos, ptxt, "
+            "trim(regexp_replace(regexp_replace(lower(ptxt), '[0-9]+', '0', 'g'), "
+            "'\\s+', ' ', 'g')) AS nrm FROM paras0 WHERE trim(ptxt) != ''), "
+            f"ph AS MATERIALIZED (SELECT doc_id, pos, ptxt, {_sql_h60('nrm')} AS h "
+            "FROM paras), "
+            "freq AS (SELECT h, count(DISTINCT doc_id) AS nd, "
+            "min(doc_id * 1000000 + pos) AS wkey FROM ph GROUP BY h), "
+            "flg AS (SELECT ph.doc_id, ph.pos, ph.ptxt, "
+            "(nd > 1 AND ph.doc_id * 1000000 + ph.pos != wkey)::INT AS dup "
+            "FROM ph JOIN freq USING (h)), "
+            "agg AS (SELECT doc_id, count(*)::BIGINT AS n_paras, "
+            "sum(dup)::BIGINT AS dup_paras, "
+            "string_agg(ptxt, chr(10) ORDER BY pos) FILTER (WHERE dup = 0) AS clean "
+            "FROM flg GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(n_paras, 0)::BIGINT AS n_paras, "
+            "coalesce(dup_paras, 0)::BIGINT AS dup_paras, "
+            "coalesce(clean, '') AS clean_text "
+            "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id "
+            "ORDER BY d.doc_id"
         ),
         "dsir_select": _dsir_select_sql(),
         "domain_quota": _domain_quota_sql(),

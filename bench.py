@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "pack_offsets",
     "decontaminate",
     "span_scrub",
+    "paragraph_dedup",
     "semdedup",
     "incremental_dedup",
     "hll_distinct_pairs",

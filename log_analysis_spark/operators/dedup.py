@@ -1378,3 +1378,106 @@ def duplicated_span_scrub(
         F.coalesce("dup_spans", F.lit(0).cast("long")).alias("dup_spans"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 1,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """CCNet-style cross-corpus paragraph deduplication (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data", §3.1) — the pipeline stage CCNet runs FIRST, before any
+    LM scoring: split every document into paragraphs (newline-separated,
+    as CCNet does), hash a normalized form of each, and drop every
+    paragraph whose normalized hash appears in more than ``max_docs``
+    documents EXCEPT its first occurrence. CCNet reports this removes
+    ~70% of raw Common Crawl text (dates, navigation, cookie banners).
+
+    Normalization (documented subset of CCNet's: they lowercase, map
+    digits to zero, and strip punctuation before hashing): lowercase,
+    every digit run -> '0', whitespace collapsed, ends trimmed. Both
+    engines replay it with the same two regexes, so the md5 variant is
+    bit-identical cross-engine.
+
+    "First occurrence" is deterministic: the minimum (id, paragraph
+    position) struct over the hash group — a plain ``min`` aggregate, so
+    the winner election is map-side combinable (the all-reduce never
+    sees more than one candidate row per partition per hash, which is
+    what makes the cookie-banner hash with 10^9 occurrences survivable).
+    Survivors reassemble in original order with their ORIGINAL bytes
+    (normalization only keys the hash). Blank paragraphs never enter the
+    paragraph relation and the reassembly joins survivors with single
+    newlines — the documented contract (CCNet likewise re-joins kept
+    paragraphs rather than preserving blank runs).
+
+    Returns one row per input document:
+    (id_col, n_paras, dup_paras, clean_text) — ``dup_paras`` counts the
+    paragraphs this document LOST; ``clean_text`` is '' when every
+    paragraph was someone else's boilerplate (downstream drops empties).
+
+    Scale shape at 10^12 docs: the paragraph relation is O(total lines);
+    the winner election is one min-aggregate groupBy on the 8-byte hash
+    (two-phase, partial aggs collapse boilerplate skew map-side); the
+    verdict join is hash-on-hash (big-big, AQE handles residual skew);
+    reassembly reuses the document key. No step is all-pairs and no
+    per-hash state exceeds one (id, pos) struct.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("_ptxt")), "[0-9]+", "0"),
+            "\\s+",
+            " ",
+        )
+    )
+    paras = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_ptxt"),
+        )
+        .filter(F.trim(F.col("_ptxt")) != "")
+        .withColumn("_h", _base_hash(norm, hash_fn))
+    )
+    winners = paras.groupBy("_h").agg(
+        F.min(F.struct("_id", "_pos")).alias("_w"),
+        F.count_distinct("_id").alias("_nd"),
+    )
+    flagged = paras.join(winners, "_h").withColumn(
+        "_dup",
+        (
+            (F.col("_nd") > max_docs)
+            & ~((F.col("_w._id") == F.col("_id")) & (F.col("_w._pos") == F.col("_pos")))
+        ).cast("int"),
+    )
+    per_doc = flagged.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum("_dup").cast("long").alias("dup_paras"),
+        F.concat_ws(
+            "\n",
+            F.filter(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "_pos",
+                                F.when(F.col("_dup") == 0, F.col("_ptxt")).alias(
+                                    "_kt"
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["_kt"],
+                ),
+                lambda t: t.isNotNull(),
+            ),
+        ).alias("clean_text"),
+    )
+    base = df.select(F.col(id_col).alias("_id"))
+    return base.join(per_doc, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce("n_paras", F.lit(0).cast("long")).alias("n_paras"),
+        F.coalesce("dup_paras", F.lit(0).cast("long")).alias("dup_paras"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
