@@ -277,6 +277,63 @@ def q_canonical_urls(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_surt_keys(spark, sf_dir):
+    """SURT keys (functions/parse.py surt_key) — the sort key of Common
+    Crawl's CDX URL index (IA/pywb public spec): scheme dropped, host
+    lowercased + www-stripped + label-REVERSED with commas, default port
+    dropped / non-default kept, ')' separator, path+query lowercased,
+    params sorted. Same adversarial synthetic URLs as canonical_urls;
+    pure codegen, zero shuffle."""
+    from log_analysis_spark.functions.parse import surt_key
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _url_expr().alias("url")
+    )
+    return d.select(
+        "doc_id", "url", surt_key(F.col("url")).alias("surt")
+    ).orderBy("doc_id")
+
+
+def q_cdx_lookup(spark, sf_dir):
+    """The MATERIALIZED CDX index path (sources/cdx.py): SURT-ordered
+    range-bucket layout + the bounded `_cluster` sidecar (Common Crawl's
+    cluster.idx analogue), written once per (sf_dir, documents mtime) to
+    /tmp, then probed for the 'uk,co,site' domain-prefix range — only
+    sidecar-overlapping bucket dirs are file-listed, the startswith
+    residual runs inside the scan. The oracle recomputes SURT keys over
+    ALL documents and filters the same prefix — equality proves the
+    pruned index read loses nothing regardless of sampled range
+    boundaries."""
+    import hashlib
+    import os
+
+    from log_analysis_spark.sources.cdx import (
+        cdx_lookup_prefix,
+        cdx_records,
+        write_cdx_index,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        _url_expr().alias("url"),
+        F.concat(
+            F.lit("202407"),
+            F.lpad((F.pmod(F.col("doc_id"), F.lit(28)) + 1).cast("string"), 2, "0"),
+            F.lit("120000"),
+        ).alias("ts"),
+        "text",
+    )
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{src}|{os.stat(src).st_mtime_ns}|cdx16".encode()
+    ).hexdigest()[:12]
+    idx = f"/tmp/las_cdx_idx_{key}"
+    if not os.path.exists(os.path.join(idx, "data", "_SUCCESS")):
+        write_cdx_index(cdx_records(d), idx, n_buckets=16)
+    return cdx_lookup_prefix(spark, idx, "uk,co,site").orderBy(
+        "surt", "url", "ts", "digest"
+    )
+
+
 def q_canonical_dedup(spark, sf_dir):
     """URL-level dedup BEFORE content dedup: canonicalize the fetch url
     (functions/parse.py canonical_url), group by the canonical key, keep
@@ -4711,6 +4768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "domain_quota": q_domain_quota,
         "canonical_urls": q_canonical_urls,
+        "surt_keys": q_surt_keys,
+        "cdx_lookup": q_cdx_lookup,
         "binned_quantiles": q_binned_quantiles,
         "c4_line_filter": q_c4_line_filter,
         "boilerplate_blocks": q_boilerplate_blocks,
@@ -5242,6 +5301,57 @@ def _canonical_urls_sql() -> str:
         "SELECT doc_id, url, canonical, "
         "(count(*) OVER (PARTITION BY canonical))::BIGINT AS n_same_canonical "
         "FROM fin ORDER BY doc_id"
+    )
+
+
+def _surt_ctes() -> str:
+    """Shared DuckDB replay of ``parse.surt_key`` over the synthetic
+    URLs: same anchored regexes as the canonical replay, then www-strip,
+    label reversal with commas, default-port drop (non-default kept
+    after the reversed host), path+query lowercasing, param sort. Ends
+    with CTE ``sk`` (doc_id, url, surt)."""
+    return _hosts_ctes() + (
+        f"urls AS (SELECT doc_id, {_URL_SQL} AS url FROM hosts), "
+        "t1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u "
+        "FROM urls), "
+        "t2 AS (SELECT *, "
+        "lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme, "
+        "lower(regexp_extract(u, '^[^:/?]+://([^/?]*)', 1)) AS hp0, "
+        "regexp_extract(u, '^[^:/?]+://[^/?]*(/[^?]*)?', 1) AS p0, "
+        "lower(regexp_extract(u, '\\?(.*)$', 1)) AS q FROM t1), "
+        "t3 AS (SELECT *, "
+        "CASE WHEN scheme = 'http' THEN regexp_replace(hp0, ':80$', '') "
+        "WHEN scheme = 'https' THEN regexp_replace(hp0, ':443$', '') "
+        "ELSE hp0 END AS hp FROM t2), "
+        "t4 AS (SELECT *, "
+        "regexp_replace(regexp_replace(hp, ':[0-9]*$', ''), '^www\\.', '') AS hst, "
+        "regexp_extract(hp, '(:[0-9]*)$', 1) AS prt, "
+        "lower(CASE WHEN p0 = '' THEN '/' ELSE p0 END) AS pth, "
+        "array_to_string(list_sort(list_filter(str_split(q, '&'), "
+        "x -> x != '')), '&') AS qs FROM t3), "
+        "sk AS (SELECT doc_id, url, CASE WHEN scheme = '' THEN lower(u) ELSE "
+        "array_to_string(list_reverse(string_split(hst, '.')), ',') || prt "
+        "|| ')' || pth || "
+        "CASE WHEN qs <> '' THEN '?' || qs ELSE '' END END AS surt FROM t4)"
+    )
+
+
+def _surt_keys_sql() -> str:
+    return _surt_ctes() + " SELECT doc_id, url, surt FROM sk ORDER BY doc_id"
+
+
+def _cdx_lookup_sql(prefix: str = "uk,co,site") -> str:
+    """Ground truth for the pruned index probe: SURT keys recomputed
+    over ALL documents, capture rows rebuilt (same ts arithmetic, md5
+    digest), filtered by the same prefix — the materialized index must
+    lose nothing to bucket pruning."""
+    return _surt_ctes() + (
+        ", cap AS (SELECT sk.surt, sk.url, "
+        "'202407' || lpad(((sk.doc_id % 28) + 1)::VARCHAR, 2, '0') || '120000' "
+        "AS ts, md5(d.text) AS digest "
+        "FROM sk JOIN documents d ON sk.doc_id = d.doc_id) "
+        f"SELECT surt, url, ts, digest FROM cap "
+        f"WHERE surt LIKE '{prefix}%' ORDER BY surt, url, ts, digest"
     )
 
 
@@ -6595,6 +6705,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _dsir_select_sql(),
         "domain_quota": _domain_quota_sql(),
         "canonical_urls": _canonical_urls_sql(),
+        "surt_keys": _surt_keys_sql(),
+        "cdx_lookup": _cdx_lookup_sql(),
         "warc_roundtrip": _warc_roundtrip_sql(),
         "wet_pages": _wet_pages_sql(),
         "wat_outlinks": _wat_outlinks_sql(),

@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "dsir_select",
     "domain_quota",
     "canonical_urls",
+    "surt_keys",
+    "cdx_lookup",
     "binned_quantiles",
     "c4_line_filter",
     "term_lookup",

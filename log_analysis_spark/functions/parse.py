@@ -457,3 +457,56 @@ def strip_tracking_params(
         head, F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit(""))
     )
     return F.when(url.rlike(r"\?"), rebuilt).otherwise(url)
+
+
+def surt_key(url: Column) -> Column:
+    """Sort-friendly URI Reordering Transform — the key Common Crawl's
+    CDX(J) URL index sorts by (public spec: Internet Archive / pywb
+    "SURT"; CC's cc-index files are SURT-ordered so one host's, one
+    domain's, or one TLD's captures are a contiguous key range).
+
+    ``http://www.Example.com:8080/A/b?b=2&a=1#f`` ->
+    ``com,example:8080)/a/b?a=1&b=2``
+
+      1. fragment stripped,
+      2. scheme dropped, host lowercased, default port dropped
+         (:80 http, :443 https), non-default port kept,
+      3. leading ``www.`` stripped (the IA canonicalizer's convention),
+      4. host labels REVERSED and joined with commas (the sort trick:
+         subdomains of a domain share a prefix),
+      5. ``)`` separator, then path and query lowercased (CDX "massaged
+         url" convention), empty path -> ``/``, query params sorted,
+         empty query dropped.
+
+    Pure native Column expressions over the same anchored basic regexes
+    as :func:`canonical_url` (identical Java-regex/RE2 semantics, so the
+    DuckDB oracle replays byte-for-byte). Non-authority URLs fall back
+    to the lowercased fragment-stripped input — a sort key must never be
+    NULL for a row the index owns.
+    """
+    u = F.regexp_replace(url, "#.*", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[^:/?]+://([^/?]*)", 1))
+    hostport = F.when(
+        (scheme == "http"), F.regexp_replace(hostport, ":80$", "")
+    ).when(
+        (scheme == "https"), F.regexp_replace(hostport, ":443$", "")
+    ).otherwise(hostport)
+    host = F.regexp_replace(hostport, ":[0-9]*$", "")
+    port = F.regexp_extract(hostport, r"(:[0-9]*)$", 1)
+    host = F.regexp_replace(host, r"^www\.", "")
+    revhost = F.concat_ws(",", F.reverse(F.split(host, r"\.")))
+    path = F.lower(F.regexp_extract(u, r"^[^:/?]+://[^/?]*(/[^?]*)?", 1))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.lower(F.regexp_extract(u, r"\?(.*)$", 1))
+    q_sorted = F.concat_ws(
+        "&", F.array_sort(F.filter(F.split(q, "&"), lambda x: x != ""))
+    )
+    key = F.concat(
+        revhost,
+        port,
+        F.lit(")"),
+        path,
+        F.when(q_sorted != "", F.concat(F.lit("?"), q_sorted)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == "", F.lower(u)).otherwise(key)
