@@ -720,6 +720,58 @@ def q_url_dedup_key(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_jsonld_entities(spark, sf_dir):
+    """schema.org JSON-LD extraction (functions/html.py
+    jsonld_entities): one codegen regexp_extract_all over the page +
+    JVM-side get_json_object per block. Residue classes per doc_id%5:
+    a double-quoted Product block with a name; a single-quoted
+    UPPERCASE-tag Article with extra attrs; TWO blocks on one page
+    (posexplode order pinned); malformed JSON (type/name NULL, task
+    never dies); no block at all (page drops — entity relation, not
+    inventory)."""
+    from log_analysis_spark.functions.html import jsonld_entities
+
+    d = _t(spark, sf_dir, "documents")
+    ids = F.col("doc_id").cast("string")
+    blk = F.element_at(
+        F.array(
+            F.concat(
+                F.lit(
+                    '<script type="application/ld+json">'
+                    '{"@type": "Product", "name": "Item '
+                ),
+                ids,
+                F.lit('"}</script>'),
+            ),
+            F.lit(
+                "<SCRIPT TYPE='application/ld+json' async>"
+                '{"@type": "Article"}</SCRIPT>'
+            ),
+            F.concat(
+                F.lit(
+                    '<script type="application/ld+json">'
+                    '{"@type": "NewsArticle", "name": "N'
+                ),
+                ids,
+                F.lit(
+                    '"}</script><div>x</div>'
+                    '<script type="application/ld+json">'
+                    '{"@type": "BreadcrumbList"}</script>'
+                ),
+            ),
+            F.lit(
+                '<script type="application/ld+json">{"@type": "Broken", </script>'
+            ),
+            F.lit(""),
+        ),
+        (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int"),
+    )
+    html = F.concat(F.lit("<html><body><p>Filler</p>"), blk, F.lit("</body></html>"))
+    return jsonld_entities(
+        d.select("doc_id", html.alias("html"))
+    ).orderBy("doc_id", "pos")
+
+
 def q_page_directives(spark, sf_dir):
     """In-page curation directives (functions/html.py page_directives)
     composed with RFC 3986 resolution: four page variants — absolute
@@ -4753,6 +4805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pct_normalize": q_pct_normalize,
         "url_dedup_key": q_url_dedup_key,
         "page_directives": q_page_directives,
+        "jsonld_entities": q_jsonld_entities,
         "fingerprints": q_fingerprints,
         "dedup_keep_best": q_dedup_keep_best,
         "window_topn": q_window_topn,
@@ -5338,6 +5391,45 @@ def _surt_ctes() -> str:
 
 def _surt_keys_sql() -> str:
     return _surt_ctes() + " SELECT doc_id, url, surt FROM sk ORDER BY doc_id"
+
+
+def _jsonld_entities_sql() -> str:
+    """DuckDB replay of q_jsonld_entities: same synthetic pages, same
+    RE2-compatible block regex, ordinal positions via the list
+    comprehension dodge, json_valid-guarded member extraction (DuckDB
+    raises on malformed JSON where Spark's get_json_object nulls —
+    the guard reproduces the null)."""
+    rx = (
+        "(?is)<script[^<>]*type\\s*=\\s*[\"'']application/ld\\+json[\"'']"
+        "[^<>]*>(.*?)</script>"
+    )
+    blk = (
+        "list_extract(["
+        "'<script type=\"application/ld+json\">{\"@type\": \"Product\", "
+        "\"name\": \"Item ' || doc_id::VARCHAR || '\"}</script>', "
+        "'<SCRIPT TYPE=''application/ld+json'' async>"
+        "{\"@type\": \"Article\"}</SCRIPT>', "
+        "'<script type=\"application/ld+json\">{\"@type\": \"NewsArticle\", "
+        "\"name\": \"N' || doc_id::VARCHAR || '\"}</script><div>x</div>"
+        "<script type=\"application/ld+json\">"
+        "{\"@type\": \"BreadcrumbList\"}</script>', "
+        "'<script type=\"application/ld+json\">{\"@type\": \"Broken\", </script>', "
+        "''], (doc_id % 5 + 1)::INT)"
+    )
+    return (
+        f"WITH pages AS (SELECT doc_id, '<html><body><p>Filler</p>' || {blk} "
+        "|| '</body></html>' AS html FROM documents), "
+        f"b AS (SELECT doc_id, regexp_extract_all(html, '{rx}', 1) AS bs "
+        "FROM pages), "
+        "e AS (SELECT doc_id, unnest([{'pos': i - 1, 'blk': bs[i]} "
+        "for i in range(1, len(bs) + 1)]) AS u FROM b) "
+        "SELECT doc_id, u['pos']::BIGINT AS pos, "
+        "CASE WHEN json_valid(u['blk']) THEN "
+        "json_extract_string(u['blk'], '$.\"@type\"') END AS jtype, "
+        "CASE WHEN json_valid(u['blk']) THEN "
+        "json_extract_string(u['blk'], '$.\"name\"') END AS jname "
+        "FROM e ORDER BY doc_id, pos"
+    )
 
 
 def _cdx_lookup_sql(prefix: str = "uk,co,site") -> str:
@@ -7440,6 +7532,7 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": _script_profile_sql(),
         "tfidf_cosine_topk": _tfidf_cosine_topk_sql(),
         "canonical_dedup": _canonical_dedup_sql(),
+        "jsonld_entities": _jsonld_entities_sql(),
         "page_directives": (
             # Direct-expectation oracle for q_page_directives: the
             # extracted+resolved directives each variant MUST yield.

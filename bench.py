@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "host_edges",
     "nation_pagerank",
     "html_text",
+    "jsonld_entities",
     "anchor_texts",
     "robots_filter",
     "bm25_search",

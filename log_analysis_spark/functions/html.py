@@ -36,7 +36,7 @@ Scope caps (documented, not silent):
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tags whose open/close marks a block boundary -> line break.
@@ -176,4 +176,50 @@ def page_directives(html: Column) -> Column:
         content.rlike("(^|[ ,])nofollow([ ,]|$)").alias("nofollow"),
         F.nullif(title, F.lit("")).alias("title"),
         F.nullif(base_href, F.lit("")).alias("base_href"),
+    )
+
+
+# --- JSON-LD structured data --------------------------------------------------
+# schema.org JSON-LD is the dominant on-page structured-data carrier
+# (<script type="application/ld+json">{...}</script>); a curation
+# pipeline uses it for page typing (Product/Article/Recipe routing),
+# metadata enrichment, and boilerplate-free titles. Extraction is one
+# codegen regexp_extract_all (RE2-compatible: case-insensitive,
+# dotall, non-greedy body) + JVM-side get_json_object — no Python.
+_JSONLD_RX = (
+    r"""(?is)<script[^<>]*type\s*=\s*["']application/ld\+json["']"""
+    r"""[^<>]*>(.*?)</script>"""
+)
+
+
+def jsonld_blocks(html: Column) -> Column:
+    """``array<string>`` of raw JSON-LD payloads in document order —
+    empty array when the page carries none."""
+    return F.regexp_extract_all(html, F.lit(_JSONLD_RX), 1)
+
+
+def jsonld_entities(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+) -> DataFrame:
+    """One row per JSON-LD block: (id, pos, jtype, jname) — ``jtype`` /
+    ``jname`` are the block's ``@type`` / ``name`` members, NULL when
+    the member is absent OR the block is malformed JSON
+    (``get_json_object`` nulls out rather than failing the task — a
+    crawl ALWAYS contains broken JSON-LD). Pages with no block drop
+    (inner posexplode: an entity relation, not a page inventory).
+    ``@type`` arrays come back as their raw JSON text (documented cap —
+    callers route on scalar types).
+
+    Scale shape: pure projection + generate, zero shuffle; the regex
+    runs once per page and the JSON parse once per block."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(jsonld_blocks(F.col(html_col))).alias("pos", "_b"),
+    ).select(
+        id_col,
+        F.col("pos").cast("long").alias("pos"),
+        F.get_json_object(F.col("_b"), "$['@type']").alias("jtype"),
+        F.get_json_object(F.col("_b"), "$['name']").alias("jname"),
     )

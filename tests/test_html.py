@@ -149,3 +149,41 @@ def test_page_directives_base_href(spark):
     ).collect()[0]
     assert d.b == "/b1/b2/"
     assert d.resolved == "https://h.net/b1/cx"
+
+
+def test_jsonld_entities_matrix(spark):
+    import pandas as pd
+
+    from log_analysis_spark.functions.html import jsonld_blocks, jsonld_entities
+
+    html = [
+        '<script type="application/ld+json">{"@type": "Product", "name": "W 5"}</script>',
+        "<SCRIPT TYPE='application/ld+json' async>{\"@type\": \"Article\"}</SCRIPT>",
+        '<script type="application/ld+json">{"@type": "Broken", </script>',
+        '<script type="application/ld+json">{"@type": ["A","B"], "name": "x"}</script>',
+        "plain page, no structured data",
+        # two blocks, document order must hold
+        '<script type="application/ld+json">{"@type": "First"}</script>'
+        '<p>mid</p>'
+        '<script type="application/ld+json">{"@type": "Second"}</script>',
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(6), "html": html}))
+    got = [
+        tuple(r)
+        for r in jsonld_entities(df).orderBy("doc_id", "pos").collect()
+    ]
+    assert got == [
+        (0, 0, "Product", "W 5"),
+        (1, 0, "Article", None),  # single-quoted attr, extra attr, caps tag
+        (2, 0, None, None),  # malformed JSON nulls, never dies
+        (3, 0, '["A","B"]', "x"),  # @type array -> raw JSON text (doc cap)
+        (5, 0, "First", None),  # doc 4 dropped entirely (no block)
+        (5, 1, "Second", None),
+    ]
+    # blocks column form: empty array, not null, for block-free pages
+    n_empty = (
+        df.select(jsonld_blocks(F.col("html")).alias("b"))
+        .where(F.size("b") == 0)
+        .count()
+    )
+    assert n_empty == 1
