@@ -25,6 +25,9 @@ params don't match):
     c4       (--c4-clean) C4 line-level boilerplate cleaning
     justext  (--justext) context-smoothed block classification keeps
              only GOOD lines (boilerplate_blocks); no-content pages drop
+    paragraph_dedup (--paragraph-dedup) CCNet cross-corpus paragraph
+             dedup: first occurrence survives, boilerplate-only docs
+             drop (the stage CCNet runs first; ~70% of raw CC text)
     scrub    strip k-word spans duplicated across documents
     dedup    exact dedup (min-id survivor) [+ MinHash-LSH near-dup
              clusters resolved keep-best-quality with --neardup]
@@ -167,6 +170,24 @@ def _justext(df: DataFrame) -> DataFrame:
         .select("doc_id", F.col("content_text").alias("text"))
     )
     return df.drop("text").join(cleaned, "doc_id").select(*df.columns)
+
+
+def _paragraph_dedup(df: DataFrame, max_docs: int, hash_fn: str) -> DataFrame:
+    """CCNet's FIRST pipeline stage (Wenzek et al. 2020 §3.1 — they
+    measured ~70% of raw Common Crawl text removed here, so running it
+    before scrub/dedup/quality spares every later stage those bytes):
+    drop every newline-paragraph whose normalized hash already appeared
+    in another document, keep first occurrences, reassemble; docs whose
+    every paragraph was someone else's boilerplate drop entirely."""
+    from ..operators.dedup import paragraph_dedup
+
+    deduped = paragraph_dedup(
+        df, "doc_id", "text", max_docs=max_docs, hash_fn=hash_fn
+    )
+    keep = deduped.filter(F.length("clean_text") > 0).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    return df.drop("text").join(keep, "doc_id").select(*df.columns)
 
 
 def _scrub(
@@ -347,6 +368,8 @@ def run_curation(
     mixture_tokens: int = 0,
     binned_quality: bool = False,
     scrub_mode: str = "blocks",
+    paragraph_dedup: bool = False,
+    paragraph_max_docs: int = 1,
     media_path: str | None = None,
     media_hamming: int = 7,
     media_algo: str = "dhash",
@@ -377,6 +400,7 @@ def run_curation(
             if media_path
             else ""
         )
+        + (f"|pd={paragraph_max_docs}" if paragraph_dedup else "")
         + (
             f"|dom={domain_min_pass}:{domain_min_chars}:{domain_min_docs}"
             if domain_min_pass is not None
@@ -413,6 +437,17 @@ def run_curation(
         ),
         *([("c4", _c4, None)] if c4 else []),
         *([("justext", _justext, None)] if justext else []),
+        *(
+            [
+                (
+                    "paragraph_dedup",
+                    lambda d: _paragraph_dedup(d, paragraph_max_docs, hash_fn),
+                    None,
+                )
+            ]
+            if paragraph_dedup
+            else []
+        ),
         ("scrub", lambda d: _scrub(d, span_k, hash_fn, scrub_mode), None),
         ("dedup", lambda d: _dedup(d, neardup, hash_fn), None),
         *(
@@ -583,6 +618,12 @@ def main() -> None:
         "--domain-min-chars falls below this rate (domains with fewer "
         "than --domain-min-docs docs are never dropped)",
     )
+    ap.add_argument(
+        "--paragraph-dedup",
+        action="store_true",
+        help="CCNet cross-corpus paragraph dedup stage (runs before scrub)",
+    )
+    ap.add_argument("--paragraph-max-docs", type=int, default=1)
     ap.add_argument("--domain-min-chars", type=int, default=200)
     ap.add_argument("--domain-min-docs", type=int, default=3)
     ap.add_argument(
@@ -635,6 +676,8 @@ def main() -> None:
         mixture_tokens=args.mixture_tokens,
         binned_quality=args.binned_quality,
         scrub_mode=args.scrub_mode,
+        paragraph_dedup=args.paragraph_dedup,
+        paragraph_max_docs=args.paragraph_max_docs,
         media_path=args.media,
         media_hamming=args.media_hamming,
         media_algo=args.media_algo,

@@ -404,3 +404,47 @@ def test_lm_filter_stage_drops_oov_gibberish(spark, tmpdir_path):
     kw3 = dict(kw, lm_min_score=2.0)
     r3 = run_curation(spark, docs_path, f"{tmpdir_path}/cur_lm3", **kw3)
     assert r3["halted_empty_at"] == "lm_filter"
+
+
+def test_paragraph_dedup_stage(spark, tmpdir_path):
+    """--paragraph-dedup runs CCNet's cross-corpus paragraph scrub
+    before scrub: a doctored corpus where every doc carries the same
+    banner line keeps the banner in exactly ONE doc; an all-boilerplate
+    doc leaves the corpus entirely."""
+    from pyspark.sql import functions as F
+
+    src = f"{tmpdir_path}/docs_pd"
+    docs = spark.read.parquet(SF_DOCS).limit(40)
+    doctored = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit("\nSubscribe to our newsletter"))
+    )
+    # one extra doc that is ONLY the banner -> must vanish
+    only_banner = doctored.limit(1).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        *[c for c in doctored.columns if c not in ("doc_id", "text")],
+        F.lit("Subscribe to our newsletter").alias("text"),
+    ).select(*doctored.columns)
+    doctored.unionByName(only_banner).write.parquet(src)
+
+    out = f"{tmpdir_path}/cur_pd"
+    r = run_curation(spark, src, out, span_k=6, paragraph_dedup=True)
+    assert r["stages_run"][0] == "paragraph_dedup"
+    pd_stats = r["stages"]["paragraph_dedup"]
+    assert pd_stats["rows_in"] == 41 and pd_stats["rows_out"] == 40
+    staged = spark.read.parquet(f"{out}/stage_paragraph_dedup")
+    n_with_banner = staged.filter(
+        F.col("text").contains("Subscribe to our newsletter")
+    ).count()
+    assert n_with_banner == 1  # first occurrence only
+    assert staged.filter(F.col("doc_id") >= 1000000).count() == 0
+
+    # param rides the fingerprint: changing max_docs invalidates
+    r2 = run_curation(
+        spark, src, out, span_k=6, paragraph_dedup=True, paragraph_max_docs=50
+    )
+    assert "paragraph_dedup" in r2["stages_run"]
+    staged2 = spark.read.parquet(f"{out}/stage_paragraph_dedup")
+    assert (
+        staged2.filter(F.col("text").contains("Subscribe to our newsletter")).count()
+        == 41
+    )
