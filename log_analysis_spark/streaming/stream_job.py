@@ -687,6 +687,135 @@ def start_inverted_index_stream(
     )
 
 
+def start_cdx_stream(
+    spark: SparkSession,
+    input_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    text_col: str = "text",
+    max_files_per_trigger: int = 100000,
+):
+    """Keep the materialized CDX index (sources/cdx.py) fresh from a
+    capture stream — the URL-index sibling of the inverted-index twin:
+    each micro-batch's capture rows route to the EXISTING range buckets
+    (boundary = each bucket's original min_key, read from the bounded
+    ``_cluster`` sidecar; keys below the first boundary extend bucket 0)
+    and APPEND as new sorted runs inside ``data/_rb=<b>`` — exactly how
+    CC itself publishes new crawls as additional sorted index shards.
+    The sidecar then merges per-bucket (min, max, n) and re-writes via
+    the tmp-dir atomic swap (the ``update_state`` discipline), so
+    lookups prune correctly the moment the batch commits.
+
+    Contract notes (same as the inverted-index twin):
+
+    - The index must exist (``write_cdx_index``) before the stream
+      starts; the initial build owns boundary selection, the stream
+      never re-samples — buckets therefore stay non-overlapping (a key
+      routes to bucket b iff boundary(b) <= key < boundary(b+1), so a
+      bucket's max can never cross its neighbour's min).
+    - Appends are at-least-once across a crash between data-append and
+      sidecar-swap (that one batch can double; the sidecar n is a
+      diagnostic count, pruning correctness only needs min/max, which
+      are idempotent under replay). Iceberg for transactional appends —
+      MIGRATION.md.
+    - Within-bucket ordering is per-FILE sorted runs after appends, not
+      one global run; ``cdx_lookup_prefix`` filters (order is not part
+      of its contract) and a periodic batch rewrite re-sorts a bucket in
+      place when range scans want single-run locality.
+    """
+    import os
+    import shutil
+
+    from ..sources.cdx import cdx_records
+
+    schema = spark.read.parquet(input_path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    cluster_path = os.path.join(index_path, "_cluster")
+
+    def _sink(batch: DataFrame, _bid: int) -> None:
+        sp = batch.sparkSession
+        old = sp.read.parquet(cluster_path).collect()  # bounded: n_buckets
+        bounds = sorted(
+            ((r["_rb"], r["min_key"]) for r in old), key=lambda t: t[1]
+        )
+        route = [
+            (
+                rb,
+                "" if i == 0 else lo,
+                bounds[i + 1][1] if i + 1 < len(bounds) else None,
+            )
+            for i, (rb, lo) in enumerate(bounds)
+        ]
+        bdf = sp.createDataFrame(route, "_rb int, lo string, hi string")
+        routed = cdx_records(batch, url_col, ts_col, text_col).join(
+            F.broadcast(bdf),
+            (F.col("surt") >= F.col("lo"))
+            & (F.col("hi").isNull() | (F.col("surt") < F.col("hi"))),
+        ).drop("lo", "hi")
+        routed.persist()
+        try:
+            (
+                routed.sortWithinPartitions("surt", "ts")
+                .write.mode("append")
+                .partitionBy("_rb")
+                .parquet(f"{index_path}/data")
+            )
+            inc = {
+                r["_rb"]: r
+                for r in routed.groupBy("_rb")
+                .agg(
+                    F.min("surt").alias("mn"),
+                    F.max("surt").alias("mx"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            }
+        finally:
+            routed.unpersist()
+        merged = [
+            (
+                r["_rb"],
+                min(r["min_key"], inc[r["_rb"]]["mn"])
+                if r["_rb"] in inc
+                else r["min_key"],
+                max(r["max_key"], inc[r["_rb"]]["mx"])
+                if r["_rb"] in inc
+                else r["max_key"],
+                int(r["n"]) + int(inc[r["_rb"]]["n"]) if r["_rb"] in inc else int(r["n"]),
+            )
+            for r in old
+        ]
+        tmp = cluster_path + "._tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        sp.createDataFrame(
+            merged, "_rb int, min_key string, max_key string, n long"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        back = cluster_path + "._old"
+        shutil.rmtree(back, ignore_errors=True)
+        if os.path.exists(cluster_path):
+            os.rename(cluster_path, back)
+        try:
+            os.rename(tmp, cluster_path)
+        except OSError:
+            if os.path.exists(back):
+                os.rename(back, cluster_path)
+            raise
+        shutil.rmtree(back, ignore_errors=True)
+
+    return (
+        src.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_classifier_stream(
     spark: SparkSession,
     input_path: str,

@@ -633,3 +633,84 @@ def test_lm_score_stream_matches_batch_scores(spark, tmpdir_path):
     }
     docs.unpersist()
     assert streamed == want
+
+
+def test_cdx_stream_appends_and_repairs_sidecar(spark, tmpdir_path):
+    """Streamed captures (two arrival batches) extend the batch-built
+    CDX index: every lookup equals brute force over the union; the
+    sidecar's min/max absorb keys below/above the original ranges; the
+    replayed trigger with the SAME checkpoint is a no-op."""
+    import pandas as pd
+
+    from log_analysis_spark.sources.cdx import (
+        cdx_lookup_prefix,
+        cdx_records,
+        write_cdx_index,
+    )
+    from log_analysis_spark.streaming.stream_job import start_cdx_stream
+
+    def caps(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["url", "ts", "text"])
+        )
+
+    base = caps(
+        [
+            (f"http://www.{d}/p/{i}", "20240701000000", f"b {d} {i}")
+            for d in ["mid.com", "late.org"]
+            for i in range(10)
+        ]
+    )
+    idx = f"{tmpdir_path}/cdx_idx"
+    write_cdx_index(cdx_records(base), idx, n_buckets=4)
+
+    arrivals = f"{tmpdir_path}/cdx_arrivals"
+    # batch 1: new captures inside existing ranges + BELOW every range
+    # (aaa.biz sorts before com,*) + ABOVE (zzz.xyz sorts after org,*)
+    b1 = caps(
+        [
+            ("http://www.mid.com/p/3", "20240801000000", "b mid.com 3 v2"),
+            ("http://aaa.biz/low", "20240801000000", "low"),
+            ("http://zzz.xyz/high", "20240801000000", "high"),
+        ]
+    )
+    b1.write.parquet(arrivals)
+    start_cdx_stream(
+        spark, arrivals, idx, f"{tmpdir_path}/cdx_ckpt"
+    ).awaitTermination()
+    # batch 2: another domain entirely
+    caps(
+        [("http://www.late.org/p/99", "20240901000000", "late 99")]
+    ).write.mode("append").parquet(arrivals)
+    start_cdx_stream(
+        spark, arrivals, idx, f"{tmpdir_path}/cdx_ckpt"
+    ).awaitTermination()
+
+    union = base.unionByName(b1).unionByName(
+        caps([("http://www.late.org/p/99", "20240901000000", "late 99")])
+    )
+    for prefix in ["com,mid", "org,late)/p/9", "biz,aaa", "xyz,zzz", "com,"]:
+        got = sorted(
+            map(tuple, cdx_lookup_prefix(spark, idx, prefix).collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                cdx_records(union)
+                .filter(F.col("surt").startswith(prefix))
+                .collect(),
+            )
+        )
+        assert got == want and got, prefix
+
+    side = spark.read.parquet(f"{idx}/_cluster").collect()
+    assert sum(r["n"] for r in side) == 24
+    assert min(r["min_key"] for r in side).startswith("biz,aaa")
+    assert max(r["max_key"] for r in side).startswith("xyz,zzz")
+
+    # replay with the same checkpoint: nothing new -> counts unchanged
+    start_cdx_stream(
+        spark, arrivals, idx, f"{tmpdir_path}/cdx_ckpt"
+    ).awaitTermination()
+    side2 = spark.read.parquet(f"{idx}/_cluster").collect()
+    assert sum(r["n"] for r in side2) == 24
