@@ -120,3 +120,78 @@ def cdx_lookup_prefix(spark: SparkSession, path: str, prefix: str) -> DataFrame:
         )
     df = spark.read.parquet(*[f"{path}/data/_rb={b}" for b in hit])
     return df.filter(F.col("surt").startswith(prefix))
+
+
+def compact_cdx_bucket(spark: SparkSession, path: str, rb: int) -> int:
+    """Rewrite one range bucket as a single sorted run and repair its
+    sidecar row — the periodic maintenance step after streamed appends
+    (each append lands as its own sorted run; lookups stay correct but
+    range scans lose single-run locality). Touches ONLY the named
+    bucket's directory and the bounded sidecar: at 10^12 captures
+    compaction is an embarrassingly parallel per-bucket job scheduled by
+    append volume (the sidecar's n vs the bucket's file count), never a
+    global rewrite. Returns the bucket's row count.
+
+    The rewrite uses the tmp-dir + rename discipline (a reader that
+    lists mid-compaction sees either all old runs or the one new run,
+    never a partial mix); the sidecar row rewrite reuses the same swap.
+    """
+    import os
+    import shutil
+
+    bucket_dir = f"{path}/data/_rb={rb}"
+    rows = spark.read.parquet(bucket_dir)
+    tmp = f"{path}/data/._rb_tmp_{rb}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        rows.repartition(1)
+        .sortWithinPartitions("surt", "ts")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    n = spark.read.parquet(tmp).count()
+    back = f"{path}/data/._rb_old_{rb}"
+    shutil.rmtree(back, ignore_errors=True)
+    os.rename(bucket_dir, back)
+    try:
+        os.rename(tmp, bucket_dir)
+    except OSError:
+        os.rename(back, bucket_dir)
+        raise
+    shutil.rmtree(back, ignore_errors=True)
+
+    cluster_path = f"{path}/_cluster"
+    side = spark.read.parquet(cluster_path).collect()
+    agg = (
+        spark.read.parquet(bucket_dir)
+        .agg(
+            F.min("surt").alias("mn"),
+            F.max("surt").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
+    )
+    merged = [
+        (
+            r["_rb"],
+            agg["mn"] if r["_rb"] == rb else r["min_key"],
+            agg["mx"] if r["_rb"] == rb else r["max_key"],
+            int(agg["n"]) if r["_rb"] == rb else int(r["n"]),
+        )
+        for r in side
+    ]
+    tmp2 = cluster_path + "._tmp"
+    shutil.rmtree(tmp2, ignore_errors=True)
+    spark.createDataFrame(
+        merged, "_rb int, min_key string, max_key string, n long"
+    ).coalesce(1).write.mode("overwrite").parquet(tmp2)
+    back2 = cluster_path + "._old"
+    shutil.rmtree(back2, ignore_errors=True)
+    os.rename(cluster_path, back2)
+    try:
+        os.rename(tmp2, cluster_path)
+    except OSError:
+        os.rename(back2, cluster_path)
+        raise
+    shutil.rmtree(back2, ignore_errors=True)
+    return int(agg["n"])

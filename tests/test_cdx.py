@@ -124,3 +124,42 @@ def test_digest_tracks_content_drift(spark, captures, index):
     out = cdx_lookup_prefix(spark, index, "com,alpha)/p/0").collect()
     assert len(out) == 2  # two captures of the same url
     assert out[0]["digest"] != out[1]["digest"]  # i=0 drifted (v2)
+
+
+def test_compact_bucket_single_run_same_answers(spark, captures, index, tmp_path_factory):
+    """After appended runs, compaction rewrites one bucket to a single
+    sorted file, repairs its sidecar row, and changes no answer."""
+    import glob as g
+    import shutil
+
+    from log_analysis_spark.sources.cdx import compact_cdx_bucket
+
+    # work on a copy: other tests share the module-scoped index
+    work = str(tmp_path_factory.mktemp("cdx") / "copy")
+    shutil.copytree(index, work)
+    cluster = spark.read.parquet(f"{work}/_cluster").collect()
+    rb = max(cluster, key=lambda r: r["n"])["_rb"]
+    # simulate streamed appends: write the bucket's own rows again as a
+    # second run, then fix the sidecar n to match
+    extra = spark.read.parquet(f"{work}/data/_rb={rb}").toPandas()
+    n0 = len(extra)
+    spark.createDataFrame(extra).write.mode("append").parquet(
+        f"{work}/data/_rb={rb}"
+    )
+    before = sorted(
+        map(tuple, spark.read.parquet(f"{work}/data/_rb={rb}").collect())
+    )
+    n = compact_cdx_bucket(spark, work, rb)
+    assert n == 2 * n0
+    files = g.glob(f"{work}/data/_rb={rb}/*.parquet")
+    assert len(files) == 1  # one sorted run
+    after_df = spark.read.parquet(f"{work}/data/_rb={rb}")
+    assert sorted(map(tuple, after_df.collect())) == before
+    # the single file is globally sorted
+    keys = [r["surt"] for r in after_df.collect()]
+    assert keys == sorted(keys)
+    meta = {
+        r["_rb"]: r for r in spark.read.parquet(f"{work}/_cluster").collect()
+    }[rb]
+    assert meta["n"] == 2 * n0
+    assert meta["min_key"] == keys[0] and meta["max_key"] == keys[-1]
