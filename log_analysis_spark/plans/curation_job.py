@@ -349,6 +349,48 @@ def _split(df: DataFrame, test_frac: float, valid_frac: float) -> DataFrame:
     return split_by_hash(df, "doc_id", test_frac, valid_frac)
 
 
+def ingest_wet(
+    spark: SparkSession,
+    wet_dir: str,
+    input_path: str,
+    out_dir: str,
+    resume: bool = True,
+) -> dict:
+    """Materialize the documents table from raw ``.wet(.gz)`` files —
+    Common Crawl's extracted-text distribution (sources/warc.py
+    pages_from_wet): one task per WET file -> conversion records ->
+    (doc_id, url, lang, text) with doc_id = xxhash64(url), the same id
+    contract as the ``--html`` extract stage. Starting curation from
+    .wet skips HTML parsing entirely (CC already did it) — the cheapest
+    on-ramp when raw markup is not needed. One resume unit,
+    fingerprinted by the WET directory listing."""
+    from pyspark.sql import Observation
+
+    from ..sources.warc import pages_from_wet, read_warc
+
+    manifest = Manifest(os.path.join(out_dir, "_manifest"))
+    fp = dir_fingerprint(wet_dir)
+    if resume and manifest.is_done("wet_ingest", "all", fp):
+        return {"wet_ingested": False, "skipped": True}
+    obs = Observation("wet_docs")
+    docs = (
+        pages_from_wet(read_warc(spark, wet_dir, types=("conversion",)))
+        .select(
+            F.xxhash64(F.col("url")).alias("doc_id"), "url", "lang", "text"
+        )
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+    )
+    docs.write.mode("overwrite").parquet(input_path)
+    n = int(obs.get["n"])
+    manifest.mark_done(
+        "wet_ingest",
+        "all",
+        fp,
+        UnitResult(rows_in=n, rows_out=n, bytes_out=dir_bytes(input_path)),
+    )
+    return {"wet_ingested": True, "docs": n}
+
+
 def run_curation(
     spark: SparkSession,
     input_path: str,
@@ -619,6 +661,11 @@ def main() -> None:
         "than --domain-min-docs docs are never dropped)",
     )
     ap.add_argument(
+        "--wet-ingest",
+        metavar="WET_DIR",
+        help="materialize the documents table at --input from raw .wet(.gz) files (Common Crawl extracted-text layout) before curating; manifest-resumed",
+    )
+    ap.add_argument(
         "--paragraph-dedup",
         action="store_true",
         help="CCNet cross-corpus paragraph dedup stage (runs before scrub)",
@@ -657,6 +704,14 @@ def main() -> None:
     from ..session import get_spark
 
     spark = get_spark("corpus-curation-job", master=args.master)
+    ingest = (
+        ingest_wet(
+            spark, args.wet_ingest, args.input, args.out,
+            resume=not args.no_resume,
+        )
+        if args.wet_ingest
+        else None
+    )
     stats = run_curation(
         spark,
         args.input,
@@ -688,6 +743,8 @@ def main() -> None:
         lm_min_score=args.lm_min_score,
         lm_min_count=args.lm_min_count,
     )
+    if ingest is not None:
+        stats["wet_ingest"] = ingest
     print(json.dumps(stats))
     sys.stdout.flush()
     spark.stop()

@@ -448,3 +448,42 @@ def test_paragraph_dedup_stage(spark, tmpdir_path):
         staged2.filter(F.col("text").contains("Subscribe to our newsletter")).count()
         == 41
     )
+
+
+def test_wet_ingest_materializes_documents(spark, tmpdir_path):
+    """--wet-ingest: raw .wet.gz (gzip-member conversion records) become
+    the documents table before curation; the unchanged WET dir skips on
+    resume."""
+    import os
+
+    from log_analysis_spark.plans.curation_job import ingest_wet
+    from log_analysis_spark.sources.warc import build_wet_record, write_warc_fixture
+
+    wet_dir = f"{tmpdir_path}/wet"
+    os.makedirs(wet_dir)
+    recs = [
+        build_wet_record(
+            f"http://w{i}.example.com/p",
+            "2024-07-02T12:00:00Z",
+            f"alpha beta gamma delta {i} " * 8,
+        )
+        for i in range(12)
+    ]
+    write_warc_fixture(f"{wet_dir}/f1.warc.wet.gz", recs[:6])
+    write_warc_fixture(f"{wet_dir}/f2.warc.wet.gz", recs[6:])
+
+    src = f"{tmpdir_path}/wet_docs"
+    out = f"{tmpdir_path}/cur_wet"
+    r = ingest_wet(spark, wet_dir, src, out)
+    assert r == {"wet_ingested": True, "docs": 12}
+    docs = spark.read.parquet(src)
+    assert docs.count() == 12
+    assert set(docs.columns) == {"doc_id", "url", "lang", "text"}
+    assert docs.filter(docs.text.contains("alpha beta gamma")).count() == 12
+
+    # curation runs straight off the materialized table
+    stats = run_curation(spark, src, out, span_k=6)
+    assert stats["stages"]["split"]["rows_out"] > 0
+    # unchanged WET dir -> ingest skips
+    r2 = ingest_wet(spark, wet_dir, src, out)
+    assert r2 == {"wet_ingested": False, "skipped": True}
