@@ -37,13 +37,19 @@ context starts the chain unpenalized; alpha applies only to actual
 backoffs, per the paper. Documents with zero tokens produce no output
 row (there is nothing to score).
 
-Scale shape at 10^12 tokens: the exploded (doc, pos, w1, w2, w3)
-relation is corpus-sized and joins the three gram relations by gram key
-— hash joins whose build sides are the (Zipf-bounded, min_count-pruned)
-gram vocabularies; hot function-word grams skew the probe side and AQE
-skew-join splitting handles them like every hot-key join in this repo.
-The per-document regroup carries one (pos, double) pair per token —
-the same order of bytes as the tokenized text.
+Scale shape at 10^12 tokens: the score of a position depends ONLY on
+its (w1, w2, w3) key, so the corpus-sized exploded relation never joins
+the gram tables directly. Instead the DISTINCT key relation (Zipf-
+bounded — the set of trigram types in the scored text, orders of
+magnitude smaller than the token stream) takes the five gram-table
+joins, producing a per-key score relation, and the corpus joins back
+ONCE on the (null-safe) key. Corpus-sized shuffles: the distinct's
+map-side-combined partial (per-partition key sets, not tokens), the
+key join-back, and the per-document regroup — versus five full probe
+shuffles in the naive shape. Hot function-word grams skew the join-back
+probe side and AQE skew-join splitting handles them like every hot-key
+join in this repo. The per-document regroup carries one (pos, double)
+pair per token — the same order of bytes as the tokenized text.
 """
 
 from __future__ import annotations
@@ -84,7 +90,14 @@ def stupid_backoff_model(
     threshold (the MapReduce-LM entropy-pruning analogue) — pruned
     trigrams back off at score time, exactly as unseen ones do.
     """
-    t = df.select(tokens(F.col(text_col)).alias("_t"))
+    # Spread the CPU-bound tokenize+explode across all cores: a small
+    # training corpus can arrive as one scan split (one file / one row
+    # group), which would serialize the whole gram count on one task.
+    # The shuffle moves only the raw text bytes — trivial next to the
+    # exploded gram stream it unlocks parallelism for.
+    t = df.select(tokens(F.col(text_col)).alias("_t")).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     uni = (
         t.select(F.explode("_t").alias("w"))
         .groupBy("w")
@@ -137,10 +150,18 @@ def stupid_backoff_scores(
     under ``model`` (from :func:`stupid_backoff_model`). The expression
     tree below is the replay contract — do not re-parenthesize."""
     a = F.lit(ALPHA)
-    pos = docs.select(
-        F.col(id_col).alias("_id"),
-        F.explode(_positional_grams(tokens(F.col(text_col)))).alias("_g"),
-    ).select("_id", "_g.pos", "_g.w1", "_g.w2", "_g.w3")
+    pos = (
+        docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_tx"))
+        # Same small-scan parallelization as training (see
+        # stupid_backoff_model): tokenization + the positional-gram
+        # explode are the CPU hot path and must not ride one scan split.
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            "_id",
+            F.explode(_positional_grams(tokens(F.col("_tx")))).alias("_g"),
+        )
+        .select("_id", "_g.pos", "_g.w1", "_g.w2", "_g.w3")
+    )
 
     tri = model["tri"]
     b12 = model["bi"].select(
@@ -152,8 +173,14 @@ def stupid_backoff_scores(
     u2 = model["uni"].select(F.col("w").alias("w2"), F.col("c1").alias("cw2"))
     u3 = model["uni"].select(F.col("w").alias("w3"), F.col("c1").alias("cw3"))
 
+    # Distinct-key scoring (Brants' distributed-LM shape, sharpened): the
+    # score is a pure function of the (w1, w2, w3) key, so only the
+    # Zipf-bounded key vocabulary visits the gram tables; the corpus-sized
+    # position relation joins back once. Values are bit-identical to the
+    # naive five-join plan — same expression tree over the same counts.
+    keys = pos.select("w1", "w2", "w3").distinct()
     j = (
-        pos.join(tri, ["w1", "w2", "w3"], "left")
+        keys.join(tri, ["w1", "w2", "w3"], "left")
         .join(b12, ["w1", "w2"], "left")
         .join(b23, ["w2", "w3"], "left")
         .join(u2, ["w2"], "left")
@@ -175,8 +202,17 @@ def stupid_backoff_scores(
         )
         .otherwise(unig)  # pos == 1
     )
+    kscore = j.select("w1", "w2", "w3", score.alias("_p"))
+    # Null-safe equi-join: w1/w2 are NULL at positions 1-2 by construction
+    # and <=> keys still plan as hash-join keys in Catalyst.
+    scored = pos.alias("p").join(
+        kscore.alias("k"),
+        F.col("p.w1").eqNullSafe(F.col("k.w1"))
+        & F.col("p.w2").eqNullSafe(F.col("k.w2"))
+        & (F.col("p.w3") == F.col("k.w3")),
+    )
     per_doc = (
-        j.select("_id", "pos", score.alias("_p"))
+        scored.select("p._id", "p.pos", F.col("k._p").alias("_p"))
         .groupBy("_id")
         .agg(F.sort_array(F.collect_list(F.struct("pos", "_p"))).alias("_pp"))
     )
