@@ -416,6 +416,42 @@ def q_sitemap_urls(spark, sf_dir):
     return parse_sitemaps(src).orderBy("host", "entry_pos")
 
 
+def q_url_align(spark, sf_dir):
+    """CCAligned-style cross-lingual URL alignment (operators/align.py,
+    El-Kishky 2020): strip language identifiers (path segments matching
+    the ISO code±region shape, lang/hl/locale query params) from
+    deterministically-synthesized multilingual URLs, elect the min-id
+    English doc per stripped key (map-side-combinable aggregate — a hot
+    template key costs one cell, never a pair fan-out), then one equi-join
+    pairs every non-English doc with its English counterpart. The key
+    derivation uses ONLY split/filter/array_join builtins so the oracle
+    replays it verbatim; uppercase tags, regioned tags (en-us), two
+    lang-param spellings that must collapse to the same key, fragment
+    strip, and query-free URLs are all planted."""
+    from log_analysis_spark.operators.align import align_by_url
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    k = F.col("doc_id")
+    site = F.pmod(k, F.lit(37)).cast("string")
+    page = F.pmod(k, F.lit(11)).cast("string")
+    seg = F.when(
+        F.pmod(k, F.lit(3)) == 0, F.concat(F.col("lang"), F.lit("-us"))
+    ).otherwise(F.col("lang"))
+    seg = F.when(F.pmod(k, F.lit(7)) == 0, F.upper(seg)).otherwise(seg)
+    q = (
+        F.when(F.pmod(k, F.lit(10)) == 9, F.lit(""))
+        .when(F.pmod(k, F.lit(2)) == 0, F.concat(F.lit("?a=1&lang="), F.col("lang")))
+        .otherwise(F.concat(F.lit("?hl="), F.col("lang"), F.lit("&a=1")))
+    )
+    frag = F.when(F.pmod(k, F.lit(5)) == 0, F.lit("#frag")).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("https://site"), site, F.lit(".example/"), seg,
+        F.lit("/s"), site, F.lit("/p"), page, F.lit(".html"), q, frag,
+    )
+    out = align_by_url(d.withColumn("url", url))
+    return out.select("align_key", "pivot_id", "doc_id", "lang").orderBy("doc_id")
+
+
 def q_redirect_resolve(spark, sf_dir):
     """Redirect-chain resolution (operators/redirects.py): constructed
     3xx chains — 100 groups of length 1-7, every 11th group closed into
@@ -4822,6 +4858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quota": q_domain_quota,
         "canonical_urls": q_canonical_urls,
         "surt_keys": q_surt_keys,
+        "url_align": q_url_align,
         "cdx_lookup": q_cdx_lookup,
         "binned_quantiles": q_binned_quantiles,
         "c4_line_filter": q_c4_line_filter,
@@ -5391,6 +5428,52 @@ def _surt_ctes() -> str:
 
 def _surt_keys_sql() -> str:
     return _surt_ctes() + " SELECT doc_id, url, surt FROM sk ORDER BY doc_id"
+
+
+def _url_align_sql() -> str:
+    """DuckDB replay of q_url_align: identical URL synthesis from doc_id
+    arithmetic, then the same split/filter/join key derivation
+    (string_split / list_filter / array_to_string mirror Spark's split /
+    filter / array_join step for step), min-id pivot election, equi-join."""
+    seg0 = "(CASE WHEN doc_id % 3 = 0 THEN lang || '-us' ELSE lang END)"
+    return (
+        "WITH u AS (SELECT doc_id, lang, "
+        "'https://site' || (doc_id % 37)::VARCHAR || '.example/' "
+        f"|| (CASE WHEN doc_id % 7 = 0 THEN upper({seg0}) ELSE {seg0} END) "
+        "|| '/s' || (doc_id % 37)::VARCHAR || '/p' || (doc_id % 11)::VARCHAR "
+        "|| '.html' "
+        "|| (CASE WHEN doc_id % 10 = 9 THEN '' "
+        "WHEN doc_id % 2 = 0 THEN '?a=1&lang=' || lang "
+        "ELSE '?hl=' || lang || '&a=1' END) "
+        "|| (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url "
+        "FROM documents), "
+        "p1 AS (SELECT doc_id, lang, string_split(lower(url), '#')[1] AS low "
+        "FROM u), "
+        "p2 AS (SELECT *, string_split(low, '://')[-1] AS rest FROM p1), "
+        "p3 AS (SELECT *, string_split(rest, '/')[1] AS host, "
+        "CASE WHEN strpos(rest, '/') > 0 "
+        "THEN substr(rest, strpos(rest, '/') + 1) ELSE '' END AS pathq FROM p2), "
+        "p4 AS (SELECT *, "
+        "CASE WHEN strpos(pathq, '?') > 0 "
+        "THEN substr(pathq, 1, strpos(pathq, '?') - 1) ELSE pathq END AS pth, "
+        "CASE WHEN strpos(pathq, '?') > 0 "
+        "THEN substr(pathq, strpos(pathq, '?') + 1) ELSE '' END AS qs FROM p3), "
+        "p5 AS (SELECT doc_id, lang, "
+        "host || '/' || array_to_string(list_filter(string_split(pth, '/'), "
+        "s -> s <> '' AND NOT regexp_matches(s, "
+        "'^[a-z]{2}([-_][a-z]{2})?$')), '/') AS base, "
+        "list_filter(string_split(qs, '&'), kv -> kv <> '' AND NOT "
+        "(string_split(kv, '=')[1] IN "
+        "('lang', 'language', 'locale', 'hl', 'lr'))) AS params FROM p4), "
+        "keyed AS (SELECT doc_id, lang, CASE WHEN len(params) > 0 "
+        "THEN base || '?' || array_to_string(params, '&') ELSE base END "
+        "AS align_key FROM p5), "
+        "piv AS (SELECT align_key, min(doc_id) AS pivot_id FROM keyed "
+        "WHERE lang = 'en' GROUP BY align_key) "
+        "SELECT k.align_key, piv.pivot_id, k.doc_id, k.lang "
+        "FROM keyed k JOIN piv USING (align_key) "
+        "WHERE k.lang <> 'en' ORDER BY k.doc_id"
+    )
 
 
 def _jsonld_entities_sql() -> str:
@@ -6798,6 +6881,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_quota": _domain_quota_sql(),
         "canonical_urls": _canonical_urls_sql(),
         "surt_keys": _surt_keys_sql(),
+        "url_align": _url_align_sql(),
         "cdx_lookup": _cdx_lookup_sql(),
         "warc_roundtrip": _warc_roundtrip_sql(),
         "wet_pages": _wet_pages_sql(),

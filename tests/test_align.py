@@ -1,0 +1,94 @@
+"""CCAligned-style URL alignment (operators/align.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_spark.operators.align import align_by_url, url_align_key
+
+
+def _keys(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    rows = df.select(url_align_key(F.col("url")).alias("k")).collect()
+    return [r["k"] for r in rows]
+
+
+def test_key_strips_lang_segments_and_params(spark):
+    got = _keys(
+        spark,
+        [
+            "https://a.example/en/docs/intro.html",
+            "https://a.example/fr/docs/intro.html",
+            "https://a.example/EN-US/docs/intro.html",
+            "https://a.example/zh_CN/docs/intro.html",
+            "https://a.example/docs/intro.html?lang=fr&x=1",
+            "https://a.example/docs/intro.html?hl=de&x=1",
+            "https://a.example/docs/intro.html?x=1#frag",
+        ],
+    )
+    assert set(got) == {"a.example/docs/intro.html?x=1"} | {
+        "a.example/docs/intro.html"
+    }
+    # every variant with the x=1 param collapses to ONE key
+    assert got[4] == got[5] == got[6]
+    # bare-path variants (lang only in the path) collapse too
+    assert got[0] == got[1] == got[2] == got[3]
+
+
+def test_key_keeps_content_segments(spark):
+    # 'p3' (digit) and 'docs' (len 4) are NOT language tags; 'it' IS
+    # (two letters — the documented false-positive shape of the paper's
+    # own heuristic strips real words like 'it').
+    a, b = _keys(
+        spark,
+        ["http://h.x/docs/p3/it/page", "http://h.x/docs/p3/page"],
+    )
+    assert a == b == "h.x/docs/p3/page"
+
+
+def test_key_scheme_case_and_no_path(spark):
+    got = _keys(spark, ["HTTPS://H.X/EN/A", "https://h.x/a", "https://h.x"])
+    assert got[0] == got[1] == "h.x/a"
+    assert got[2] == "h.x/"
+
+
+def test_align_pairs_and_winner_election(spark):
+    rows = [
+        # two English docs at the same key: min doc_id (10) must win
+        (10, "en", "https://s.x/en/a"),
+        (11, "en", "https://s.x/a?hl=en"),
+        (20, "fr", "https://s.x/fr/a"),
+        (21, "de", "https://s.x/a?lang=de"),
+        # no English counterpart -> never aligned
+        (30, "zh", "https://s.x/zh/only"),
+        # English doc with no foreign counterpart -> no output row
+        (40, "en", "https://s.x/en/solo"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "url"])
+    got = {
+        (r["pivot_id"], r["doc_id"], r["lang"])
+        for r in align_by_url(docs).collect()
+    }
+    assert got == {(10, 20, "fr"), (10, 21, "de")}
+
+
+def test_align_plan_is_single_equijoin(spark):
+    docs = spark.createDataFrame(
+        [(1, "en", "https://s.x/en/a"), (2, "fr", "https://s.x/fr/a")],
+        ["doc_id", "lang", "url"],
+    )
+    plan = align_by_url(docs)._jdf.queryExecution().executedPlan().toString()
+    # no cartesian / nested-loop shape anywhere in the candidate stage
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "url,key",
+    [
+        ("https://h.x/a//b", "h.x/a/b"),  # empty segments collapse
+        ("https://h.x/a?lang=fr", "h.x/a"),  # all params stripped -> no '?'
+        ("https://h.x/a?", "h.x/a"),  # empty query
+    ],
+)
+def test_key_edges(spark, url, key):
+    assert _keys(spark, [url]) == [key]
