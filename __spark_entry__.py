@@ -452,6 +452,47 @@ def q_url_align(spark, sf_dir):
     return out.select("align_key", "pivot_id", "doc_id", "lang").orderBy("doc_id")
 
 
+def q_dataset_card(spark, sf_dir):
+    """One-pass dataset card (operators/profile.py dataset_profile):
+    doc counts, char mass, and size extremes for EVERY lang × source
+    CUBE combination in a single scan — Catalyst's Expand fans each row
+    into the 4 grouping sets map-side, one partial-aggregated shuffle
+    lands the whole card (d separate groupBys would re-scan 100 TB d+1
+    times). grouping_id disambiguates cube totals from real values;
+    aggregated-out dims read '<all>'. All aggregates integer-exact."""
+    from log_analysis_spark.operators.profile import dataset_profile
+
+    d = _t(spark, sf_dir, "documents")
+    return dataset_profile(d).withColumn(
+        "gid", F.col("gid").cast("long")
+    ).orderBy("gid", "lang", "source")
+
+
+def q_snapshot_drift(spark, sf_dir):
+    """Snapshot distribution drift (operators/profile.py): per-bin
+    histograms of events.value for the even/odd event_id halves plus the
+    triangular-discrimination statistic Σ(p−q)²/(p+q) (Topsøe 2000) —
+    chosen over PSI/KL because it is LOG-FREE: int/int IEEE ratios, one
+    subtract/multiply/divide per bin, and a bin-ASC left fold, so the
+    drift double replays bit-exactly in DuckDB. Each side collapses to
+    ≤16 cells map-side before the bounded join; totals and the folded
+    drift ride 1-row broadcasts (whitelisted)."""
+    from log_analysis_spark.operators.profile import (
+        drift_score,
+        histogram_compare,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    b = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+    bins = histogram_compare(a, b, "value", 0.0, 500.0, n_bins=16)
+    return (
+        bins.join(F.broadcast(drift_score(bins)))
+        .select("bin", "n_a", "n_b", "p_a", "p_b", "term", "drift")
+        .orderBy("bin")
+    )
+
+
 def q_redirect_resolve(spark, sf_dir):
     """Redirect-chain resolution (operators/redirects.py): constructed
     3xx chains — 100 groups of length 1-7, every 11th group closed into
@@ -4859,6 +4900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": q_canonical_urls,
         "surt_keys": q_surt_keys,
         "url_align": q_url_align,
+        "dataset_card": q_dataset_card,
+        "snapshot_drift": q_snapshot_drift,
         "cdx_lookup": q_cdx_lookup,
         "binned_quantiles": q_binned_quantiles,
         "c4_line_filter": q_c4_line_filter,
@@ -5428,6 +5471,37 @@ def _surt_ctes() -> str:
 
 def _surt_keys_sql() -> str:
     return _surt_ctes() + " SELECT doc_id, url, surt FROM sk ORDER BY doc_id"
+
+
+def _snapshot_drift_sql(lo: float = 0.0, hi: float = 500.0, n_bins: int = 16) -> str:
+    """DuckDB replay of q_snapshot_drift: identical bin chain
+    (floor((v-lo)/w) clamp), int/int IEEE bin probabilities, the same
+    (p−q)²/(p+q) expression tree, bin-ASC left-fold drift."""
+    w = (hi - lo) / float(n_bins)
+    bin_expr = (
+        f"least(greatest(floor((value - {lo!r}) / {w!r}), 0), {n_bins - 1})::INT"
+    )
+    return (
+        f"WITH a AS (SELECT {bin_expr} AS bin, count(*)::BIGINT AS n_a "
+        "FROM events WHERE event_id % 2 = 0 GROUP BY 1), "
+        f"b AS (SELECT {bin_expr} AS bin, count(*)::BIGINT AS n_b "
+        "FROM events WHERE event_id % 2 = 1 GROUP BY 1), "
+        "j AS (SELECT coalesce(a.bin, b.bin) AS bin, "
+        "coalesce(n_a, 0)::BIGINT AS n_a, coalesce(n_b, 0)::BIGINT AS n_b "
+        "FROM a FULL JOIN b ON a.bin = b.bin), "
+        "t AS (SELECT (SELECT sum(n_a) FROM a)::BIGINT AS tot_a, "
+        "(SELECT sum(n_b) FROM b)::BIGINT AS tot_b), "
+        "x0 AS (SELECT bin, n_a, n_b, "
+        "n_a::DOUBLE / tot_a::DOUBLE AS p_a, "
+        "n_b::DOUBLE / tot_b::DOUBLE AS p_b FROM j, t), "
+        "x AS (SELECT bin, n_a, n_b, p_a, p_b, "
+        "CASE WHEN n_a + n_b > 0 "
+        "THEN ((p_a - p_b) * (p_a - p_b)) / (p_a + p_b) "
+        "ELSE 0.0::DOUBLE END AS term FROM x0), "
+        "d AS (SELECT list_reduce(list_prepend(0.0::DOUBLE, "
+        "list(term ORDER BY bin)), (acc, v) -> acc + v) AS drift FROM x) "
+        "SELECT bin, n_a, n_b, p_a, p_b, term, drift FROM x, d ORDER BY bin"
+    )
 
 
 def _url_align_sql() -> str:
@@ -6882,6 +6956,17 @@ def oracle_sql() -> dict[str, str]:
         "canonical_urls": _canonical_urls_sql(),
         "surt_keys": _surt_keys_sql(),
         "url_align": _url_align_sql(),
+        "dataset_card": (
+            "SELECT grouping(lang, source)::BIGINT AS gid, "
+            "coalesce(lang, '<all>') AS lang, "
+            "coalesce(source, '<all>') AS source, "
+            "count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_n_chars, "
+            "min(n_chars)::BIGINT AS min_n_chars, "
+            "max(n_chars)::BIGINT AS max_n_chars "
+            "FROM documents GROUP BY CUBE(lang, source) "
+            "ORDER BY gid, lang, source"
+        ),
+        "snapshot_drift": _snapshot_drift_sql(),
         "cdx_lookup": _cdx_lookup_sql(),
         "warc_roundtrip": _warc_roundtrip_sql(),
         "wet_pages": _wet_pages_sql(),
