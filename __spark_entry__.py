@@ -493,6 +493,29 @@ def q_snapshot_drift(spark, sf_dir):
     )
 
 
+def q_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining (operators/align.py bitext_mine;
+    Artetxe & Schwenk 2019 / CCMatrix): even-id embeddings as the source
+    "language", odd-id as the target, label as the candidate block (the
+    LSH-bucket/IVF-cell stand-in — candidates are ALWAYS an equi-join,
+    never |S|x|T|). score = cos / ((meanNN4(src) + meanNN4(tgt)) / 2),
+    per-source best above 1.0. Every float is a rank-ordered left fold or
+    a single IEEE division, so the oracle replays the mined set and the
+    scores bit-for-bit."""
+    from log_analysis_spark.operators.align import bitext_mine
+
+    e = _t(spark, sf_dir, "embeddings")
+    src = e.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    tgt = e.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+    out = bitext_mine(src, tgt, block_col="label", k=4, threshold=1.0)
+    return out.select(
+        F.col("src_id").cast("long").alias("src_id"),
+        F.col("tgt_id").cast("long").alias("tgt_id"),
+        "cos_sim",
+        "score",
+    ).orderBy("src_id")
+
+
 def q_redirect_resolve(spark, sf_dir):
     """Redirect-chain resolution (operators/redirects.py): constructed
     3xx chains — 100 groups of length 1-7, every 11th group closed into
@@ -4902,6 +4925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_align": q_url_align,
         "dataset_card": q_dataset_card,
         "snapshot_drift": q_snapshot_drift,
+        "bitext_mine": q_bitext_mine,
         "cdx_lookup": q_cdx_lookup,
         "binned_quantiles": q_binned_quantiles,
         "c4_line_filter": q_c4_line_filter,
@@ -5471,6 +5495,41 @@ def _surt_ctes() -> str:
 
 def _surt_keys_sql() -> str:
     return _surt_ctes() + " SELECT doc_id, url, surt FROM sk ORDER BY doc_id"
+
+
+def _bitext_mine_sql(k: int = 4, threshold: float = 1.0) -> str:
+    """DuckDB replay of q_bitext_mine: normalize-once, label-blocked
+    candidate dots, rank-ordered fold means over the top-k neighborhoods,
+    the identical score expression, per-source argmax."""
+    return (
+        f"WITH nv AS (SELECT vec_id, label, {_sql_normvec('embedding')} AS v "
+        "FROM embeddings), "
+        "s AS (SELECT * FROM nv WHERE vec_id % 2 = 0), "
+        "t AS (SELECT * FROM nv WHERE vec_id % 2 = 1), "
+        "sc AS (SELECT s.vec_id AS src_id, t.vec_id AS tgt_id, "
+        f"{_sql_dot_plain('s.v', 't.v')} AS cos_sim "
+        "FROM s JOIN t ON s.label = t.label), "
+        "f0 AS (SELECT *, row_number() OVER (PARTITION BY src_id "
+        "ORDER BY cos_sim DESC, tgt_id ASC) AS r FROM sc), "
+        "fwd AS (SELECT src_id, "
+        "list_reduce(list_prepend(0.0::DOUBLE, list(cos_sim ORDER BY r)), "
+        "(acc, v) -> acc + v) / count(*)::DOUBLE AS mx "
+        f"FROM f0 WHERE r <= {k} GROUP BY src_id), "
+        "b0 AS (SELECT *, row_number() OVER (PARTITION BY tgt_id "
+        "ORDER BY cos_sim DESC, src_id ASC) AS r FROM sc), "
+        "bwd AS (SELECT tgt_id, "
+        "list_reduce(list_prepend(0.0::DOUBLE, list(cos_sim ORDER BY r)), "
+        "(acc, v) -> acc + v) / count(*)::DOUBLE AS my "
+        f"FROM b0 WHERE r <= {k} GROUP BY tgt_id), "
+        "x AS (SELECT sc.src_id, sc.tgt_id, sc.cos_sim, "
+        "sc.cos_sim / ((fwd.mx + bwd.my) / 2.0) AS score "
+        "FROM sc JOIN fwd USING (src_id) JOIN bwd USING (tgt_id)), "
+        f"y AS (SELECT * FROM x WHERE score >= {threshold!r}), "
+        "z AS (SELECT *, row_number() OVER (PARTITION BY src_id "
+        "ORDER BY score DESC, tgt_id ASC) AS rr FROM y) "
+        "SELECT src_id, tgt_id, cos_sim, score FROM z WHERE rr = 1 "
+        "ORDER BY src_id"
+    )
 
 
 def _snapshot_drift_sql(lo: float = 0.0, hi: float = 500.0, n_bins: int = 16) -> str:
@@ -6967,6 +7026,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY gid, lang, source"
         ),
         "snapshot_drift": _snapshot_drift_sql(),
+        "bitext_mine": _bitext_mine_sql(),
         "cdx_lookup": _cdx_lookup_sql(),
         "warc_roundtrip": _warc_roundtrip_sql(),
         "wet_pages": _wet_pages_sql(),

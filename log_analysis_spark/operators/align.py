@@ -119,3 +119,105 @@ def align_by_url(
     return others.join(pivots, on="align_key", how="inner").select(
         "align_key", "pivot_id", id_col, lang_col
     )
+
+
+def bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    block_col: str,
+    k: int = 4,
+    threshold: float = 1.0,
+    src_id: str = "vec_id",
+    tgt_id: str = "vec_id",
+    vec_col: str = "embedding",
+    unpersist_handles: list | None = None,
+) -> DataFrame:
+    """Margin-based bitext mining over sentence embeddings (Artetxe &
+    Schwenk, "Margin-based Parallel Corpus Mining with Multilingual
+    Sentence Embeddings", ACL 2019; scaled up as CCMatrix — public
+    papers). For each source sentence, find the target sentence whose
+    cosine stands out from BOTH sides' nearest-neighbor background:
+
+        score(x, y) = cos(x, y) / ((mean_NNk(x) + mean_NNk(y)) / 2)
+
+    and keep the per-source best candidate with score >= ``threshold``
+    (the ratio margin; 1.0 = "better than the average neighborhood").
+
+    ``block_col`` is REQUIRED and defines the candidate relation as an
+    equi-join (LSH bucket / IVF cell at scale — exactly how CCMatrix runs
+    its mining over FAISS shards; there is deliberately no |S|x|T|
+    cross-join path). Neighborhood means are computed over the SAME
+    candidate relation, so the whole statistic is well-defined per
+    candidate set and replays exactly: vectors are unit-normalized once
+    per side (aggregation barrier), each pair costs one left-fold dot,
+    neighborhood means are rank-ordered left folds divided by the actual
+    neighbor count, and ties break on id.
+
+    The scored candidate relation is consumed three times (forward
+    means, backward means, final join) — it is persisted; pass
+    ``unpersist_handles=[]`` to release it after materializing.
+
+    Returns ``(src_id, tgt_id, cos_sim, score)``, one row per mined pair.
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import dot_product, normalized_vectors
+
+    s = normalized_vectors(src, src_id, vec_col, extra_cols=[block_col]).select(
+        F.col("_id").alias("_sid"), F.col(block_col).alias("_blk"), F.col("_nv").alias("_sv")
+    )
+    t = normalized_vectors(tgt, tgt_id, vec_col, extra_cols=[block_col]).select(
+        F.col("_id").alias("_tid"), F.col(block_col).alias("_blk2"), F.col("_nv").alias("_tv")
+    )
+    scored = (
+        s.join(t, on=F.col("_blk") == F.col("_blk2"))
+        .select(
+            "_sid",
+            "_tid",
+            dot_product(F.col("_sv"), F.col("_tv")).alias("cos_sim"),
+        )
+        .persist()
+    )
+    if unpersist_handles is not None:
+        unpersist_handles.append(scored)
+
+    def _nn_mean(part: str, order: str) -> DataFrame:
+        w = Window.partitionBy(part).orderBy(F.desc("cos_sim"), F.asc(order))
+        kept = scored.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
+        return kept.groupBy(part).agg(
+            (
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("_r", "cos_sim"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["cos_sim"],
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias(f"_m{part}")
+        )
+
+    fwd = _nn_mean("_sid", "_tid")
+    bwd = _nn_mean("_tid", "_sid")
+    x = (
+        scored.join(fwd, on="_sid")
+        .join(bwd, on="_tid")
+        .select(
+            "_sid",
+            "_tid",
+            "cos_sim",
+            (
+                F.col("cos_sim") / ((F.col("_m_sid") + F.col("_m_tid")) / F.lit(2.0))
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+    wbest = Window.partitionBy("_sid").orderBy(F.desc("score"), F.asc("_tid"))
+    return (
+        x.withColumn("_rr", F.row_number().over(wbest))
+        .filter(F.col("_rr") == 1)
+        .select(
+            F.col("_sid").alias(src_id if src_id != tgt_id else "src_id"),
+            F.col("_tid").alias(tgt_id if src_id != tgt_id else "tgt_id"),
+            "cos_sim",
+            "score",
+        )
+    )
