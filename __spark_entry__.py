@@ -516,6 +516,121 @@ def q_bitext_mine(spark, sf_dir):
     ).orderBy("src_id")
 
 
+def _jsonl_paths(sf_dir: str, tag: str) -> str:
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{src}|{os.stat(src).st_mtime_ns}|{tag}".encode()
+    ).hexdigest()[:12]
+    return f"/tmp/las_jsonl_{key}"
+
+
+def q_jsonl_attr_filter(spark, sf_dir):
+    """Dolma-style JSONL interchange + attribute sidecar (sources/
+    jsonl.py): the documents table round-trips through gzipped JSONL
+    (explicit schema, PERMISSIVE corrupt capture — never an inference
+    pass), a tagger computes doc-level attributes FROM THE JSONL TEXT
+    into a sidecar file (tag-then-filter: the corpus file never moves),
+    and the mixer applies the rule with one id equi-join. The oracle
+    derives the same attributes straight from the parquet — equality
+    proves the whole write→read→tag→sidecar→join path byte-faithful."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from log_analysis_spark.functions.textstats import token_count
+    from log_analysis_spark.sources.jsonl import (
+        apply_attribute_filter,
+        read_attributes,
+        read_docs_jsonl,
+        write_attributes,
+        write_docs_jsonl,
+    )
+
+    base = _jsonl_paths(sf_dir, "jsonl1")
+    docs_path, attr_path = f"{base}/docs", f"{base}/attrs"
+    if not os.path.exists(f"{docs_path}/_SUCCESS"):
+        write_docs_jsonl(_t(spark, sf_dir, "documents"), docs_path)
+    clean = read_docs_jsonl(spark, docs_path).filter(F.col("_corrupt").isNull())
+    if not os.path.exists(f"{attr_path}/_SUCCESS"):
+        attrs = clean.select(
+            "id",
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+            F.col("text").contains("table").alias("has_table"),
+        )
+        write_attributes(attrs, attr_path)
+    attr_schema = T.StructType(
+        [
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("has_table", T.BooleanType()),
+        ]
+    )
+    back = read_attributes(spark, attr_path, attr_schema)
+    kept = apply_attribute_filter(
+        clean, back, (F.col("n_tokens") >= 40) & F.col("has_table")
+    )
+    return kept.select(
+        F.col("id").cast("long").alias("doc_id"),
+        "n_tokens",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+def q_attr_span_removal(spark, sf_dir):
+    """Span-attribute scrub (sources/jsonl.py remove_spans): character
+    ranges [start, end) — two arithmetic spans per doc, overlapping /
+    nested / past-the-end shapes all planted — ride an attribute SIDECAR
+    (write_attributes → read_attributes), then one native sorted left
+    fold cuts them out of the text with byte-exact reassembly (running
+    cursor max merges overlaps). The oracle recomputes the spans from
+    doc_id arithmetic and replays the identical gap/cursor algebra with
+    a window running-max — it never sees the sidecar."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from log_analysis_spark.sources.jsonl import (
+        SPAN_TYPE,
+        read_attributes,
+        remove_spans,
+        write_attributes,
+    )
+
+    base = _jsonl_paths(sf_dir, "spans1")
+    attr_path = f"{base}/span_attrs"
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    if not os.path.exists(f"{attr_path}/_SUCCESS"):
+        s1 = F.pmod(k, F.lit(17)).cast("long")
+        e1 = s1 + F.pmod(k, F.lit(7)).cast("long")
+        s2 = (F.pmod(k, F.lit(13)) + 5).cast("long")
+        e2 = s2 + F.pmod(k, F.lit(9)).cast("long")
+        spans = F.array(
+            F.struct(
+                s1.alias("start"), e1.alias("end"), F.lit(1.0).alias("score")
+            ),
+            F.struct(
+                s2.alias("start"), e2.alias("end"), F.lit(1.0).alias("score")
+            ),
+        )
+        write_attributes(
+            d.select(F.col("doc_id").alias("id"), spans.alias("pii_spans")),
+            attr_path,
+        )
+    attr_schema = T.StructType([T.StructField("pii_spans", SPAN_TYPE)])
+    back = read_attributes(spark, attr_path, attr_schema)
+    joined = d.join(back, on=d["doc_id"] == back["id"].cast("long")).select(
+        "doc_id", remove_spans(F.col("text"), F.col("pii_spans")).alias("scrubbed")
+    )
+    return joined.select(
+        "doc_id",
+        F.length("scrubbed").cast("long").alias("scrubbed_len"),
+        F.md5(F.col("scrubbed").cast("binary")).alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
 def q_redirect_resolve(spark, sf_dir):
     """Redirect-chain resolution (operators/redirects.py): constructed
     3xx chains — 100 groups of length 1-7, every 11th group closed into
@@ -4926,6 +5041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card": q_dataset_card,
         "snapshot_drift": q_snapshot_drift,
         "bitext_mine": q_bitext_mine,
+        "jsonl_attr_filter": q_jsonl_attr_filter,
+        "attr_span_removal": q_attr_span_removal,
         "cdx_lookup": q_cdx_lookup,
         "binned_quantiles": q_binned_quantiles,
         "c4_line_filter": q_c4_line_filter,
@@ -7027,6 +7144,33 @@ def oracle_sql() -> dict[str, str]:
         ),
         "snapshot_drift": _snapshot_drift_sql(),
         "bitext_mine": _bitext_mine_sql(),
+        "jsonl_attr_filter": (
+            f"SELECT doc_id, len({_TOKENS.format(t='text')})::BIGINT AS n_tokens, "
+            "md5(text) AS text_md5 FROM documents "
+            f"WHERE len({_TOKENS.format(t='text')}) >= 40 "
+            "AND contains(text, 'table') ORDER BY doc_id"
+        ),
+        "attr_span_removal": (
+            "WITH sp AS ("
+            "SELECT doc_id, text, (doc_id % 17)::BIGINT AS st, "
+            "(doc_id % 17 + doc_id % 7)::BIGINT AS en FROM documents "
+            "UNION ALL "
+            "SELECT doc_id, text, (doc_id % 13 + 5)::BIGINT, "
+            "(doc_id % 13 + 5 + doc_id % 9)::BIGINT FROM documents), "
+            "w AS (SELECT doc_id, text, st, en, "
+            "coalesce(max(en) OVER (PARTITION BY doc_id ORDER BY st, en "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cur "
+            "FROM sp), "
+            "agg AS (SELECT doc_id, text, "
+            "coalesce(string_agg(CASE WHEN st > cur THEN "
+            "substr(text, (cur + 1)::INT, (st - cur)::INT) END, '' "
+            "ORDER BY st, en), '') AS gaps, max(en) AS maxen "
+            "FROM w GROUP BY doc_id, text), "
+            "out AS (SELECT doc_id, gaps || substr(text, (maxen + 1)::INT, "
+            "greatest(length(text) - maxen, 0)::INT) AS scrubbed FROM agg) "
+            "SELECT doc_id, length(scrubbed)::BIGINT AS scrubbed_len, "
+            "md5(scrubbed) AS scrubbed_md5 FROM out ORDER BY doc_id"
+        ),
         "cdx_lookup": _cdx_lookup_sql(),
         "warc_roundtrip": _warc_roundtrip_sql(),
         "wet_pages": _wet_pages_sql(),
