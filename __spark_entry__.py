@@ -631,6 +631,55 @@ def q_attr_span_removal(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_web_tables(spark, sf_dir):
+    """Relational <table> extraction (functions/html.py extract_tables;
+    WDC Web Table Corpus, Lehmberg 2016): three nested lazy-regex
+    extractions (table → tr → td/th) in the Java/RE2 common subset, cell
+    text tag-stripped + whitespace-collapsed — one row per table row,
+    zero shuffle. Planted shapes: uppercase <TABLE>, mixed td/th, inner
+    <b> markup, padded + empty cells, a second table, and an UNCLOSED
+    trailing table that must be skipped (lexical contract). The oracle
+    replays the identical regex chain in DuckDB."""
+    from log_analysis_spark.functions.html import extract_tables
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id")
+    t1 = F.when(
+        F.pmod(k, F.lit(4)) != 0,
+        F.concat(
+            F.lit('<TABLE class="d"><tr><td> v'),
+            F.pmod(k, F.lit(9)).cast("string"),
+            F.lit(" </td><th><b>h"),
+            F.pmod(k, F.lit(5)).cast("string"),
+            F.lit("</b></th></tr><tr><td>w"),
+            F.pmod(k, F.lit(7)).cast("string"),
+            F.lit("</td></tr></table>"),
+        ),
+    ).otherwise(F.lit(""))
+    t2 = F.when(
+        F.pmod(k, F.lit(5)) == 0,
+        F.lit("<table><tr><td>z</td><td></td></tr></table>"),
+    ).otherwise(F.lit(""))
+    # unclosed table LAST (a lazy match from an earlier unclosed <table>
+    # would otherwise swallow the next well-formed one — the documented
+    # lexical cap)
+    bad = F.when(
+        F.pmod(k, F.lit(7)) == 0, F.lit("<table><tr><td>broken")
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><body><p>p</p>"), t1, t2, bad, F.lit("</body></html>")
+    )
+    out = extract_tables(d.withColumn("html", html))
+    # the driver's value-hash compares scalar columns — serialize the cell
+    # array with the unit separator (both engines, same byte string)
+    return out.select(
+        "doc_id",
+        "table_idx",
+        "row_idx",
+        F.array_join(F.col("cells"), "\x1f").alias("cells"),
+    ).orderBy("doc_id", "table_idx", "row_idx")
+
+
 def q_redirect_resolve(spark, sf_dir):
     """Redirect-chain resolution (operators/redirects.py): constructed
     3xx chains — 100 groups of length 1-7, every 11th group closed into
@@ -5043,6 +5092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_mine": q_bitext_mine,
         "jsonl_attr_filter": q_jsonl_attr_filter,
         "attr_span_removal": q_attr_span_removal,
+        "web_tables": q_web_tables,
         "cdx_lookup": q_cdx_lookup,
         "binned_quantiles": q_binned_quantiles,
         "c4_line_filter": q_c4_line_filter,
@@ -7149,6 +7199,34 @@ def oracle_sql() -> dict[str, str]:
             "md5(text) AS text_md5 FROM documents "
             f"WHERE len({_TOKENS.format(t='text')}) >= 40 "
             "AND contains(text, 'table') ORDER BY doc_id"
+        ),
+        "web_tables": (
+            "WITH u AS (SELECT doc_id, '<html><body><p>p</p>' || "
+            "CASE WHEN doc_id % 4 <> 0 THEN "
+            "'<TABLE class=\"d\"><tr><td> v' || (doc_id % 9)::VARCHAR || "
+            "' </td><th><b>h' || (doc_id % 5)::VARCHAR || "
+            "'</b></th></tr><tr><td>w' || (doc_id % 7)::VARCHAR || "
+            "'</td></tr></table>' ELSE '' END || "
+            "CASE WHEN doc_id % 5 = 0 THEN "
+            "'<table><tr><td>z</td><td></td></tr></table>' ELSE '' END || "
+            "CASE WHEN doc_id % 7 = 0 THEN '<table><tr><td>broken' "
+            "ELSE '' END || '</body></html>' AS html FROM documents), "
+            "tl AS (SELECT doc_id, regexp_extract_all(html, "
+            "'(?is)<table\\b[^>]*>.*?</table>', 0) AS ts FROM u), "
+            "t AS (SELECT doc_id, (i - 1)::BIGINT AS table_idx, ts[i] AS tbl "
+            "FROM tl, UNNEST(generate_series(1, len(ts))) AS g(i)), "
+            "rl AS (SELECT doc_id, table_idx, regexp_extract_all(tbl, "
+            "'(?is)<tr\\b[^>]*>.*?</tr>', 0) AS rs FROM t), "
+            "r AS (SELECT doc_id, table_idx, (i - 1)::BIGINT AS row_idx, "
+            "rs[i] AS tr FROM rl, UNNEST(generate_series(1, len(rs))) AS g(i)), "
+            "c AS (SELECT doc_id, table_idx, row_idx, "
+            "list_transform(regexp_extract_all(tr, "
+            "'(?is)<t[dh]\\b[^>]*>.*?</t[dh]>', 0), "
+            "x -> trim(regexp_replace(regexp_replace(x, '<[^>]*>', '', 'g'), "
+            "'\\s+', ' ', 'g'))) AS cells FROM r) "
+            "SELECT doc_id, table_idx, row_idx, "
+            "array_to_string(cells, chr(31)) AS cells FROM c "
+            "ORDER BY doc_id, table_idx, row_idx"
         ),
         "attr_span_removal": (
             "WITH sp AS ("

@@ -223,3 +223,63 @@ def jsonld_entities(
         F.get_json_object(F.col("_b"), "$['@type']").alias("jtype"),
         F.get_json_object(F.col("_b"), "$['name']").alias("jname"),
     )
+
+
+# --- table extraction (WDC Web Table Corpus-style) ---------------------------
+_TABLE_RX = r"(?is)<table\b[^>]*>.*?</table>"
+_TR_RX = r"(?is)<tr\b[^>]*>.*?</tr>"
+_CELL_RX = r"(?is)<t[dh]\b[^>]*>.*?</t[dh]>"
+
+
+def _cell_text(cell: Column) -> Column:
+    """Cell payload: strip every tag (incl. the td/th wrapper), collapse
+    whitespace, trim — the WDC corpus's own cell normalization."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(cell, r"<[^>]*>", ""), r"\s+", " "
+        )
+    )
+
+
+def extract_tables(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+) -> DataFrame:
+    """Relational ``<table>`` extraction: one row per table row —
+    ``(id, table_idx, row_idx, cells: array<string>)`` — the shape the
+    WDC Web Table Corpus mines from Common Crawl (Lehmberg et al.,
+    "A Large Public Corpus of Web Tables", WWW 2016 — public paper).
+
+    Three nested lazy-regex extractions (tables → tr → td/th), each in
+    the Java-regex/RE2 common subset so the oracle replays them; cell
+    text is tag-stripped + whitespace-collapsed. Pure generate/projection
+    chain — zero shuffle, zero Python; pages without a well-formed table
+    drop (inner explode: a table relation, not a page inventory).
+
+    Documented caps (lexical, not an HTML5 parser — same contract as
+    html_to_text): unclosed ``<table>``/``<tr>`` elements don't match and
+    are skipped; a literal ``>`` inside a quoted attribute truncates that
+    tag's match; colspan/rowspan are not expanded (cells surface
+    positionally).
+    """
+    tables = F.regexp_extract_all(F.col(html_col), F.lit(_TABLE_RX), 0)
+    t = df.select(
+        F.col(id_col), F.posexplode(tables).alias("table_idx", "_tbl")
+    )
+    rows = F.regexp_extract_all(F.col("_tbl"), F.lit(_TR_RX), 0)
+    r = t.select(
+        id_col,
+        F.col("table_idx").cast("long").alias("table_idx"),
+        F.posexplode(rows).alias("row_idx", "_tr"),
+    )
+    cells = F.transform(
+        F.regexp_extract_all(F.col("_tr"), F.lit(_CELL_RX), 0),
+        _cell_text,
+    )
+    return r.select(
+        id_col,
+        "table_idx",
+        F.col("row_idx").cast("long").alias("row_idx"),
+        cells.alias("cells"),
+    )

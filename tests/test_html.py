@@ -187,3 +187,42 @@ def test_jsonld_entities_matrix(spark):
         .count()
     )
     assert n_empty == 1
+
+
+def test_extract_tables_matrix(spark):
+    from log_analysis_spark.functions.html import extract_tables
+
+    pages = [
+        # uppercase tag, attrs, th+td, inner markup, padded cell, 2 rows
+        (1, '<TABLE class="x"><tr><td> a </td><th><b>b</b></th></tr>'
+            "<tr><td>c\n\td</td></tr></table>"),
+        # two tables; second has an empty cell
+        (2, "<table><tr><td>1</td></tr></table>"
+            "<table><tr><td>2</td><td></td></tr></table>"),
+        # unclosed table -> skipped entirely
+        (3, "<table><tr><td>broken"),
+        # no table at all -> no rows (relation, not inventory)
+        (4, "<p>nothing</p>"),
+        # row without cells -> empty cells array
+        (5, "<table><tr>bare</tr></table>"),
+    ]
+    df = spark.createDataFrame(pages, ["doc_id", "html"])
+    got = {
+        (r["doc_id"], r["table_idx"], r["row_idx"]): r["cells"]
+        for r in extract_tables(df).collect()
+    }
+    assert got[(1, 0, 0)] == ["a", "b"]
+    assert got[(1, 0, 1)] == ["c d"]
+    assert got[(2, 0, 0)] == ["1"]
+    assert got[(2, 1, 0)] == ["2", ""]
+    assert got[(5, 0, 0)] == []
+    assert not any(k[0] in (3, 4) for k in got)
+
+
+def test_extract_tables_no_shuffle(spark):
+    from log_analysis_spark.functions.html import extract_tables
+
+    df = spark.createDataFrame([(1, "<table><tr><td>x</td></tr></table>")],
+                               ["doc_id", "html"])
+    plan = extract_tables(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
