@@ -22,6 +22,11 @@ params don't match):
              --domain-min-docs docs of evidence) — the RefinedWeb-style
              domain gate, run FIRST because one domain verdict spares
              every later stage all of that domain's pages
+    attr_scrub (--attr-spans sidecar.jsonl --attr-field pii_spans)
+             apply a Dolma-style span-attribute sidecar: tagger-
+             produced character ranges are cut from doc text (byte-
+             exact sorted-fold scrub); sidecar bytes ride the
+             fingerprint
     c4       (--c4-clean) C4 line-level boilerplate cleaning
     justext  (--justext) context-smoothed block classification keeps
              only GOOD lines (boilerplate_blocks); no-content pages drop
@@ -43,6 +48,8 @@ params don't match):
     mixture  (--mixture 'en=3,de=1' --mixture-tokens N) keep only the
              mixture planner's per-lang token-budget selection
     split    deterministic hash split, written partitioned by _split
+    export_jsonl (--export-jsonl) publish the curated corpus as gzipped
+             Dolma JSONL, one directory per split (release layout)
 
 Unlike the per-day log pipeline, dedup/quality/decontam are GLOBAL
 relations (a duplicate pair can span any two shards), so the resume unit
@@ -113,6 +120,27 @@ def _c4(df: DataFrame) -> DataFrame:
         .select("doc_id", F.col("clean_text").alias("text"))
     )
     return df.drop("text").join(cleaned, "doc_id").select(*df.columns)
+
+
+def _attr_scrub(df: DataFrame, attrs: DataFrame, field: str) -> DataFrame:
+    """Optional leading stage (``--attr-spans``): apply a Dolma-style
+    span-attribute sidecar — tagger-produced character ranges keyed by
+    doc id — by cutting the spans out of ``text`` with the byte-exact
+    sorted-fold scrub (sources/jsonl.py remove_spans). Docs without a
+    sidecar row pass through untouched (left join); one equi-join +
+    projection, no other shuffle. This is the tag-then-filter contract's
+    scrub half: taggers never rewrite the corpus, this stage applies
+    their verdicts."""
+    from ..sources.jsonl import remove_spans
+
+    a = attrs.select(
+        F.col("id").cast("long").alias("_aid"), F.col(field).alias("_spans")
+    )
+    joined = df.join(a, on=df["doc_id"] == F.col("_aid"), how="left")
+    scrubbed = F.when(
+        F.col("_spans").isNotNull(), remove_spans(F.col("text"), F.col("_spans"))
+    ).otherwise(F.col("text"))
+    return joined.withColumn("text", scrubbed).select(*df.columns)
 
 
 def _domain_filter(
@@ -421,6 +449,9 @@ def run_curation(
     lm_ref_path: str | None = None,
     lm_min_score: float = 0.0,
     lm_min_count: int = 2,
+    attr_spans_path: str | None = None,
+    attr_field: str = "pii_spans",
+    export_jsonl: bool = False,
 ) -> dict:
     """Run (or resume) the curation stage graph. Returns run metrics."""
     manifest = Manifest(os.path.join(out_dir, "_manifest"))
@@ -455,6 +486,13 @@ def run_curation(
             if lm_ref_path is not None
             else ""
         )
+        + (
+            # sidecar bytes ride the fingerprint: re-tagged spans re-run
+            # the scrub, same contract as --media / --lm-ref
+            f"|attrs={dir_fingerprint(attr_spans_path)}:{attr_field}"
+            if attr_spans_path is not None
+            else ""
+        )
     )
     bench = (
         spark.read.parquet(benchmark_path) if benchmark_path is not None else None
@@ -462,8 +500,31 @@ def run_curation(
     media = spark.read.parquet(media_path) if media_path is not None else None
     lm_ref = spark.read.parquet(lm_ref_path) if lm_ref_path is not None else None
 
+    attr_spans = None
+    if attr_spans_path is not None:
+        from pyspark.sql import types as T
+
+        from ..sources.jsonl import SPAN_TYPE, read_attributes
+
+        attr_spans = read_attributes(
+            spark,
+            attr_spans_path,
+            T.StructType([T.StructField(attr_field, SPAN_TYPE)]),
+        )
+
     stages: list[tuple[str, Callable[[DataFrame], DataFrame], str | None]] = [
         *([("extract", _extract, None)] if html else []),
+        *(
+            [
+                (
+                    "attr_scrub",
+                    lambda d: _attr_scrub(d, attr_spans, attr_field),
+                    None,
+                )
+            ]
+            if attr_spans is not None
+            else []
+        ),
         *(
             [
                 (
@@ -567,6 +628,27 @@ def run_curation(
             break
     else:
         halted = None
+    if export_jsonl and halted is None:
+        # release layout: gzipped Dolma JSONL, one subdirectory per split
+        # (_split=train/valid/test), manifest-resumed like any stage
+        from ..sources.jsonl import write_docs_jsonl
+
+        export_dir = os.path.join(out_dir, "jsonl")
+        fp = dir_fingerprint(prev_path) + "|" + params
+        if resume and manifest.is_done("curation", "export_jsonl", fp):
+            skipped.append("export_jsonl")
+        else:
+            corpus = spark.read.parquet(prev_path)
+            rows = corpus.count()
+            write_docs_jsonl(corpus, export_dir, partition_by="_split")
+            res = UnitResult(rows, rows, dir_bytes(export_dir))
+            manifest.mark_done("curation", "export_jsonl", fp, res)
+            ran.append("export_jsonl")
+            metrics["export_jsonl"] = {
+                "rows_in": rows,
+                "rows_out": rows,
+                "bytes_out": res.bytes_out,
+            }
     wall = time.monotonic() - t0
     return {
         "stages_run": ran,
@@ -686,6 +768,22 @@ def main() -> None:
         "--lm-ref model is below this",
     )
     ap.add_argument("--lm-min-count", type=int, default=2)
+    ap.add_argument(
+        "--attr-spans",
+        help="Dolma-style span-attribute sidecar (JSONL dir); the spans "
+        "are scrubbed from doc text as a leading stage",
+    )
+    ap.add_argument(
+        "--attr-field",
+        default="pii_spans",
+        help="attribute name inside the sidecar holding the span array",
+    )
+    ap.add_argument(
+        "--export-jsonl",
+        action="store_true",
+        help="after split, also publish the corpus as gzipped Dolma JSONL "
+        "(one dir per split)",
+    )
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -742,6 +840,9 @@ def main() -> None:
         lm_ref_path=args.lm_ref,
         lm_min_score=args.lm_min_score,
         lm_min_count=args.lm_min_count,
+        attr_spans_path=args.attr_spans,
+        attr_field=args.attr_field,
+        export_jsonl=args.export_jsonl,
     )
     if ingest is not None:
         stats["wet_ingest"] = ingest

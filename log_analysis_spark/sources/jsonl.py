@@ -56,16 +56,23 @@ def write_docs_jsonl(
     path: str,
     id_col: str = "doc_id",
     compression: str = "gzip",
+    partition_by: str | None = None,
 ) -> None:
     """Write a documents relation as Dolma-style JSONL (one object per
-    line; ``id`` is always a string per the spec)."""
+    line; ``id`` is always a string per the spec). ``partition_by``
+    yields the release layout (one subdirectory per split/shard)."""
     cols = [F.col(id_col).cast("string").alias("id")]
     for c in ("text", "source", "lang"):
         if c in docs.columns:
             cols.append(F.col(c))
-    docs.select(*cols).write.mode("overwrite").option(
+    if partition_by is not None:
+        cols.append(F.col(partition_by))
+    w = docs.select(*cols).write.mode("overwrite").option(
         "compression", compression
-    ).json(path)
+    )
+    if partition_by is not None:
+        w = w.partitionBy(partition_by)
+    w.json(path)
 
 
 def read_docs_jsonl(spark: SparkSession, path: str) -> DataFrame:

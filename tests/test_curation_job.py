@@ -487,3 +487,75 @@ def test_wet_ingest_materializes_documents(spark, tmpdir_path):
     # unchanged WET dir -> ingest skips
     r2 = ingest_wet(spark, wet_dir, src, out)
     assert r2 == {"wet_ingested": False, "skipped": True}
+
+
+def test_attr_scrub_stage_and_jsonl_export(spark, tmpdir_path):
+    """--attr-spans applies a Dolma span sidecar as the leading stage
+    (tagged docs lose exactly the spanned characters, untagged docs pass
+    through), --export-jsonl publishes the curated corpus as gzipped
+    JSONL split dirs, and both resume + invalidate via the manifest."""
+    import glob
+    import os
+
+    from log_analysis_spark.sources.jsonl import write_attributes
+
+    src = f"{tmpdir_path}/docs_in"
+    docs = spark.read.parquet(SF_DOCS)
+    docs.write.parquet(src)
+
+    # sidecar: docs with even id lose their first 4 characters
+    attrs_dir = f"{tmpdir_path}/attrs"
+    tagged = docs.filter(F.pmod("doc_id", F.lit(2)) == 0).select(
+        F.col("doc_id").alias("id"),
+        F.array(
+            F.struct(
+                F.lit(0).cast("long").alias("start"),
+                F.lit(4).cast("long").alias("end"),
+                F.lit(1.0).alias("score"),
+            )
+        ).alias("pii_spans"),
+    )
+    write_attributes(tagged, attrs_dir)
+
+    out = f"{tmpdir_path}/cur_attr"
+    r = run_curation(
+        spark, src, out, span_k=6, attr_spans_path=attrs_dir,
+        export_jsonl=True,
+    )
+    assert r["stages_run"][0] == "attr_scrub"
+    assert r["stages_run"][-1] == "export_jsonl"
+    scrubbed = {
+        row["doc_id"]: row["text"]
+        for row in spark.read.parquet(f"{out}/stage_attr_scrub").collect()
+    }
+    orig = {row["doc_id"]: row["text"] for row in docs.collect()}
+    for did, text in orig.items():
+        if did % 2 == 0:
+            assert scrubbed[did] == text[4:]
+        else:
+            assert scrubbed[did] == text
+
+    # export layout: one gzipped JSONL dir per split
+    splits = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(out, "jsonl", "_split=*"))
+    )
+    assert splits == ["_split=test", "_split=train", "_split=valid"]
+    assert glob.glob(os.path.join(out, "jsonl", "_split=train", "*.json.gz"))
+
+    # resume skips both the stage and the export
+    r2 = run_curation(
+        spark, src, out, span_k=6, attr_spans_path=attrs_dir,
+        export_jsonl=True,
+    )
+    assert r2["stages_run"] == []
+    assert "attr_scrub" in r2["stages_skipped"]
+    assert "export_jsonl" in r2["stages_skipped"]
+
+    # re-tagged sidecar invalidates the scrub (bytes ride the fingerprint)
+    write_attributes(tagged.limit(10), attrs_dir)
+    r3 = run_curation(
+        spark, src, out, span_k=6, attr_spans_path=attrs_dir,
+        export_jsonl=True,
+    )
+    assert "attr_scrub" in r3["stages_run"]
