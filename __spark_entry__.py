@@ -680,6 +680,24 @@ def q_web_tables(spark, sf_dir):
     ).orderBy("doc_id", "table_idx", "row_idx")
 
 
+def q_dup_span_attrs(spark, sf_dir):
+    """Duplicate-span TAGGER (operators/dedup.py
+    duplicate_span_attributes): the attribute-producing form of
+    window_scrub — maximal character ranges covered by cross-document-
+    duplicated 3-token windows, offsets over the single-space normalized
+    text (the one convention under which token→char arithmetic is exact).
+    Overlapping/adjacent windows coalesce via a gaps-and-islands pass;
+    the spans are exactly what rides a Dolma sidecar into the curation
+    CLI's --attr-spans stage (circle pinned in pytest). Oracle replays
+    windows → frequency → islands → offset joins stage for stage."""
+    from log_analysis_spark.operators.dedup import duplicate_span_attributes
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_span_attributes(
+        d, "doc_id", "text", k=3, max_docs=1, hash_fn="md5"
+    ).orderBy("doc_id", "start")
+
+
 def q_redirect_resolve(spark, sf_dir):
     """Redirect-chain resolution (operators/redirects.py): constructed
     3xx chains — 100 groups of length 1-7, every 11th group closed into
@@ -5093,6 +5111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_attr_filter": q_jsonl_attr_filter,
         "attr_span_removal": q_attr_span_removal,
         "web_tables": q_web_tables,
+        "dup_span_attrs": q_dup_span_attrs,
         "cdx_lookup": q_cdx_lookup,
         "binned_quantiles": q_binned_quantiles,
         "c4_line_filter": q_c4_line_filter,
@@ -8219,6 +8238,45 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN nw ON d.doc_id = nw.doc_id "
             "LEFT JOIN dw ON d.doc_id = dw.doc_id "
             "LEFT JOIN ct ON d.doc_id = ct.doc_id ORDER BY d.doc_id"
+        ),
+        "dup_span_attrs": (
+            # Replays dedup.duplicate_span_attributes(k=3, max_docs=1,
+            # 'md5'): window_scrub's window/frequency stages, then
+            # gaps-and-islands (running-max window) and cumulative-length
+            # character offsets over the single-space normalized text.
+            "WITH tok AS (SELECT doc_id, "
+            f"{_TOKENS.format(t='text')} AS w FROM documents), "
+            "tr AS (SELECT doc_id, u['p'] AS p, u['t'] AS t FROM "
+            "(SELECT doc_id, unnest([{'p': i, 't': w[i + 1]} "
+            "for i in range(coalesce(len(w), 0))]) AS u FROM tok)), "
+            "win AS (SELECT doc_id, u['wp'] AS wp, u['s'] AS s FROM "
+            "(SELECT doc_id, unnest([{'wp': i, 's': "
+            "array_to_string(list_slice(w, i + 1, i + 3), ' ')} "
+            "for i in range(greatest(coalesce(len(w), 0) - 2, 0))]) AS u "
+            "FROM tok)), "
+            f"wh AS MATERIALIZED (SELECT doc_id, wp, {_sql_h60('s')} AS h "
+            "FROM win), "
+            "freq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM wh GROUP BY h), "
+            "dup AS (SELECT doc_id, wp FROM wh JOIN freq USING (h) WHERE nd > 1), "
+            "fl AS (SELECT doc_id, wp, CASE WHEN "
+            "max(wp + 3) OVER (PARTITION BY doc_id ORDER BY wp "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL "
+            "OR wp > max(wp + 3) OVER (PARTITION BY doc_id ORDER BY wp "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "THEN 1 ELSE 0 END AS nw FROM dup), "
+            "isl AS (SELECT doc_id, wp, sum(nw) OVER (PARTITION BY doc_id "
+            "ORDER BY wp ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS isl FROM fl), "
+            "sp AS (SELECT doc_id, isl, min(wp) AS st, max(wp) + 3 AS et, "
+            "count(*)::BIGINT AS n_windows FROM isl GROUP BY doc_id, isl), "
+            "offs AS (SELECT doc_id, p, t, (coalesce(sum(length(t)) OVER ("
+            "PARTITION BY doc_id ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND 1 PRECEDING), 0) + p)::BIGINT AS off FROM tr) "
+            "SELECT sp.doc_id, o1.off AS start, "
+            '(o2.off + length(o2.t))::BIGINT AS "end", sp.n_windows '
+            "FROM sp JOIN offs o1 ON sp.doc_id = o1.doc_id AND sp.st = o1.p "
+            "JOIN offs o2 ON sp.doc_id = o2.doc_id AND sp.et - 1 = o2.p "
+            "ORDER BY sp.doc_id, start"
         ),
         "phrase_search": (
             # windowed recompute straight from the token arrays: count

@@ -271,6 +271,123 @@ def duplicated_window_scrub(
     )
 
 
+def duplicate_span_attributes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    max_docs: int = 1,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The TAGGER form of :func:`duplicated_window_scrub`: instead of
+    rewriting text, emit Dolma-style span attributes — maximal character
+    ranges [start, end) covered by cross-document-duplicated k-token
+    windows — so the verdicts ride an attribute sidecar
+    (sources/jsonl.py write_attributes) and the scrub happens later, or
+    never (tag-then-filter: audit first, apply when the release is cut).
+
+    Offsets are over the SINGLE-SPACE NORMALIZED text (whitespace-split
+    tokens joined by one space — exactly
+    ``F.array_join(textstats.tokens(text), ' ')``); this is the one
+    convention under which token→character arithmetic is exact without
+    re-locating tokens in raw text. Producer and consumer must share it
+    (the circle is pinned in pytest: tag → sidecar → remove_spans drops
+    precisely the duplicated runs).
+
+    Returns ``(id, start, end, n_windows)`` — one row per MAXIMAL merged
+    span (overlapping/adjacent duplicated windows coalesce via a
+    gaps-and-islands pass), ``n_windows`` = windows merged into the span.
+
+    Scale shape: identical to the scrub up to the frequency join; the
+    islands pass is a per-doc window function over DUP windows only
+    (boilerplate-bounded), and offsets come from one cumulative-length
+    window over the token rows — no all-pairs anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.textstats import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("_p", "_t"),
+    )
+    w = Window.partitionBy("_id").orderBy("_p")
+    parts = [F.col("_t").alias("_t0")] + [
+        F.lead("_t", j).over(w).alias(f"_t{j}") for j in range(1, k)
+    ]
+    wins = (
+        toks.select("_id", F.col("_p").alias("_wp"), *parts)
+        .filter(F.col(f"_t{k - 1}").isNotNull())
+        .select(
+            "_id",
+            "_wp",
+            _base_hash(
+                F.concat_ws(" ", *[F.col(f"_t{j}") for j in range(k)]), hash_fn
+            ).alias("_h"),
+        )
+    )
+    freq = wins.groupBy("_h").agg(F.count_distinct("_id").alias("_nd"))
+    dup = wins.join(freq, "_h").filter(F.col("_nd") > max_docs).select("_id", "_wp")
+
+    # gaps-and-islands: a window starts a new span iff it begins past the
+    # running max end (exclusive) of every earlier duplicated window
+    w_ord = Window.partitionBy("_id").orderBy("_wp")
+    prev_end = F.max(F.col("_wp") + F.lit(k)).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "_new",
+        F.when(prev_end.isNull() | (F.col("_wp") > prev_end), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    islands = flagged.withColumn(
+        "_isl",
+        F.sum("_new").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans_tok = islands.groupBy("_id", "_isl").agg(
+        F.min("_wp").alias("_st"),
+        (F.max("_wp") + F.lit(k)).alias("_et"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+    )
+
+    # token -> character offsets over the single-space normalized text
+    w_t = Window.partitionBy("_id").orderBy("_p")
+    offs = toks.select(
+        "_id",
+        "_p",
+        "_t",
+        (
+            F.coalesce(
+                F.sum(F.length("_t")).over(
+                    w_t.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            + F.col("_p")
+        )
+        .cast("long")
+        .alias("_off"),
+    )
+    so = offs.select(
+        F.col("_id").alias("_ji1"),
+        F.col("_p").alias("_sp"),
+        F.col("_off").alias("start"),
+    )
+    eo = offs.select(
+        F.col("_id").alias("_ji2"),
+        F.col("_p").alias("_ep"),
+        (F.col("_off") + F.length("_t")).cast("long").alias("end"),
+    )
+    return (
+        spans_tok.join(
+            so, on=[F.col("_id") == F.col("_ji1"), F.col("_st") == F.col("_sp")]
+        )
+        .join(eo, on=[F.col("_id") == F.col("_ji2"), F.col("_et") - 1 == F.col("_ep")])
+        .select(F.col("_id").alias(id_col), "start", "end", "n_windows")
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,

@@ -466,3 +466,48 @@ def test_fp_index_gate_identity_and_pruning(spark, tmp_path):
     assert got == want and "b10" not in got and "b11" not in got
     plan = indexed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "ci" in plan and "_b" in plan
+
+
+def test_duplicate_span_attributes_islands_and_offsets(spark):
+    from log_analysis_spark.operators.dedup import duplicate_span_attributes
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "x x a b c d y z c d e f zz"),  # two separated dup runs vs doc 1
+        (3, "unrelated words only here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["start"], r["end"]): r["n_windows"]
+        for r in duplicate_span_attributes(df, k=3, hash_fn="md5").collect()
+    }
+    # doc 1: windows 0..3 all duplicated -> one maximal span "a b c d e f"
+    assert got == {
+        (1, 0, 11): 4,
+        (2, 4, 11): 2,   # "a b c d" at char 4 of the normalized text
+        (2, 16, 23): 2,  # "c d e f" after the separating 'y z'
+    }
+
+
+def test_duplicate_span_attributes_adjacent_windows_merge(spark):
+    from log_analysis_spark.operators.dedup import duplicate_span_attributes
+
+    # dup windows at 0 and 3 touch exactly ([0,3) + [3,6)): one span
+    rows = [(1, "p q r s t u"), (2, "p q r zz s t u")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r["doc_id"], r["start"], r["end"])
+        for r in duplicate_span_attributes(df, k=3, hash_fn="md5").collect()
+    )
+    # doc1: dup windows "p q r"(0) and "s t u"(3) merge into [0, 11)
+    assert (1, 0, 11) in got
+
+
+def test_duplicate_span_attributes_no_dups_is_empty(spark):
+    from log_analysis_spark.operators.dedup import duplicate_span_attributes
+
+    df = spark.createDataFrame(
+        [(1, "all unique words here"), (2, "totally different content now")],
+        ["doc_id", "text"],
+    )
+    assert duplicate_span_attributes(df, k=3, hash_fn="md5").count() == 0

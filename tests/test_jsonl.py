@@ -57,9 +57,11 @@ def test_corrupt_line_dead_letters(spark, tmpdir_path):
 def test_gzip_on_disk(spark, tmpdir_path):
     p = os.path.join(tmpdir_path, "docs")
     write_docs_jsonl(_docs(spark), p)  # default gzip
-    part = glob.glob(os.path.join(p, "part-*.json.gz"))[0]
-    with gzip.open(part, "rt") as fh:
-        assert fh.readline().startswith('{"id":')
+    lines = []
+    for part in glob.glob(os.path.join(p, "part-*.json.gz")):
+        with gzip.open(part, "rt") as fh:
+            lines += [ln for ln in fh if ln.strip()]
+    assert len(lines) == 3 and all(ln.startswith('{"id":') for ln in lines)
 
 
 def test_attribute_sidecar_filter(spark, tmpdir_path):
@@ -115,3 +117,53 @@ def test_remove_spans_edges(spark):
 def test_remove_spans_character_not_byte(spark):
     # offsets are CHARACTER positions (Dolma's span convention)
     assert _scrub(spark, "héllo wörld", [(0, 6, 1.0)]) == "wörld"
+
+
+def test_tagger_sidecar_scrub_circle(spark, tmpdir_path):
+    """The full tag-then-filter circle: duplicate_span_attributes tags
+    maximal duplicated runs, the spans ride a Dolma sidecar, remove_spans
+    applies them over the SAME single-space normalization — the
+    duplicated boilerplate vanishes, everything else survives."""
+    import os
+
+    from log_analysis_spark.functions.textstats import tokens
+    from log_analysis_spark.operators.dedup import duplicate_span_attributes
+
+    rows = [
+        (1, "alpha beta gamma delta CALL NOW TO SUBSCRIBE epsilon"),
+        (2, "one two three CALL NOW TO SUBSCRIBE four five"),
+        (3, "no boilerplate in this one at all"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "text", F.array_join(tokens(F.col("text")), " ")
+    )
+    spans = duplicate_span_attributes(docs, k=4, hash_fn="md5")
+    side = spans.groupBy(F.col("doc_id").alias("id")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("start"),
+                F.col("end"),
+                F.lit(1.0).alias("score"),
+            )
+        ).alias("dup_spans")
+    )
+    p = os.path.join(tmpdir_path, "attrs")
+    write_attributes(side, p)
+    back = read_attributes(
+        spark, p, T.StructType([T.StructField("dup_spans", SPAN_TYPE)])
+    )
+    joined = docs.join(back, docs["doc_id"] == back["id"].cast("long"), "left")
+    out = joined.select(
+        "doc_id",
+        F.when(
+            F.col("dup_spans").isNotNull(),
+            remove_spans(F.col("text"), F.col("dup_spans")),
+        )
+        .otherwise(F.col("text"))
+        .alias("clean"),
+    )
+    got = {r["doc_id"]: r["clean"] for r in out.collect()}
+    assert "CALL NOW" not in got[1] and "CALL NOW" not in got[2]
+    assert "alpha beta gamma delta" in got[1] and "epsilon" in got[1]
+    assert "one two three" in got[2] and "four five" in got[2]
+    assert got[3] == "no boilerplate in this one at all"
