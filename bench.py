@@ -153,6 +153,14 @@ BENCH_QUERIES = [
     "stupid_backoff",
     "perplexity_buckets",
     "vocab_growth",
+    "url_align",
+    "dataset_card",
+    "snapshot_drift",
+    "bitext_mine",
+    "jsonl_attr_filter",
+    "attr_span_removal",
+    "web_tables",
+    "dup_span_attrs",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at
