@@ -698,6 +698,35 @@ def q_dup_span_attrs(spark, sf_dir):
     ).orderBy("doc_id", "start")
 
 
+def q_user_type_pivot(spark, sf_dir):
+    """Explicit-list pivot (operators/aggregate.py pivot_counts): wide
+    per-user counts of the CLOSED event-type vocabulary — the value list
+    is pinned, never the two-pass distinct-discovery pivot that would
+    scan 10^12 rows just to learn the columns; absent combinations read
+    0 and the output schema is run-stable. One partial-agg shuffle."""
+    from log_analysis_spark.operators.aggregate import pivot_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return pivot_counts(ev, "user_id", "event_type", EVENT_WHITELIST).orderBy(
+        "user_id"
+    )
+
+
+def q_funnel_counts(spark, sf_dir):
+    """Ordered conversion funnel (operators/aggregate.py funnel_counts):
+    users performing view → click → purchase in STRICT timestamp order —
+    step i+1 counts only events strictly after the user's earliest
+    completion of step i. One min-aggregate + bounded equi-join per step
+    (k joins for a k-step funnel), no corpus-wide windows. The oracle
+    replays the per-step min/join chain."""
+    from log_analysis_spark.operators.aggregate import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).orderBy("step_idx")
+
+
 def q_redirect_resolve(spark, sf_dir):
     """Redirect-chain resolution (operators/redirects.py): constructed
     3xx chains — 100 groups of length 1-7, every 11th group closed into
@@ -5112,6 +5141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attr_span_removal": q_attr_span_removal,
         "web_tables": q_web_tables,
         "dup_span_attrs": q_dup_span_attrs,
+        "user_type_pivot": q_user_type_pivot,
+        "funnel_counts": q_funnel_counts,
         "cdx_lookup": q_cdx_lookup,
         "binned_quantiles": q_binned_quantiles,
         "c4_line_filter": q_c4_line_filter,
@@ -7213,6 +7244,31 @@ def oracle_sql() -> dict[str, str]:
         ),
         "snapshot_drift": _snapshot_drift_sql(),
         "bitext_mine": _bitext_mine_sql(),
+        "user_type_pivot": (
+            "SELECT user_id, "
+            + ", ".join(
+                f"coalesce(count(*) FILTER (event_type = '{v}'), 0)::BIGINT "
+                f'AS "{v}"'
+                for v in EVENT_WHITELIST
+            )
+            + " FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "funnel_counts": (
+            "WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e "
+            "JOIN s1 ON e.user_id = s1.u "
+            "WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1), "
+            "s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e "
+            "JOIN s2 ON e.user_id = s2.u "
+            "WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1) "
+            "SELECT 1::BIGINT AS step_idx, 'view' AS step, "
+            "(SELECT count(*) FROM s1)::BIGINT AS n_users "
+            "UNION ALL SELECT 2::BIGINT, 'click', "
+            "(SELECT count(*) FROM s2)::BIGINT "
+            "UNION ALL SELECT 3::BIGINT, 'purchase', "
+            "(SELECT count(*) FROM s3)::BIGINT ORDER BY step_idx"
+        ),
         "jsonl_attr_filter": (
             f"SELECT doc_id, len({_TOKENS.format(t='text')})::BIGINT AS n_tokens, "
             "md5(text) AS text_md5 FROM documents "

@@ -161,6 +161,8 @@ BENCH_QUERIES = [
     "attr_span_removal",
     "web_tables",
     "dup_span_attrs",
+    "user_type_pivot",
+    "funnel_counts",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at

@@ -132,3 +132,68 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     ).withColumn("_salt", F.col("_salt").cast("long"))
     return b.join(d, on=[key_col, "_salt"]).drop("_salt")
+
+
+def pivot_counts(
+    df: DataFrame, key_col: str, pivot_col: str, values: list[str]
+) -> DataFrame:
+    """Wide per-key counts of an EXPLICIT category list — ``pivot`` with
+    the value list pinned (never the two-pass distinct-discovery form,
+    which at 10^12 rows would scan the table once just to learn the
+    columns). One partial-aggregated shuffle; absent combinations read 0.
+    The fixed list also keeps the output schema stable across runs — the
+    contract a downstream table needs (reference's router enum is the
+    same idea: a closed vocabulary, unknowns dropped earlier).
+    """
+    out = df.groupBy(key_col).pivot(pivot_col, values).count()
+    for v in values:
+        out = out.withColumn(v, F.coalesce(F.col(v), F.lit(0)).cast("long"))
+    return out
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users performed ``steps`` in
+    strict timestamp order (classic conversion funnel — step i+1 counts
+    only events strictly after the user's earliest completion of step i).
+
+    Shape: one keyed aggregate per step (min-ts, map-side combinable)
+    joined back to the events by user — k bounded equi-joins for a
+    k-step funnel, no windows over the whole corpus, no driver state.
+    Returns ``(step_idx, step, n_users)`` with step_idx 1-based.
+    """
+    reached = df.filter(F.col(type_col) == steps[0]).groupBy(
+        F.col(user_col).alias("_u")
+    ).agg(F.min(ts_col).alias("_t"))
+    outs = [
+        reached.agg(
+            F.lit(1).cast("long").alias("step_idx"),
+            F.lit(steps[0]).alias("step"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = (
+            df.filter(F.col(type_col) == s)
+            .join(reached, on=F.col(user_col) == F.col("_u"))
+            .filter(F.col(ts_col) > F.col("_t"))
+            .groupBy("_u")
+            .agg(F.min(ts_col).alias("_t2"))
+            .select("_u", F.col("_t2").alias("_t"))
+        )
+        outs.append(
+            nxt.agg(
+                F.lit(i).cast("long").alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+            )
+        )
+        reached = nxt
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), outs)

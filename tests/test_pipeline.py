@@ -381,3 +381,59 @@ def test_pipeline_robots_exclusion_and_resume_invalidation(spark, tmpdir_path):
     sink = spark.read.parquet(f"{out_dir}/sinks/http_like")
     assert sink.filter(F.col("host") == HOT_HOSTS[1]).count() == 0
     assert sink.filter(F.col("host") == HOT_HOSTS[0]).count() > 0
+
+
+def test_pivot_counts_fixed_vocabulary(spark):
+    from log_analysis_spark.operators.aggregate import pivot_counts
+
+    rows = [
+        (1, "click"), (1, "click"), (1, "view"),
+        (2, "purchase"),
+        (3, "unknown"),  # outside the pinned list -> contributes nothing
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type"])
+    out = {r["user_id"]: r for r in pivot_counts(
+        df, "user_id", "event_type", ["click", "view", "purchase"]
+    ).collect()}
+    assert (out[1]["click"], out[1]["view"], out[1]["purchase"]) == (2, 1, 0)
+    assert (out[2]["click"], out[2]["purchase"]) == (0, 1)
+    # user 3 appears (it has rows) but with all-zero pinned columns
+    assert (out[3]["click"], out[3]["view"], out[3]["purchase"]) == (0, 0, 0)
+
+
+def test_funnel_counts_strict_order(spark):
+    import datetime as dt
+
+    from log_analysis_spark.operators.aggregate import funnel_counts
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1 completes the funnel in order
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # user 2: click BEFORE view -> stops after step 1
+        (2, t(1), "view"), (2, t(0), "click"),
+        # user 3: view+click, purchase missing
+        (3, t(0), "view"), (3, t(5), "click"),
+        # user 4: never views; a later purchase cannot enter the funnel
+        (4, t(0), "click"), (4, t(1), "purchase"),
+        # user 5: same-timestamp click does NOT count (strict >)
+        (5, t(0), "view"), (5, t(0), "click"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r["step_idx"]: (r["step"], r["n_users"]) for r in funnel_counts(
+        df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).collect()}
+    assert out == {1: ("view", 4), 2: ("click", 2), 3: ("purchase", 1)}
+
+
+def test_funnel_counts_empty_first_step(spark):
+    from log_analysis_spark.operators.aggregate import funnel_counts
+
+    df = spark.createDataFrame(
+        [(1, __import__("datetime").datetime(2024, 1, 1), "click")],
+        ["user_id", "ts", "event_type"],
+    )
+    out = funnel_counts(df, "user_id", "ts", "event_type", ["view", "click"])
+    assert [(r["step_idx"], r["n_users"]) for r in out.orderBy("step_idx").collect()] == [
+        (1, 0), (2, 0),
+    ]
