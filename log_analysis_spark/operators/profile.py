@@ -97,6 +97,14 @@ def histogram_compare(
     cb = b.groupBy(_bin_expr(F.col(col), lo, hi, n_bins).alias("bin")).agg(
         F.count(F.lit(1)).alias("n_b")
     )
+    return drift_from_counts(ca, cb)
+
+
+def drift_from_counts(ca: DataFrame, cb: DataFrame) -> DataFrame:
+    """The comparison half of :func:`histogram_compare`, over
+    already-binned count relations ``(bin, n_a)`` / ``(bin, n_b)`` —
+    shared by the batch path and the streaming drift monitor (whose
+    cumulative bin counts come from an unwatermarked streaming count)."""
     ta = ca.agg(F.sum("n_a").alias("tot_a"))
     tb = cb.agg(F.sum("n_b").alias("tot_b"))
     joined = (

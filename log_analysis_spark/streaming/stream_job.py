@@ -985,3 +985,68 @@ def start_lm_score_stream(
     )
     q._lm_handles = handles
     return q
+
+
+def start_drift_stream(
+    spark: SparkSession,
+    input_path: str,
+    reference_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    n_bins: int = 16,
+    max_files_per_trigger: int = 100000,
+):
+    """Streaming data-drift monitor — the streaming twin of
+    ``profile.histogram_compare`` + ``drift_score``.
+
+    The REFERENCE histogram is computed once from a static snapshot
+    (bounded: <= n_bins count rows, collected to a literal relation).
+    The stream side is an unwatermarked streaming count per bin —
+    count is associative and arrival-order-insensitive, so complete-mode
+    state is the <= n_bins cumulative histogram itself (O(n_bins)
+    forever, no growth, no late-data policy: a late row only increments
+    a cell). Each trigger rewrites ``{out_dir}/drift`` atomically with
+    the per-bin comparison + the folded triangular-discrimination value
+    against the reference — the SAME ``drift_from_counts`` /
+    ``drift_score`` algebra as batch, so streamed drift equals the batch
+    drift of everything-that-arrived, bit for bit (pinned in pytest).
+    An ingest pipeline watches this relation to catch a corrupted or
+    re-weighted source before it pollutes a 100 TB corpus.
+    """
+    from ..operators.profile import _bin_expr, drift_from_counts, drift_score
+
+    ref = (
+        spark.read.parquet(reference_path)
+        .groupBy(_bin_expr(F.col(value_col), lo, hi, n_bins).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    ref_rows = ref.collect()  # bounded: <= n_bins rows
+    schema = spark.read.parquet(input_path).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    counts = ev.groupBy(
+        _bin_expr(F.col(value_col), lo, hi, n_bins).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n_b"))
+
+    def _sink(batch_df: DataFrame, _bid: int) -> None:
+        s = batch_df.sparkSession
+        ca = s.createDataFrame(ref_rows, schema="bin int, n_a long")
+        bins = drift_from_counts(ca, batch_df)
+        out = bins.join(F.broadcast(drift_score(bins))).select(
+            "bin", "n_a", "n_b", "p_a", "p_b", "term", "drift"
+        )
+        out.write.mode("overwrite").parquet(f"{out_dir}/drift")
+
+    return (
+        counts.writeStream.foreachBatch(_sink)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -714,3 +714,46 @@ def test_cdx_stream_appends_and_repairs_sidecar(spark, tmpdir_path):
     ).awaitTermination()
     side2 = spark.read.parquet(f"{idx}/_cluster").collect()
     assert sum(r["n"] for r in side2) == 24
+
+
+def test_drift_stream_matches_batch_drift(spark, tmpdir_path):
+    """Streaming drift monitor: after two incremental arrivals the
+    drift relation equals batch histogram_compare(reference, all-arrived)
+    bit for bit (count is associative — arrival order irrelevant), and
+    the per-batch rewrite is atomic (complete mode over <= n_bins rows)."""
+    from log_analysis_spark.operators.profile import (
+        drift_score,
+        histogram_compare,
+    )
+    from log_analysis_spark.streaming.stream_job import start_drift_stream
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    ref_path = f"{tmpdir_path}/ref"
+    ev.filter(F.col("event_id") % 3 == 0).select("value").write.parquet(ref_path)
+    inp = f"{tmpdir_path}/ev_in"
+    ev.filter(F.col("event_id") % 3 == 1).select("value").write.parquet(inp)
+
+    args = (spark, inp, ref_path, f"{tmpdir_path}/out", f"{tmpdir_path}/ckpt_drift")
+    q = start_drift_stream(*args, value_col="value", lo=0.0, hi=500.0, n_bins=16)
+    q.awaitTermination(300)
+
+    # second arrival shifts the stream-side distribution
+    ev.filter(F.col("event_id") % 3 == 2).select("value").write.mode(
+        "append"
+    ).parquet(inp)
+    q2 = start_drift_stream(*args, value_col="value", lo=0.0, hi=500.0, n_bins=16)
+    q2.awaitTermination(300)
+
+    got = {
+        r["bin"]: (r["n_a"], r["n_b"], r["term"], r["drift"])
+        for r in spark.read.parquet(f"{tmpdir_path}/out/drift").collect()
+    }
+    ref = spark.read.parquet(ref_path)
+    arrived = spark.read.parquet(inp)
+    bins = histogram_compare(ref, arrived, "value", 0.0, 500.0, n_bins=16)
+    want_drift = drift_score(bins).collect()[0]["drift"]
+    want = {
+        r["bin"]: (r["n_a"], r["n_b"], r["term"], want_drift)
+        for r in bins.collect()
+    }
+    assert got == want and len(got) > 0 and want_drift > 0.0
