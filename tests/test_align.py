@@ -170,3 +170,26 @@ def test_bitext_mine_threshold_filters(spark):
     # so exclusivity is not asserted, correctness of the mapping is)
     got = {r["src_id"]: r["tgt_id"] for r in out}
     assert all(got.get(i) == 1000 + i for i in range(6))
+
+
+def test_bitext_mine_over_ivf_cells(spark):
+    """The 10^12 composition: candidate blocks from the IVF coarse
+    quantizer (nearest_centroid cell ids) instead of a given label —
+    planted translations land in the same cell (near-identical vectors
+    quantize together) and are mined with the right counterparts."""
+    from pyspark.sql import functions as F2
+
+    from log_analysis_spark.operators.align import bitext_mine
+    from log_analysis_spark.operators.similarity import (
+        ivf_centroids,
+        nearest_centroid,
+    )
+
+    src, tgt = _planted_bitext(spark, n_pairs=5, n_noise=10)
+    both = src.unionByName(tgt)
+    cents = ivf_centroids(both, n_centroids=4, lloyd_iters=0)
+    s = src.withColumn("_cell", nearest_centroid(F2.col("embedding"), cents))
+    t = tgt.withColumn("_cell", nearest_centroid(F2.col("embedding"), cents))
+    out = bitext_mine(s, t, block_col="_cell", k=4, threshold=1.0).collect()
+    got = {r["src_id"]: r["tgt_id"] for r in out}
+    assert all(got.get(i) == 1000 + i for i in range(5))
