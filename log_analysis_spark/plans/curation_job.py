@@ -649,11 +649,26 @@ def run_curation(
                 "rows_out": rows,
                 "bytes_out": res.bytes_out,
             }
+    splits = None
+    if halted is None:
+        # release card: bounded per-split row counts straight off the
+        # partition column (one partial-agg'd pass over the final corpus)
+        try:
+            splits = {
+                r["_split"]: r["n"]
+                for r in spark.read.parquet(prev_path)
+                .groupBy("_split")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        except Exception:  # noqa: BLE001 - corpus without _split (custom graph)
+            splits = None
     wall = time.monotonic() - t0
     return {
         "stages_run": ran,
         "stages_skipped": skipped,
         "stages": metrics,
+        "splits": splits,
         "halted_empty_at": halted,
         "wall_sec": wall,
     }
