@@ -532,3 +532,85 @@ def build_wat_record(
         "metadata", url, date, _json.dumps(env).encode("utf-8"),
         content_type="application/json",
     )
+
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    text_col: str = "text",
+    date: str = "2024-07-02T12:34:56Z",
+    status: int = 200,
+    content_type: str = "text/html",
+    gzip_members: bool = True,
+) -> DataFrame:
+    """Distributed WARC export — the sink half of :func:`read_warc`:
+    every partition writes ONE ``part-{pid}.warc[.gz]`` file of
+    ``response`` records (gzip **members** per record when
+    ``gzip_members`` — the Common Crawl layout, so the output is
+    directly re-ingestable by this module AND by standard WARC tooling).
+
+    Returns a manifest relation ``(file, n_records, n_bytes)`` — one row
+    per non-empty partition; materializing it IS the export (mapInPandas
+    is lazy). Record bytes come from the same :func:`build_record` /
+    :func:`build_http_response_block` builders the fixtures use, so the
+    round-trip ``write_warc -> read_warc`` is byte-exact on the payload
+    (pinned in pytest).
+
+    Scale shape: one file per partition (CC's own parallelism unit —
+    repartition upstream to choose shard count/size), streaming writes
+    (no per-partition buffering of the whole shard). Documented cap:
+    files open via plain POSIX io — local/NFS/FUSE-mounted stores; a
+    production deployment on HDFS/S3 would swap in the Hadoop
+    FileSystem API, which changes none of the record arithmetic.
+    """
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzip_members else ".warc"
+    src = df.select(
+        F.col(url_col).cast("string").alias("_u"),
+        F.col(text_col).cast("string").alias("_t"),
+    )
+
+    def writer(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        n = 0
+        nbytes = 0
+        fh = None
+        try:
+            for pdf in batches:
+                if len(pdf) and fh is None:
+                    os.makedirs(out_dir, exist_ok=True)
+                    fh = open(path, "wb")
+                for u, t in zip(pdf["_u"], pdf["_t"]):
+                    body = ("" if t is None else t).encode("utf-8")
+                    block = build_http_response_block(
+                        body, status=status, content_type=content_type
+                    )
+                    rec = build_record(
+                        "response",
+                        u,
+                        date,
+                        block,
+                        content_type="application/http; msgtype=response",
+                        rec_id=f"<urn:uuid:{pid}-{n}>",
+                    )
+                    out = gzip.compress(rec) if gzip_members else rec
+                    fh.write(out)
+                    n += 1
+                    nbytes += len(out)
+        finally:
+            if fh is not None:
+                fh.close()
+        if n:
+            yield pd.DataFrame(
+                {"file": [path], "n_records": [n], "n_bytes": [nbytes]}
+            )
+
+    return src.mapInPandas(writer, schema="file string, n_records long, n_bytes long")
