@@ -614,3 +614,58 @@ def write_warc(
             )
 
     return src.mapInPandas(writer, schema="file string, n_records long, n_bytes long")
+
+
+def write_wet(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    text_col: str = "text",
+    date: str = "2024-07-02T12:34:56Z",
+    gzip_members: bool = True,
+) -> DataFrame:
+    """WET export — curated text in Common Crawl's own extracted-text
+    distribution format (``conversion`` records whose block IS the
+    page's UTF-8 text): the natural handoff from `curation_job` to any
+    CC-tooling consumer, and the inverse of :func:`pages_from_wet`.
+    Same one-file-per-partition / manifest contract as
+    :func:`write_warc`; round-trip pinned in pytest."""
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.wet.gz" if gzip_members else ".warc.wet"
+    src = df.select(
+        F.col(url_col).cast("string").alias("_u"),
+        F.col(text_col).cast("string").alias("_t"),
+    )
+
+    def writer(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        n = 0
+        nbytes = 0
+        fh = None
+        try:
+            for pdf in batches:
+                if len(pdf) and fh is None:
+                    os.makedirs(out_dir, exist_ok=True)
+                    fh = open(path, "wb")
+                for u, t in zip(pdf["_u"], pdf["_t"]):
+                    rec = build_wet_record(u, date, "" if t is None else t)
+                    out = gzip.compress(rec) if gzip_members else rec
+                    fh.write(out)
+                    n += 1
+                    nbytes += len(out)
+        finally:
+            if fh is not None:
+                fh.close()
+        if n:
+            yield pd.DataFrame(
+                {"file": [path], "n_records": [n], "n_bytes": [nbytes]}
+            )
+
+    return src.mapInPandas(writer, schema="file string, n_records long, n_bytes long")

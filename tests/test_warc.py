@@ -365,3 +365,33 @@ def test_write_warc_empty_partition_writes_nothing(spark, tmpdir_path):
     manifest = write_warc(df, out).collect()
     assert len(manifest) == 1 and manifest[0]["n_records"] == 1
     assert len(glob.glob(os.path.join(out, "part-*.warc.gz"))) == 1
+
+
+def test_write_wet_roundtrip(spark, tmpdir_path):
+    """write_wet -> parse_warc_column/pages_from_wet recovers every
+    text byte-exactly — curated corpus out, CC-compatible WET in."""
+    from log_analysis_spark.sources.warc import pages_from_wet, read_warc, write_wet
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = docs.selectExpr(
+        "concat('https://w', doc_id, '.example/p') AS url", "text"
+    ).repartition(3)
+    out = f"{tmpdir_path}/wet_out"
+    manifest = write_wet(src, out).collect()
+    assert sum(r["n_records"] for r in manifest) == 500
+
+    recs = read_warc(spark, f"{out}/*.warc.wet.gz", types=("conversion",))
+    pages = pages_from_wet(recs, lang=False)
+    got = {
+        r["url"]: r["m"]
+        for r in pages.selectExpr(
+            "url", "md5(cast(text AS BINARY)) AS m"
+        ).collect()
+    }
+    want = {
+        r["url"]: r["m"]
+        for r in src.selectExpr(
+            "url", "md5(cast(text AS BINARY)) AS m"
+        ).collect()
+    }
+    assert got == want and len(got) == 500
