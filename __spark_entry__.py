@@ -2814,6 +2814,41 @@ def q_incremental_dedup(spark, sf_dir):
     return surv.select("doc_id").orderBy("doc_id")
 
 
+def q_text_gate_indexed(spark, sf_dir):
+    """The MATERIALIZED text-dedup index under the same incremental gate
+    (dedup.write_text_index + text_gate_indexed): the corpus (even
+    doc_ids) lands once per (sf_dir, mtime) as three partition-pruned
+    relations — distinct content hashes by hash bucket, LSH band
+    postings by band-key bucket, shingle sets by id bucket — then the
+    batch (odd doc_ids) probes ONLY its own bucket directories at each
+    stage (PartitionFilters pinned in pytest). Result-identical to the
+    ad-hoc `incremental_dedup`, so the oracle is the SAME two-stage
+    md5/minhash replay; in the bench this entry shows what the ingest
+    gate costs once the corpus index exists."""
+    import hashlib
+    import os
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{src}|{os.stat(src).st_mtime_ns}|txt64x16md5".encode()
+    ).hexdigest()[:12]
+    idx = f"/tmp/las_text_idx_{key}"
+    if not os.path.exists(os.path.join(idx, "sets", "_SUCCESS")):
+        DD.write_text_index(
+            corpus, idx, "doc_id", "text",
+            num_perm=64, bands=16, n=3, hash_fn="md5", n_buckets=16,
+        )
+    surv = DD.text_gate_indexed(
+        spark, batch, idx, "doc_id", "text",
+        num_perm=64, bands=16, n=3, threshold=0.5, hash_fn="md5",
+        n_buckets=16,
+    )
+    return surv.select("doc_id").orderBy("doc_id")
+
+
 def q_simhash(spark, sf_dir):
     """SimHash near-dup pairs; md5-based token hash -> the oracle replays
     fingerprints, chunk-pigeonhole candidates, and hamming verify exactly.
@@ -5169,6 +5204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "semdedup": q_semdedup,
         "incremental_dedup": q_incremental_dedup,
+        "text_gate_indexed": q_text_gate_indexed,
         "lsh_topk": q_lsh_topk,
         "quantized_topk": q_quantized_topk,
         "anomaly_hours": q_anomaly_hours,
@@ -7831,6 +7867,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "semdedup": _sql_semdedup(n_centroids=8, threshold=0.3),
         "incremental_dedup": _sql_incremental_dedup(num_perm=64, bands=16, threshold=0.5),
+        # same replay — the indexed gate is result-identical by construction
+        "text_gate_indexed": _sql_incremental_dedup(num_perm=64, bands=16, threshold=0.5),
         "embedding_neardup": (
             f"WITH nv AS (SELECT vec_id, label, {_sql_normvec('embedding')} AS v "
             "FROM embeddings) "

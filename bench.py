@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "semdedup",
     "incremental_dedup",
+    "text_gate_indexed",
     "hll_distinct_pairs",
     "cms_heavy_hitters",
     "registrable_domains",

@@ -743,6 +743,144 @@ def dedup_against(
     return survivors.join(dominated, on=id_col, how="left_anti")
 
 
+# --- Materialized text-dedup index ------------------------------------------
+def write_text_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    hash_fn: str = "xxhash64",
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus side of :func:`dedup_against` as an on-disk
+    index a small batch can PROBE instead of recomputing — the
+    "materialized index appended per ingest" that function's docstring
+    promises, as code. Three relations under ``path``:
+
+    - ``hashes/`` — DISTINCT 60/64-bit content hashes, partitioned by
+      ``_b = pmod(_bh, n_buckets)``: the exact-dup stage probes only the
+      buckets the batch's own hashes fall in (8 bytes/corpus doc total).
+    - ``bands/`` — (id, bkey) MinHash-LSH band postings, partitioned by
+      ``_b = pmod(xxhash64(bkey), n_buckets)``: the candidate stage reads
+      only the band buckets the batch's keys hash into.
+    - ``sets/`` — (id, _sh) shingle-hash sets, partitioned by
+      ``_b = pmod(xxhash64(id), n_buckets)``: the exact-Jaccard verify
+      joins back only to the buckets that hold candidate corpus ids.
+
+    Every probe prunes at file-listing time (PartitionFilters — pinned in
+    pytest), so corpus bytes read scale with the BATCH, not the corpus —
+    the same move as ``write_fp_index`` (chunk, bucket) and
+    ``write_ivfpq_index`` (cells). ``sets/`` is the storage price of
+    EXACT verify (O(corpus shingles) ≈ corpus bytes); a deployment that
+    accepts signature-estimate verify can skip it and verify on band
+    agreement instead — documented trade-off, not implemented, because
+    result-identity with :func:`dedup_against` is the contract here.
+
+    ``mode='append'`` is the per-ingest maintenance path: append the
+    SURVIVORS of a gated batch (hashes/bands/sets computed batch-side
+    only). ``hashes/`` may then hold a duplicate hash row across appends
+    — harmless to the anti-join semantics (pinned in pytest); compact
+    periodically if bytes matter. The three relations are written
+    corpus → one pass each; tokenize/shingle happens once via a shared
+    persisted set relation."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unknown mode {mode!r} (want 'overwrite' or 'append')")
+    ch = corpus.select(_base_hash(F.col(text_col), hash_fn).alias("_bh")).distinct()
+    ch.withColumn("_b", F.pmod(F.col("_bh"), F.lit(n_buckets))).write.mode(
+        mode
+    ).partitionBy("_b").parquet(path + "/hashes")
+    sh = _hashed_shingle_sets(corpus, id_col, text_col, n, hash_fn=hash_fn).persist()
+    try:
+        banded = _banded(_signatures_from_sets(sh, num_perm), num_perm, bands, hash_fn)
+        banded.withColumn(
+            "_b", F.pmod(F.xxhash64(F.col("bkey")), F.lit(n_buckets))
+        ).write.mode(mode).partitionBy("_b").parquet(path + "/bands")
+        sh.withColumn(
+            "_b", F.pmod(F.xxhash64(F.col("_id")), F.lit(n_buckets))
+        ).write.mode(mode).partitionBy("_b").parquet(path + "/sets")
+    finally:
+        sh.unpersist()
+
+
+def _probe_buckets(df: DataFrame, bucket_col: Column) -> list[int]:
+    """Distinct partition-bucket values a probe relation touches — bounded
+    by n_buckets by construction, so the collect is a driver-safe dim."""
+    return [
+        r["_pb"] for r in df.select(bucket_col.alias("_pb")).distinct().collect()
+    ]
+
+
+def text_gate_indexed(
+    spark,
+    batch: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float | None = 0.8,
+    hash_fn: str = "xxhash64",
+    n_buckets: int = 64,
+    unpersist_handles: list | None = None,
+) -> DataFrame:
+    """:func:`dedup_against` against a MATERIALIZED
+    :func:`write_text_index` — result-identical (pinned in pytest; the
+    gate query's oracle is literally the incremental_dedup replay), but
+    the corpus is never recomputed: each stage collects the batch's
+    bounded (≤ n_buckets) partition-bucket set and reads ONLY those
+    directories of the index. num_perm/bands/n/hash_fn/n_buckets must
+    match the index write. Returns surviving ``batch`` rows (all
+    original columns)."""
+    assert num_perm % bands == 0
+    bh = batch.withColumn("_bh", _base_hash(F.col(text_col), hash_fn))
+    hb = _probe_buckets(bh, F.pmod(F.col("_bh"), F.lit(n_buckets)))
+    if not hb:
+        return batch
+    idx_h = spark.read.parquet(index_path + "/hashes").filter(F.col("_b").isin(hb))
+    survivors = bh.join(idx_h.select("_bh"), on="_bh", how="left_anti").drop("_bh")
+    if threshold is None:
+        return survivors
+    sh_b = _hashed_shingle_sets(survivors, id_col, text_col, n, hash_fn=hash_fn).persist()
+    if unpersist_handles is not None:
+        unpersist_handles.append(sh_b)
+    banded_b = _banded(_signatures_from_sets(sh_b, num_perm), num_perm, bands, hash_fn)
+    bb = _probe_buckets(banded_b, F.pmod(F.xxhash64(F.col("bkey")), F.lit(n_buckets)))
+    if not bb:
+        return survivors
+    idx_bands = spark.read.parquet(index_path + "/bands").filter(F.col("_b").isin(bb))
+    cand = (
+        banded_b.alias("a")
+        .join(idx_bands.alias("b"), on=[F.col("a.bkey") == F.col("b.bkey")])
+        .select(F.col("a._id").alias("_bid"), F.col("b._id").alias("_cid"))
+        .distinct()
+        .persist()
+    )
+    if unpersist_handles is not None:
+        unpersist_handles.append(cand)
+    cb = _probe_buckets(cand, F.pmod(F.xxhash64(F.col("_cid")), F.lit(n_buckets)))
+    if not cb:
+        return survivors
+    idx_sets = spark.read.parquet(index_path + "/sets").filter(F.col("_b").isin(cb))
+    dominated = (
+        cand.join(
+            sh_b.select(F.col("_id").alias("_bid"), F.col("_sh").alias("_shb")), "_bid"
+        )
+        .join(
+            idx_sets.select(F.col("_id").alias("_cid"), F.col("_sh").alias("_shc")),
+            "_cid",
+        )
+        .filter(_jaccard(F.col("_shb"), F.col("_shc")) >= threshold)
+        .select(F.col("_bid").alias(id_col))
+        .distinct()
+    )
+    return survivors.join(dominated, on=id_col, how="left_anti")
+
+
 # --- SimHash ----------------------------------------------------------------
 def simhash(text: Column) -> Column:
     """64-bit SimHash of the token multiset, fully native.
