@@ -433,6 +433,93 @@ def start_ingest_gate_stream(
     )
 
 
+def start_text_gate_stream(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.8,
+    hash_fn: str = "xxhash64",
+    n_buckets: int = 64,
+    max_files_per_trigger: int = 100000,
+):
+    """NEAR-dup ingest gate run CONTINUOUSLY — the streaming twin of
+    ``dedup.text_gate_indexed`` with per-batch index maintenance. Where
+    ``start_ingest_gate_stream`` gates exact content hashes only, each
+    micro-batch here is (1) internally exact-deduped (min-id survivor;
+    in-batch NEAR dups both survive the batch — same simpler-rule note
+    as the media gate: a later re-arrival is gated by the index),
+    (2) gated against the materialized text index — exact hash anti-join
+    PLUS MinHash-LSH near-dup verify, every probe partition-pruned — and
+    (3) survivors append to ``{out}/corpus`` while
+    ``write_text_index(mode='append')`` grows the hashes/bands/sets
+    relations, so the NEXT batch's near-dup gate costs O(batch), never a
+    corpus recompute. Unbounded state lives in the index DIRECTORY; the
+    streaming query itself keeps zero aggregation state.
+
+    Delivery semantics: same at-least-once note as
+    ``start_ingest_gate_stream`` (corpus- and index-append are not
+    atomic; every LATER batch is content-exactly-once because its gate
+    sees the index; Iceberg makes the batch itself transactional —
+    MIGRATION.md)."""
+    import os
+
+    from ..operators.dedup import exact_dedup, text_gate_indexed, write_text_index
+
+    schema = spark.read.parquet(input_path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    idx_path = os.path.join(out_dir, "text_index")
+    corpus_path = os.path.join(out_dir, "corpus")
+
+    def _sink(batch: DataFrame, _bid: int) -> None:
+        sp = batch.sparkSession
+        keep = exact_dedup(batch, id_col, text_col).select(
+            F.col("keep_id").alias(id_col)
+        )
+        b = batch.join(keep, id_col)
+        handles: list = []
+        if os.path.exists(os.path.join(idx_path, "sets", "_SUCCESS")):
+            b = text_gate_indexed(
+                sp, b, idx_path, id_col, text_col,
+                num_perm=num_perm, bands=bands, n=n, threshold=threshold,
+                hash_fn=hash_fn, n_buckets=n_buckets,
+                unpersist_handles=handles,
+            )
+        # localCheckpoint (not persist) BEFORE the appends: the gate plan
+        # READS the index paths, and writing to a path RECACHES any plan
+        # over it (Spark recache-by-path) — a merely-persisted gate result
+        # would be recomputed against its own first append and the later
+        # index relations would see the batch gated to empty. Truncating
+        # the lineage to materialized rows severs the path dependency.
+        b = b.localCheckpoint(eager=True)
+        try:
+            b.write.mode("append").parquet(corpus_path)
+            write_text_index(
+                b, idx_path, id_col, text_col,
+                num_perm=num_perm, bands=bands, n=n, hash_fn=hash_fn,
+                n_buckets=n_buckets, mode="append",
+            )
+        finally:
+            for h in handles:
+                h.unpersist()
+
+    return (
+        src.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_zeek_typed_router_stream(
     spark: SparkSession,
     path_glob: str,

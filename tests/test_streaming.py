@@ -549,6 +549,43 @@ def test_classifier_stream_matches_batch_scores(spark, tmpdir_path):
     assert got == want and len(got) == 500
 
 
+def test_text_gate_stream_near_dup_gating(spark, tmpdir_path):
+    """Streaming NEAR-dup text ingest gate with per-batch index
+    maintenance: arrival 1 carries an in-batch exact dup (min-id
+    survivor); arrival 2 carries a cross-arrival exact dup (gated by
+    hashes/), a cross-arrival NEAR dup — one word changed, jaccard ~0.8
+    — that the exact-only stream would pass but this gate drops
+    (bands/ + sets/ verify), and a novel doc (survives and is itself
+    appended to the index)."""
+    from log_analysis_spark.streaming.stream_job import start_text_gate_stream
+
+    t_a = "the quick brown fox jumps over the lazy dog near the river"
+    t_a_near = "the quick brown fox jumps over the lazy dog near the canal"
+    t_b = "pack my box with five dozen liquor jugs before the long trip"
+    t_c = "a stitch in time saves nine but haste makes waste they say"
+    inp = f"{tmpdir_path}/tg_in"
+    out = f"{tmpdir_path}/tg_out"
+    spark.createDataFrame(
+        [(1, t_a), (2, t_b), (3, t_a)], "doc_id long, text string"
+    ).write.parquet(inp)
+    args = (spark, inp, out, f"{tmpdir_path}/tg_ckpt")
+    kw = dict(num_perm=16, bands=8, n=3, threshold=0.5, n_buckets=4)
+    q = start_text_gate_stream(*args, **kw)
+    q.awaitTermination(300)
+
+    spark.createDataFrame(
+        [(10, t_a), (11, t_a_near), (12, t_c)], "doc_id long, text string"
+    ).write.mode("append").parquet(inp)
+    q2 = start_text_gate_stream(*args, **kw)
+    q2.awaitTermination(300)
+
+    corpus = {r["doc_id"]: r["text"] for r in spark.read.parquet(f"{out}/corpus").collect()}
+    assert corpus == {1: t_a, 2: t_b, 12: t_c}
+    # index covers exactly the corpus: 3 distinct hashes, 3 shingle sets
+    assert spark.read.parquet(f"{out}/text_index/hashes").distinct().count() == 3
+    assert spark.read.parquet(f"{out}/text_index/sets").select("_id").distinct().count() == 3
+
+
 def test_media_gate_stream_near_dup_gating(spark, tmpdir_path):
     """Streaming perceptual ingest gate: arrival 1 carries a base image
     and its exact byte-copy (in-batch exact-fingerprint dedup -> min-id
