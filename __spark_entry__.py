@@ -452,6 +452,48 @@ def q_url_align(spark, sf_dir):
     return out.select("align_key", "pivot_id", "doc_id", "lang").orderBy("doc_id")
 
 
+def q_key_skew(spark, sf_dir):
+    """Join-key skew pre-flight (operators/profile.py
+    key_skew_histogram): the log2-bucket histogram of per-user row
+    counts over events — bucket is the BINARY DIGIT COUNT of the count
+    (length(conv(cnt,10,2))), pure integer string arithmetic, so the
+    bucketing cannot straddle a float-log boundary between engines. One
+    map-side-combinable count per key, then a ≤64-row aggregate; the
+    report says what a shuffle on this key costs before a 100 TB join
+    pays it (max_cnt = the largest single-reducer key)."""
+    from log_analysis_spark.operators.profile import key_skew_histogram
+
+    return key_skew_histogram(_t(spark, sf_dir, "events"), ["user_id"])
+
+
+def q_compaction_plan(spark, sf_dir):
+    """Small-files compaction planner (operators/profile.py
+    compaction_plan): a synthetic manifest (dir=source, file per doc,
+    bytes=octet_length(text)) binned per directory by deterministic
+    next-fit-by-cumulative-size — bin = floor(cum_bytes_before/target)
+    over a (bytes DESC, file) window keyed by dir. Both engines IEEE-
+    divide long→double correctly-rounded, so the floor replays exactly.
+    Returned as the per-(dir, bin) summary; the per-file assignment is
+    the operator's direct output."""
+    from log_analysis_spark.operators.profile import compaction_plan
+
+    d = _t(spark, sf_dir, "documents")
+    manifest = d.select(
+        F.col("source").alias("dir"),
+        F.concat(F.lit("f"), F.col("doc_id").cast("string")).alias("file"),
+        F.octet_length("text").cast("long").alias("bytes"),
+    )
+    plan = compaction_plan(manifest, "dir", "file", "bytes", target_bytes=1 << 14)
+    return (
+        plan.groupBy("dir", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").alias("bin_bytes"),
+        )
+        .orderBy("dir", "bin")
+    )
+
+
 def q_dataset_card(spark, sf_dir):
     """One-pass dataset card (operators/profile.py dataset_profile):
     doc counts, char mass, and size extremes for EVERY lang × source
@@ -5171,6 +5213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_align": q_url_align,
         "dataset_card": q_dataset_card,
         "snapshot_drift": q_snapshot_drift,
+        "key_skew": q_key_skew,
+        "compaction_plan": q_compaction_plan,
         "bitext_mine": q_bitext_mine,
         "jsonl_attr_filter": q_jsonl_attr_filter,
         "attr_span_removal": q_attr_span_removal,
@@ -7279,6 +7323,26 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY gid, lang, source"
         ),
         "snapshot_drift": _snapshot_drift_sql(),
+        "key_skew": (
+            "WITH pk AS (SELECT user_id, count(*) AS cnt FROM events "
+            "GROUP BY user_id) "
+            "SELECT length(to_base(cnt, 2))::INT AS bucket, "
+            "count(*)::BIGINT AS n_keys, sum(cnt)::BIGINT AS n_rows, "
+            "max(cnt)::BIGINT AS max_cnt "
+            "FROM pk GROUP BY bucket ORDER BY bucket"
+        ),
+        "compaction_plan": (
+            "WITH m AS (SELECT source AS dir, 'f' || doc_id::VARCHAR AS file, "
+            "strlen(text)::BIGINT AS bytes FROM documents), "
+            "b AS (SELECT dir, file, bytes, "
+            "floor(coalesce(sum(bytes) OVER (PARTITION BY dir "
+            "ORDER BY bytes DESC, file "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE "
+            "/ 16384)::BIGINT AS bin FROM m) "
+            "SELECT dir, bin, count(*)::BIGINT AS n_files, "
+            "sum(bytes)::BIGINT AS bin_bytes "
+            "FROM b GROUP BY dir, bin ORDER BY dir, bin"
+        ),
         "bitext_mine": _bitext_mine_sql(),
         "user_type_pivot": (
             "SELECT user_id, "

@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     "url_align",
     "dataset_card",
     "snapshot_drift",
+    "key_skew",
+    "compaction_plan",
     "bitext_mine",
     "jsonl_attr_filter",
     "attr_span_removal",

@@ -144,3 +144,74 @@ def drift_score(bins: DataFrame) -> DataFrame:
             lambda acc, s: acc + s["term"],
         ).alias("drift")
     )
+
+
+def key_skew_histogram(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Join/agg-key skew pre-flight: the log2-bucket histogram of per-key
+    row counts — (bucket, n_keys, n_rows, max_cnt), bucket = the bit
+    length of the count (floor(log2)+1), computed as
+    ``length(conv(cnt, 10, 2))`` so the bucketing is pure INTEGER string
+    arithmetic (an actual ``floor(log2(double))`` would put a correctly-
+    rounded-vs-not boundary between engines; the binary-digit count
+    cannot disagree). Reading the report: a shuffle on this key is
+    bounded by ``max_cnt`` rows on one reducer; buckets ≥ ~25 (>16M rows
+    per key) mean salting (``salted_count``) or AQE skew-join before any
+    100 TB join/groupBy on this key.
+
+    Scale shape: one map-side-combinable count per key (the same shuffle
+    the candidate join itself would pay — run on a sample when even that
+    is too much), then a ≤ 64-row histogram aggregate. No collect, no
+    window."""
+    per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_key.withColumn(
+            "bucket", F.length(F.conv(F.col("cnt"), 10, 2)).cast("int")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_cnt"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def compaction_plan(
+    manifest: DataFrame,
+    dir_col: str,
+    file_col: str,
+    bytes_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-files compaction planner over a file-manifest relation:
+    assign every file a rewrite bin of ~``target_bytes``, per directory
+    (the compaction unit of a day/lang-partitioned lake). Deterministic
+    next-fit-by-cumulative-size: files order by (bytes DESC, file) and
+    ``bin = floor(cum_bytes_before / target)`` — pure integer window
+    arithmetic, so the plan replays exactly in any ANSI engine. A file
+    larger than the target gets a bin to itself and the following file
+    jumps past it (bin ids may have gaps); a bin's total is bounded by
+    ``target + its last file`` — compaction targets are advisory, the
+    point is turning 10^6 kilobyte files into 10^3 target-size ones.
+
+    Returns one row per file: (dir, file, bytes, bin). Scale shape: ONE
+    window keyed by directory — a manifest is file-count-bounded (100 TB
+    at 256 MB/file is ~4·10^5 rows), so even the degenerate single-dir
+    case is a driver-trivial relation; there is deliberately no
+    cross-directory balancing (bins never span the partition unit a
+    query engine prunes by)."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(dir_col)
+        .orderBy(F.col(bytes_col).desc(), F.col(file_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(bytes_col).over(w), F.lit(0).cast("long"))
+    return manifest.select(
+        dir_col,
+        file_col,
+        F.col(bytes_col).cast("long").alias(bytes_col),
+        F.floor(cum_before / F.lit(target_bytes)).cast("long").alias("bin"),
+    )

@@ -105,3 +105,54 @@ def test_drift_matches_python_replay(spark):
         if ca.get(i, 0) + cb.get(i, 0) > 0:
             want += ((pa - pb) * (pa - pb)) / (pa + pb)
     assert got == want
+
+
+def test_key_skew_histogram_bucket_boundaries(spark):
+    """Bucket = binary digit count of the per-key row count: counts 1, 2,
+    3, 4, 8 land in buckets 1, 2, 2, 3, 4 — the power-of-two boundaries
+    are exact by construction (integer string length, no float log)."""
+    from log_analysis_spark.operators.profile import key_skew_histogram
+
+    rows = []
+    for key, cnt in [("a", 1), ("b", 2), ("c", 3), ("d", 4), ("e", 8)]:
+        rows += [(key,)] * cnt
+    df = spark.createDataFrame(rows, "k string")
+    got = {
+        r["bucket"]: (r["n_keys"], r["n_rows"], r["max_cnt"])
+        for r in key_skew_histogram(df, ["k"]).collect()
+    }
+    assert got == {1: (1, 1, 1), 2: (2, 5, 3), 3: (1, 4, 4), 4: (1, 8, 8)}
+
+
+def test_compaction_plan_bins_and_oversize(spark):
+    """Next-fit-by-cumulative-size per dir: files sort (bytes DESC, file);
+    an oversize file owns bin 0 and pushes the next file past a GAP;
+    directories bin independently; assignment replays a serial walker."""
+    from log_analysis_spark.operators.profile import compaction_plan
+
+    rows = [
+        ("d1", "big", 2500),   # bins 0-2 alone (target 1000)
+        ("d1", "f1", 600),     # cum_before 2500 -> bin 2 (shared w/ big's tail)
+        ("d1", "f2", 500),     # cum 3100 -> bin 3
+        ("d1", "f3", 400),     # cum 3600 -> bin 3
+        ("d2", "g1", 300),     # independent dir: cum 0 -> bin 0
+        ("d2", "g2", 300),     # cum 300 -> bin 0
+    ]
+    df = spark.createDataFrame(rows, "dir string, file string, bytes long")
+    got = {
+        (r["dir"], r["file"]): r["bin"]
+        for r in compaction_plan(df, "dir", "file", "bytes", 1000).collect()
+    }
+    # serial replay: sort (bytes desc, file) within dir, bin = cum_before // 1000
+    want = {}
+    for d in ("d1", "d2"):
+        cum = 0
+        for f, b in sorted(
+            [(f, b) for dd, f, b in rows if dd == d], key=lambda t: (-t[1], t[0])
+        ):
+            want[(d, f)] = cum // 1000
+            cum += b
+    assert got == want
+    assert got[("d1", "big")] == 0 and got[("d1", "f1")] == 2
+    assert got[("d1", "f2")] == got[("d1", "f3")] == 3
+    assert got[("d2", "g1")] == got[("d2", "g2")] == 0
