@@ -2476,6 +2476,42 @@ def q_normalize_text(spark, sf_dir):
     )
 
 
+def q_mojibake_repair(spark, sf_dir):
+    """ftfy-style encoding repair (functions/normalize.py fix_mojibake):
+    one round of UTF-8-read-as-latin1/cp1252 undone in pure codegen.
+    INDEPENDENT-DERIVATION oracle: the gate constructs a non-ASCII
+    original per doc (text + ' caf\\u00e9 #' + doc_id), REALLY mangles it
+    through encode(UTF-8)/decode(latin1) Spark-side, and routes three
+    branches — doc_id%5==0 keeps the CLEAN original (genuine latin1
+    'caf\\u00e9' must pass through unrepaired: U+00E9 is not a valid
+    UTF-8 lead-continuation shape); doc_id%3==0 additionally plants the
+    cp1252 mojibake ' It\\u00e2\\u20ac\\u2122s fine' (exercises the
+    27-char translate); everything else is plain latin1 mojibake. The
+    oracle never encodes anything — it predicts the recovered strings
+    from the construction arithmetic alone."""
+    from log_analysis_spark.functions.normalize import fix_mojibake
+
+    d = _t(spark, sf_dir, "documents")
+    orig = F.concat(
+        F.col("text"),
+        F.lit(" café #"),
+        F.col("doc_id").cast("string"),
+    )
+    mangled = F.decode(F.encode(orig, "UTF-8"), "ISO-8859-1")
+    planted = F.concat(mangled, F.lit(" Itâ€™s fine"))
+    inp = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0, orig)
+        .when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, planted)
+        .otherwise(mangled)
+    )
+    rep = fix_mojibake(inp)
+    return d.select(
+        "doc_id",
+        rep.alias("repaired"),
+        (rep != inp).alias("changed"),
+    ).orderBy("doc_id")
+
+
 def q_token_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -3106,6 +3142,48 @@ def q_paragraph_dedup(spark, sf_dir):
     )
     text2 = F.concat_ws("\n", boiler, F.col("text"), nav, uniq)
     return paragraph_dedup(
+        d.select("doc_id", text2.alias("text")), hash_fn="md5"
+    ).orderBy("doc_id")
+
+
+def q_sentence_dedup(spark, sf_dir):
+    """Cross-corpus sentence dedup (operators/dedup.py sentence_dedup —
+    paragraph_dedup at the granularity bitext/TTS corpora dedup at),
+    over the fixed two-regex sentence splitter (mark-after-[.!?]+ws,
+    then split; functions split_sentences). Documents get a
+    deterministic sentence frame: a Copyright sentence whose YEAR varies
+    by doc_id%4 but normalizes (digits->0) into ONE global hash group —
+    exactly one survivor corpus-wide; a share/cookie/newsletter sentence
+    per doc_id%3 class; the doc's own text (terminated with '.') split
+    by its interior boundaries; an always-unique closer. md5 base hash
+    for the cross-engine replay; survivors re-join with single spaces."""
+    from log_analysis_spark.operators.dedup import sentence_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    boiler = F.concat(
+        F.lit("Copyright "),
+        (F.lit(2000) + F.pmod(F.col("doc_id"), F.lit(4))).cast("string"),
+        F.lit(" Example Corp."),
+    )
+    nav = F.element_at(
+        F.array(
+            F.lit("Share this article."),
+            F.lit("Accept all cookies."),
+            F.lit("Sign up for our newsletter."),
+        ),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    uniq = F.concat(
+        F.lit("Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" body "),
+        (F.col("doc_id") * 7).cast("string"),
+        F.lit("."),
+    )
+    text2 = F.concat_ws(
+        " ", boiler, F.concat(F.col("text"), F.lit(".")), nav, uniq
+    )
+    return sentence_dedup(
         d.select("doc_id", text2.alias("text")), hash_fn="md5"
     ).orderBy("doc_id")
 
@@ -4918,6 +4996,45 @@ def q_nation_hits(spark, sf_dir):
     return GR.hits(edges, iters=3, deterministic=True).orderBy("node")
 
 
+def q_nation_trustrank(spark, sf_dir):
+    """TrustRank (operators/graph.py trustrank; Gyöngyi et al. 2004) over
+    the same customer-nation -> supplier-nation trade graph: teleport
+    mass restricted to a trusted seed set — the EUROPE nations (region
+    join), t(v) = 1/|S| on seeds and 0 elsewhere, trust initialized AT
+    t. 3 fold-deterministic iterations; the oracle unrolls the identical
+    recurrence with the same src-sorted left-fold summation — trust
+    scores match bit-for-bit. Nations unreachable from Europe's outlink
+    paths score exactly (1-d)*0 + d*0 = 0, the spam-demotion contract."""
+    from log_analysis_spark.operators import graph as GR
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    n_cust = n.select(F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("src"))
+    n_supp = n.select(F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("dst"))
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n_cust), c["c_nationkey"] == F.col("_ck"))
+        .join(F.broadcast(n_supp), s["s_nationkey"] == F.col("_sk"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    seeds = (
+        n.join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+            n["n_regionkey"] == F.col("r_regionkey"),
+        )
+        .select(F.col("n_name").alias("node"))
+    )
+    return GR.trustrank(edges, seeds, iters=3, deterministic=True).orderBy("node")
+
+
 # ---------------------------------------------------------------------------
 # generic html -> text extraction (functions/html.py): the no-markers
 # boilerplate strip real crawl pages need. The gate wraps document text in
@@ -5129,6 +5246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "span_scrub": q_span_scrub,
         "paragraph_dedup": q_paragraph_dedup,
+        "sentence_dedup": q_sentence_dedup,
         # --- dedup family ---
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -5156,6 +5274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- link-graph analytics (iterative PageRank) ---
         "nation_pagerank": q_nation_pagerank,
         "nation_hits": q_nation_hits,
+        "nation_trustrank": q_nation_trustrank,
         "pmi_collocations": q_pmi_collocations,
         "stupid_backoff": q_stupid_backoff,
         "perplexity_buckets": q_perplexity_buckets,
@@ -5201,6 +5320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_parse": q_regex_parse,
         "membership_antijoin": q_membership_antijoin,
         "normalize_text": q_normalize_text,
+        "mojibake_repair": q_mojibake_repair,
         "blocklist_filter": q_blocklist_filter,
         "dup_clusters_star": q_dup_clusters_star,
         "ssl_version_counts": q_ssl_version_counts,
@@ -6603,6 +6723,54 @@ def _sql_nation_pagerank(iters: int = 3) -> str:
     )
 
 
+def _sql_nation_trustrank(iters: int = 3) -> str:
+    """DuckDB replay of q_nation_trustrank: identical edge derivation to
+    the pagerank gate, EUROPE-nation seed set, teleport vector t (1/|S∩
+    nodes| on seeds, 0 elsewhere), trust initialized at t, then the
+    unrolled biased power iterations with the same src-sorted left-fold
+    summation. Every double literal cast (DECIMAL parsing would change
+    the rounding); CASE never evaluates 1/k when the seed set is empty."""
+    head = (
+        "WITH e AS (SELECT src, dst, count(*)::BIGINT AS w FROM ("
+        "SELECT n1.n_name AS src, n2.n_name AS dst "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation n1 ON c.c_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON s.s_nationkey = n2.n_nationkey "
+        "WHERE n1.n_name != n2.n_name) GROUP BY src, dst), "
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+        "sn AS (SELECT DISTINCT n_name AS node FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE' "
+        "AND n_name IN (SELECT node FROM nodes)), "
+        "ns AS (SELECT count(*)::BIGINT AS k FROM sn), "
+        "t AS (SELECT nodes.node, CASE WHEN sn.node IS NOT NULL "
+        "THEN 1.0::DOUBLE / ns.k ELSE 0.0::DOUBLE END AS t "
+        "FROM nodes LEFT JOIN sn USING (node) CROSS JOIN ns), "
+        "ow AS (SELECT src, sum(w)::BIGINT AS ow FROM e GROUP BY src), "
+        "ew AS (SELECT e.src, e.dst, e.w, ow.ow FROM e JOIN ow USING (src)), "
+        "r0 AS (SELECT node, t AS trust FROM t)"
+    )
+    its = []
+    for i in range(1, iters + 1):
+        its.append(
+            f"c{i} AS (SELECT ew.dst AS node, ew.src AS f, "
+            f"(r{i - 1}.trust * ew.w::DOUBLE) / ew.ow::DOUBLE AS c "
+            f"FROM ew JOIN r{i - 1} ON ew.src = r{i - 1}.node), "
+            f"s{i} AS (SELECT node, list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list(c ORDER BY f)), (a, v) -> a + v) AS s FROM c{i} GROUP BY node), "
+            f"r{i} AS (SELECT t.node, (1.0::DOUBLE - 0.85::DOUBLE) * t.t "
+            f"+ 0.85::DOUBLE * coalesce(s{i}.s, 0.0::DOUBLE) AS trust "
+            f"FROM t LEFT JOIN s{i} USING (node))"
+        )
+    return (
+        head
+        + ", "
+        + ", ".join(its)
+        + f" SELECT node, trust FROM r{iters} ORDER BY node"
+    )
+
+
 _ANCHOR_PAGES_SQL = (
     "p AS (SELECT "
     "'https://h' || (user_id % 20)::VARCHAR || '.example.net/e/' || "
@@ -7307,6 +7475,45 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id "
             "ORDER BY d.doc_id"
         ),
+        "sentence_dedup": (
+            # Replays dedup.sentence_dedup(max_docs=1, 'md5') over the
+            # gate's deterministic sentence frame: the same two-regex
+            # mark+split segmentation (chr(31) marker), blank drop, the
+            # SAME normalization, 60-bit md5 hash, min-(id,pos) winner
+            # election, survivors re-joined in order with single spaces.
+            "WITH docs2 AS (SELECT doc_id, "
+            "'Copyright ' || (2000 + doc_id % 4)::VARCHAR || ' Example Corp.' "
+            "|| ' ' || text || '.' || ' ' || "
+            "list_extract(['Share this article.', 'Accept all cookies.', "
+            "'Sign up for our newsletter.'], (doc_id % 3 + 1)::INT) "
+            "|| ' Doc ' || doc_id::VARCHAR || ' body ' || "
+            "(doc_id * 7)::VARCHAR || '.' AS text FROM documents), "
+            "sents0 AS (SELECT doc_id, u['pos'] AS pos, u['stxt'] AS stxt FROM "
+            "(SELECT doc_id, unnest([{'pos': i - 1, 'stxt': p[i]} "
+            "for i in range(1, len(p) + 1)]) AS u FROM "
+            "(SELECT doc_id, string_split(regexp_replace(text, "
+            "'([.!?])[ \\t\\n\\r]+', '\\1' || chr(31), 'g'), chr(31)) AS p "
+            "FROM docs2))), "
+            "sents AS (SELECT doc_id, pos, stxt, "
+            "trim(regexp_replace(regexp_replace(lower(stxt), '[0-9]+', '0', 'g'), "
+            "'\\s+', ' ', 'g')) AS nrm FROM sents0 WHERE trim(stxt) != ''), "
+            f"sh AS MATERIALIZED (SELECT doc_id, pos, stxt, {_sql_h60('nrm')} AS h "
+            "FROM sents), "
+            "freq AS (SELECT h, count(DISTINCT doc_id) AS nd, "
+            "min(doc_id * 1000000 + pos) AS wkey FROM sh GROUP BY h), "
+            "flg AS (SELECT sh.doc_id, sh.pos, sh.stxt, "
+            "(nd > 1 AND sh.doc_id * 1000000 + sh.pos != wkey)::INT AS dup "
+            "FROM sh JOIN freq USING (h)), "
+            "agg AS (SELECT doc_id, count(*)::BIGINT AS n_sents, "
+            "sum(dup)::BIGINT AS dup_sents, "
+            "string_agg(stxt, ' ' ORDER BY pos) FILTER (WHERE dup = 0) AS clean "
+            "FROM flg GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(n_sents, 0)::BIGINT AS n_sents, "
+            "coalesce(dup_sents, 0)::BIGINT AS dup_sents, "
+            "coalesce(clean, '') AS clean_text "
+            "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id "
+            "ORDER BY d.doc_id"
+        ),
         "dsir_select": _dsir_select_sql(),
         "domain_quota": _domain_quota_sql(),
         "canonical_urls": _canonical_urls_sql(),
@@ -7727,6 +7934,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         "grok_parse": _grok_parse_oracle(),
         "normalize_text": _normalize_text_oracle(),
+        "mojibake_repair": (
+            # Independent derivation: predicts fix_mojibake's output from
+            # the gate's construction arithmetic — chr(233) = the caf[e']
+            # the gate appended before mangling, chr(8217) = the repaired
+            # right single quote of the cp1252 plant; no encode/decode
+            # ever runs oracle-side. The %5 clean branch must come back
+            # byte-identical (changed = false), every other row repairs
+            # to the constructed original.
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 5 = 0 THEN "
+            "text || ' caf' || chr(233) || ' #' || doc_id::VARCHAR "
+            "WHEN doc_id % 3 = 0 THEN "
+            "text || ' caf' || chr(233) || ' #' || doc_id::VARCHAR "
+            "|| ' It' || chr(8217) || 's fine' "
+            "ELSE text || ' caf' || chr(233) || ' #' || doc_id::VARCHAR "
+            "END AS repaired, "
+            "(doc_id % 5 != 0) AS changed "
+            "FROM documents ORDER BY doc_id"
+        ),
         "blocklist_filter": _blocklist_sql(),
         "incremental_agg": _incremental_agg_sql(),
         "regex_parse": (
@@ -8144,6 +8370,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "nation_pagerank": _sql_nation_pagerank(iters=3),
         "nation_hits": _sql_nation_hits(iters=3),
+        "nation_trustrank": _sql_nation_trustrank(iters=3),
         "pmi_collocations": _sql_pmi_collocations(min_count=3, k=40),
         "stupid_backoff": _sql_stupid_backoff(min_count=2),
         "perplexity_buckets": _sql_perplexity_buckets(min_count=2, n_bins=1000),

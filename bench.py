@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "span_scrub",
     "paragraph_dedup",
+    "sentence_dedup",
     "semdedup",
     "incremental_dedup",
     "text_gate_indexed",
@@ -110,6 +111,7 @@ BENCH_QUERIES = [
     "term_lookup",
     "grok_parse",
     "normalize_text",
+    "mojibake_repair",
     "blocklist_filter",
     "incremental_agg",
     "token_shards",
@@ -150,6 +152,7 @@ BENCH_QUERIES = [
     "video_scene_dedup",
     "frontier_growth",
     "nation_hits",
+    "nation_trustrank",
     "pmi_collocations",
     "stupid_backoff",
     "perplexity_buckets",

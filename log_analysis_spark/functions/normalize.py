@@ -100,3 +100,71 @@ def clean_text_oracle(expr: str) -> str:
         f"trim(regexp_replace(nfc_normalize(regexp_replace({expr}, "
         f"'{CONTROL_RX}', '', 'g')), '{WS_RX}', ' ', 'g'))"
     )
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (ftfy-style, one round of UTF-8-read-as-latin1/cp1252)
+# ---------------------------------------------------------------------------
+# cp1252's 27 printable characters in the 0x80-0x9F window, and the C1
+# control characters latin1 puts at the same byte values. A document that
+# was UTF-8 on the wire but decoded by a cp1252 reader renders the bytes
+# 0x80-0x9F as the FIRST string; a latin1 reader renders them as the
+# SECOND. Mapping the first onto the second makes the string's codepoints
+# literally equal to its original byte values, which is what lets a pure
+# latin1 re-encode recover the original UTF-8 bytes. The 5 cp1252 holes
+# (0x81 0x8D 0x8F 0x90 0x9D) have no printable form and pass through as
+# C1 controls on both sides, so they need no mapping row.
+_CP1252_PRINTABLE = "\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030\u0160\u2039\u0152\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014\u02dc\u2122\u0161\u203a\u0153\u017e\u0178"
+_CP1252_AS_C1 = "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008a\u008b\u008c\u008e\u0091\u0092\u0093\u0094\u0095\u0096\u0097\u0098\u0099\u009a\u009b\u009c\u009e\u009f"
+
+# Structural UTF-8 validity over the latin1-char rendering of a byte
+# string (each char U+0000-U+00FF IS the byte): the RFC 3629 table as a
+# Java regex full-match. A string matching this AND containing at least
+# one char >= U+0080 is exactly "valid multi-byte UTF-8 someone decoded
+# with a single-byte charset".
+_UTF8_SHAPE_RX = (
+    "^(?:[\\x00-\\x7f]"
+    "|[\\xc2-\\xdf][\\x80-\\xbf]"
+    "|\\xe0[\\xa0-\\xbf][\\x80-\\xbf]"
+    "|[\\xe1-\\xec\\xee\\xef][\\x80-\\xbf]{2}"
+    "|\\xed[\\x80-\\x9f][\\x80-\\xbf]"
+    "|\\xf0[\\x90-\\xbf][\\x80-\\xbf]{2}"
+    "|[\\xf1-\\xf3][\\x80-\\xbf]{3}"
+    "|\\xf4[\\x80-\\x8f][\\x80-\\xbf]{2})*$"
+)
+
+
+def fix_mojibake(col: Column) -> Column:
+    """Repair ONE round of the classic web mojibake: text that was UTF-8
+    bytes on the wire but was decoded as latin1 or cp1252. ftfy's core
+    move (Speer 2019, ``ftfy.fixes.fix_encoding``) re-expressed as pure
+    JVM codegen — no Python in the hot path, no external library:
+
+    1. ``translate`` the 27 cp1252-printable 0x80-0x9F characters onto
+       the C1 controls latin1 puts at those byte values (now every
+       codepoint == its original byte value, if the story is right);
+    2. fire ONLY when the full string now matches the structural UTF-8
+       regex AND contains at least one non-ASCII char (so there is a
+       multi-byte sequence to collapse) — a string with codepoints
+       > U+00FF, or high bytes in non-UTF-8 positions (genuine latin1
+       text typed by a human), can never match and passes through
+       byte-identical;
+    3. re-encode latin1 (chars == bytes, cannot fail on a matched
+       string) and decode UTF-8 (structurally valid by the regex, cannot
+       error or produce U+FFFD) — the WHEN guard short-circuits, so
+       Spark 4's strict codingErrorAction never sees an unmappable row.
+
+    The guard makes the repair conservative and idempotent: applied to
+    already-clean text it is the identity (clean text either is ASCII or
+    contains codepoints the regex rejects), and applied twice it fixes
+    only the one encoding round it fixed the first time. Double-mojibake
+    (two decode rounds) needs two applications by construction.
+
+    Scale shape: one translate + two regex predicates + encode/decode,
+    all whole-stage codegen; zero shuffle, zero Python.
+    """
+    t = F.translate(col, _CP1252_PRINTABLE, _CP1252_AS_C1)
+    fire = t.rlike(_UTF8_SHAPE_RX) & t.rlike("[\\x80-\\xff]")
+    return F.when(fire, F.decode(F.encode(t, "ISO-8859-1"), "UTF-8")).otherwise(
+        col
+    )

@@ -1736,3 +1736,107 @@ def paragraph_dedup(
         F.coalesce("dup_paras", F.lit(0).cast("long")).alias("dup_paras"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+# Sentence segmentation marker: U+001F (unit separator) — inserted after
+# terminal punctuation, then split on. Never occurs in curated web text
+# (the C4 line filter and charset layer strip C0 controls upstream).
+_SENT_MARK = "\u001f"
+# Explicit whitespace class, NOT \s: Java's \s includes \x0B where RE2's
+# does not — spelling the class out keeps the Spark split and the DuckDB
+# oracle replay byte-identical on any input.
+_SENT_BREAK_RX = "([.!?])[ \\t\\n\\r]+"
+
+
+def split_sentences(col: Column) -> Column:
+    """array<string> of sentences: break after a [.!?] terminal
+    punctuation character followed by whitespace (the whitespace run is
+    consumed — it IS the boundary). Deliberately a fixed two-step rule
+    (mark, then split) so any ANSI engine replays it with the same two
+    regexes; no abbreviation lexicon ("Dr. Smith" splits — documented
+    cap, the same one CCNet's Moses-based splitter has for unlisted
+    abbreviations)."""
+    return F.split(
+        F.regexp_replace(col, _SENT_BREAK_RX, "$1" + _SENT_MARK), _SENT_MARK
+    )
+
+
+def sentence_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 1,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Cross-corpus SENTENCE deduplication — :func:`paragraph_dedup` at
+    sentence granularity (the unit bitext mining and TTS corpora dedup
+    at; also the scrub CCNet applies to the paragraph survivors'
+    interior). Same normalization (lowercase, digit runs -> '0',
+    whitespace collapse, trim), same 8-byte hash, same map-side-
+    combinable min-(id, position) first-occurrence winner, survivors
+    reassembled in order — joined with single spaces (sentences, unlike
+    paragraphs, carry no meaningful separator bytes of their own once
+    the boundary whitespace is consumed by the splitter).
+
+    Returns (id_col, n_sents, dup_sents, clean_text), one row per input
+    document. Scale shape identical to :func:`paragraph_dedup`: the
+    sentence relation is O(total sentences), winner election is one
+    two-phase min aggregate on the hash, no per-hash state beyond one
+    (id, pos) struct — a 10^9-occurrence boilerplate sentence collapses
+    map-side."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("_stxt")), "[0-9]+", "0"),
+            "\\s+",
+            " ",
+        )
+    )
+    sents = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(split_sentences(F.col(text_col))).alias("_pos", "_stxt"),
+        )
+        .filter(F.trim(F.col("_stxt")) != "")
+        .withColumn("_h", _base_hash(norm, hash_fn))
+    )
+    winners = sents.groupBy("_h").agg(
+        F.min(F.struct("_id", "_pos")).alias("_w"),
+        F.count_distinct("_id").alias("_nd"),
+    )
+    flagged = sents.join(winners, "_h").withColumn(
+        "_dup",
+        (
+            (F.col("_nd") > max_docs)
+            & ~((F.col("_w._id") == F.col("_id")) & (F.col("_w._pos") == F.col("_pos")))
+        ).cast("int"),
+    )
+    per_doc = flagged.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sents"),
+        F.sum("_dup").cast("long").alias("dup_sents"),
+        F.concat_ws(
+            " ",
+            F.filter(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "_pos",
+                                F.when(F.col("_dup") == 0, F.col("_stxt")).alias(
+                                    "_kt"
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["_kt"],
+                ),
+                lambda t: t.isNotNull(),
+            ),
+        ).alias("clean_text"),
+    )
+    base = df.select(F.col(id_col).alias("_id"))
+    return base.join(per_doc, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce("n_sents", F.lit(0).cast("long")).alias("n_sents"),
+        F.coalesce("dup_sents", F.lit(0).cast("long")).alias("dup_sents"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

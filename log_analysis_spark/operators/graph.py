@@ -266,6 +266,126 @@ def host_pagerank(
     )
 
 
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = "w",
+    iters: int = 5,
+    damping: float = 0.85,
+    deterministic: bool = True,
+    checkpoint_every: int = 3,
+    unpersist_handles: list | None = None,
+) -> DataFrame:
+    """(node, trust) after ``iters`` biased power iterations (Gyöngyi,
+    Garcia-Molina, Pedersen 2004, "Combating Web Spam with TrustRank").
+
+    trust'(v) = (1-d) * t(v) + d * sum_{u->v} trust(u) * w(u,v) / out_w(u)
+
+    Identical recurrence to :func:`pagerank` except the teleport vector:
+    t(v) = 1/|S| for the trusted seed nodes S (``seeds`` intersected
+    with the graph's node set), 0 everywhere else, and trust STARTS at t
+    (the paper's biased initialization) — so mass reaches a page only
+    through link paths from the trusted set, and spam farms that earn
+    uniform-teleport PageRank score near-zero trust. The web-spam use:
+    seed with a human-audited host whitelist, flag hosts whose
+    PageRank/TrustRank ratio is large.
+
+    Same contracts as :func:`pagerank`: pre-aggregated edge relation,
+    fixed iteration count (oracle-replayable), ``deterministic=True``
+    folds contributions in src-sorted order, lineage truncated every
+    ``checkpoint_every`` iterations. Dangling-node mass decays (no
+    redistribution) exactly as in :func:`pagerank`.
+
+    Scale shape: the seed relation is human-curated (10^2..10^5 rows) —
+    it broadcasts onto the node relation once to build the teleport
+    column; each iteration is the same one src-keyed join + one
+    dst-keyed aggregation as pagerank. Bounded action: one count of the
+    in-graph seed set. Seeds with no presence in the graph are ignored;
+    an empty intersection yields all-zero trust (documented — the
+    caller picked seeds outside the crawl).
+    """
+    if weight is None:
+        edges = edges.select(src, dst).withColumn("_w", F.lit(1).cast("long"))
+    else:
+        edges = edges.select(src, dst, F.col(weight).cast("long").alias("_w"))
+
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    seed_nodes = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    in_graph = seed_nodes.join(nodes, "node")
+    k = in_graph.count()  # bounded action: curated-seed-set size
+    tnodes = (
+        nodes.join(
+            F.broadcast(in_graph.withColumn("_hit", F.lit(1))), "node", "left"
+        )
+        .select(
+            "node",
+            F.when(F.col("_hit").isNotNull(), F.lit(1.0 / k if k else 0.0))
+            .otherwise(F.lit(0.0))
+            .alias("_t"),
+        )
+        .persist()
+    )
+    tnodes.count()  # materialize once; every iteration re-reads the cache
+
+    out_w = edges.groupBy(src).agg(F.sum("_w").alias("_ow"))
+    ew = (
+        edges.join(out_w, on=src)
+        .select(
+            F.col(src).alias("_src"),
+            F.col(dst).alias("_dst"),
+            F.col("_w"),
+            F.col("_ow"),
+        )
+        .persist()
+    )
+    ew.count()
+
+    one_minus_d = 1.0 - damping
+    ranks = tnodes.select("node", F.col("_t").alias("trust"))
+
+    for i in range(iters):
+        contribs = ew.join(
+            ranks, on=ew["_src"] == ranks["node"], how="inner"
+        ).select(
+            F.col("_dst").alias("node"),
+            F.col("_src").alias("_from"),
+            (
+                (F.col("trust") * F.col("_w").cast("double"))
+                / F.col("_ow").cast("double")
+            ).alias("_c"),
+        )
+        if deterministic:
+            summed = contribs.groupBy("node").agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("_from", "_c"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["_c"],
+                ).alias("_s")
+            )
+        else:
+            summed = contribs.groupBy("node").agg(F.sum("_c").alias("_s"))
+        new_ranks = tnodes.join(summed, on="node", how="left").select(
+            "node",
+            (
+                F.lit(one_minus_d) * F.col("_t")
+                + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
+            ).alias("trust"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        ranks = new_ranks
+
+    if unpersist_handles is not None:
+        unpersist_handles.extend([tnodes, ew])
+    return ranks
+
+
 def hits(
     edges: DataFrame,
     src: str = "src",

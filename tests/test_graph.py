@@ -265,3 +265,81 @@ def test_hits_unpersist_handles_and_empty_graph(spark):
         h.unpersist()
     empty = spark.createDataFrame([], "src string, dst string, w int")
     assert hits(empty, iters=2).count() == 0
+
+
+def test_trustrank_seed_bias_and_spam_demotion(spark):
+    """Trusted seed {a} on a -> b -> c plus a disconnected spam 2-cycle
+    (x <-> y): trust flows ONLY along paths from a — hand-replayable in
+    2 iterations — while the spam cycle, which would earn uniform
+    teleport mass under pagerank, scores exactly 0.0 trust."""
+    from log_analysis_spark.operators.graph import trustrank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("x", "y", 1), ("y", "x", 1)],
+        ["src", "dst", "w"],
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    out = {
+        r["node"]: r["trust"]
+        for r in trustrank(edges, seeds, iters=2, damping=0.85).collect()
+    }
+    # replay: t = {a: 1.0}; trust0 = t
+    # iter1: a = 0.15*1, b = 0.85*1, c = 0
+    # iter2: a = 0.15, b = 0.85*0.15, c = 0.85*(0.85*1)... from trust1
+    t1 = {"a": 0.15, "b": 0.85, "c": 0.0, "x": 0.0, "y": 0.0}
+    t2 = {
+        "a": 0.15,
+        "b": 0.85 * t1["a"],
+        "c": 0.85 * t1["b"],
+        "x": 0.0,
+        "y": 0.0,
+    }
+    for node, want in t2.items():
+        assert out[node] == pytest.approx(want), node
+    assert out["x"] == 0.0 and out["y"] == 0.0  # exact zero, not approx
+
+
+def test_trustrank_seed_outside_graph_ignored_and_multi_seed_split(spark):
+    """Seeds not present in the graph drop out of |S| (teleport mass
+    normalizes over the in-graph seeds only); with both a and b seeded
+    the teleport splits 1/2 each."""
+    from log_analysis_spark.operators.graph import trustrank
+
+    edges = spark.createDataFrame([("a", "c", 1), ("b", "c", 1)], ["src", "dst", "w"])
+    seeds = spark.createDataFrame([("a",), ("b",), ("ghost",)], ["node"])
+    out = {
+        r["node"]: r["trust"]
+        for r in trustrank(edges, seeds, iters=1, damping=0.85).collect()
+    }
+    # t = {a: 1/2, b: 1/2}; iter1: a,b keep 0.15*1/2; c = 0.85*(1/2+1/2)
+    assert out["a"] == pytest.approx(0.15 * 0.5)
+    assert out["b"] == pytest.approx(0.15 * 0.5)
+    assert out["c"] == pytest.approx(0.85 * 1.0)
+
+
+def test_trustrank_deterministic_equals_plain_sum_and_unpersist(spark):
+    """Fold-deterministic trust equals the associative-sum scale path
+    (up to reassociation ulps); the unpersist seam hands back exactly
+    the two persisted relations."""
+    from log_analysis_spark.operators.graph import trustrank
+
+    pages = _pages(spark, 300)
+    edges = host_edges(pages)
+    seeds = edges.select(F.col("src").alias("node")).limit(3)
+    handles: list = []
+    det = {
+        r["node"]: r["trust"]
+        for r in trustrank(
+            edges, seeds, iters=3, deterministic=True, unpersist_handles=handles
+        ).collect()
+    }
+    fast = {
+        r["node"]: r["trust"]
+        for r in trustrank(edges, seeds, iters=3, deterministic=False).collect()
+    }
+    assert det.keys() == fast.keys()
+    for k in det:
+        assert det[k] == pytest.approx(fast[k], abs=1e-12)
+    assert len(handles) == 2
+    for h in handles:
+        h.unpersist()

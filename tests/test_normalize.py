@@ -95,3 +95,73 @@ def test_nfc_parity_fuzz(spark, texts):
     # and CPython's own unicodedata agrees the result is NFC-stable
     for v in got.values():
         assert unicodedata.is_normalized("NFC", v)
+
+
+# --------------------------------------------------------------------------
+# fix_mojibake
+# --------------------------------------------------------------------------
+
+
+def _repair(spark, texts):
+    from log_analysis_spark.functions.normalize import fix_mojibake
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["i", "t"])
+    return [
+        r["r"]
+        for r in df.select("i", fix_mojibake(F.col("t")).alias("r"))
+        .orderBy("i")
+        .collect()
+    ]
+
+
+def test_mojibake_latin1_and_cp1252_recovery(spark):
+    """Real Python-mangled strings recover byte-exactly: latin1 mojibake
+    (the E1 byte family), cp1252 mojibake (quote/dash/euro printables),
+    and 4-byte astral sequences."""
+    originals = [
+        "café olé",
+        "It’s fine — ok",
+        "日本語 text",
+        "price 5€",
+        "emoji \U0001f600 end",
+    ]
+    mangled = [o.encode("utf-8").decode("latin1") for o in originals]
+    mangled += [
+        o.encode("utf-8").decode("cp1252")
+        for o in originals
+        if all(b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D) for b in o.encode("utf-8"))
+    ]
+    want = originals + [
+        o
+        for o in originals
+        if all(b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D) for b in o.encode("utf-8"))
+    ]
+    assert _repair(spark, mangled) == want
+
+
+def test_mojibake_clean_text_is_identity(spark):
+    """Already-correct text never changes: ASCII, genuine accented
+    latin-range text (not valid UTF-8 byte shapes), CJK, an isolated
+    replacement char, and an empty string."""
+    clean = [
+        "plain ascii only",
+        "café au lait",          # E9 + space: invalid UTF-8 shape
+        "日本語",          # codepoints > U+00FF
+        "broken � char",
+        "",
+        "aß b",                   # lone valid-looking pair start but
+    ]
+    assert _repair(spark, clean) == clean
+
+
+def test_mojibake_idempotent_and_double_round(spark):
+    """repair(repair(x)) == repair(x) on single mojibake; a DOUBLE
+    encoding round needs exactly two applications (documented)."""
+    o = "It’s café"
+    once = o.encode("utf-8").decode("latin1")
+    twice = once.encode("utf-8").decode("latin1")
+    r1 = _repair(spark, [once, twice])
+    assert r1[0] == o
+    assert r1[1] == once  # one round undone
+    r2 = _repair(spark, r1)
+    assert r2 == [o, o]  # fixed point reached / second round undone

@@ -151,3 +151,93 @@ def test_python_replay_bit_exact(spark):
         for r in paragraph_dedup(df, hash_fn="md5").collect()
     }
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# sentence_dedup: the same machinery at sentence granularity
+# --------------------------------------------------------------------------
+
+
+def test_split_sentences_rule(spark):
+    """Boundary = [.!?] followed by whitespace (consumed); trailing
+    terminal punctuation with no whitespace ends the last sentence;
+    'word.. Next' splits after the SECOND dot (the regex needs ws)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from log_analysis_spark.operators.dedup import split_sentences
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "text": [
+                    "One two. Three four! Five?  Six",
+                    "word.. Next",
+                    "No terminal punctuation at all",
+                    "Dr. Smith arrived. Fine.",
+                ]
+            }
+        )
+    )
+    got = [r[0] for r in df.select(split_sentences(F.col("text"))).collect()]
+    assert got[0] == ["One two.", "Three four!", "Five?", "Six"]
+    assert got[1] == ["word..", "Next"]
+    assert got[2] == ["No terminal punctuation at all"]
+    # documented cap: no abbreviation lexicon — "Dr." splits
+    assert got[3] == ["Dr.", "Smith arrived.", "Fine."]
+
+
+def test_sentence_dedup_first_occurrence_and_reassembly(spark):
+    """The shared sentence survives only in its first (id, pos) slot;
+    survivors re-join with single spaces; digit-varying sentences
+    normalize into one group; an empty doc yields ('', 0, 0)."""
+    import pandas as pd
+
+    from log_analysis_spark.operators.dedup import sentence_dedup
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "Alpha body one. Accept all cookies. Tail one.",
+                    "Accept all cookies. Beta body two.",
+                    "",
+                ],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: (r["n_sents"], r["dup_sents"], r["clean_text"])
+        for r in sentence_dedup(df).collect()
+    }
+    assert out[1] == (3, 0, "Alpha body one. Accept all cookies. Tail one.")
+    assert out[2] == (2, 1, "Beta body two.")
+    assert out[3] == (0, 0, "")
+
+
+def test_sentence_dedup_digit_normalization_groups(spark):
+    """'Copyright 2021 ACME.' and 'copyright 2023 acme.' are ONE hash
+    group (lowercase + digits->0): the doc-1 copy survives, doc-2 loses
+    its variant."""
+    import pandas as pd
+
+    from log_analysis_spark.operators.dedup import sentence_dedup
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "Copyright 2021 ACME. Own text one.",
+                    "copyright 2023 acme. Own text two.",
+                ],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: (r["dup_sents"], r["clean_text"])
+        for r in sentence_dedup(df).collect()
+    }
+    assert out[1] == (0, "Copyright 2021 ACME. Own text one.")
+    assert out[2] == (1, "Own text two.")
