@@ -200,6 +200,36 @@ def _justext(df: DataFrame) -> DataFrame:
     return df.drop("text").join(cleaned, "doc_id").select(*df.columns)
 
 
+def _fix_encoding(df: DataFrame) -> DataFrame:
+    """Optional early stage (``--fix-encoding``): ftfy-style mojibake
+    repair (functions/normalize.py fix_mojibake) — one round of
+    UTF-8-read-as-latin1/cp1252 undone in pure codegen. Runs BEFORE any
+    hashing stage so a mojibake'd and a clean rendering of the same page
+    dedup together, and AFTER attr_scrub (sidecar span offsets refer to
+    the text the tagger saw — repair would shift them). Row-local
+    projection: as a stage it costs one read + one write."""
+    from ..functions.normalize import fix_mojibake
+
+    return df.withColumn("text", fix_mojibake(F.col("text")))
+
+
+def _sentence_dedup(df: DataFrame, max_docs: int, hash_fn: str) -> DataFrame:
+    """Cross-corpus sentence dedup (``--sentence-dedup``): the
+    paragraph stage's machinery at sentence granularity — drops every
+    sentence whose normalized hash already appeared in another document,
+    keeps first occurrences, reassembles with single spaces; docs whose
+    every sentence was someone else's boilerplate drop entirely."""
+    from ..operators.dedup import sentence_dedup
+
+    deduped = sentence_dedup(
+        df, "doc_id", "text", max_docs=max_docs, hash_fn=hash_fn
+    )
+    keep = deduped.filter(F.length("clean_text") > 0).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    return df.drop("text").join(keep, "doc_id").select(*df.columns)
+
+
 def _paragraph_dedup(df: DataFrame, max_docs: int, hash_fn: str) -> DataFrame:
     """CCNet's FIRST pipeline stage (Wenzek et al. 2020 §3.1 — they
     measured ~70% of raw Common Crawl text removed here, so running it
@@ -438,8 +468,11 @@ def run_curation(
     mixture_tokens: int = 0,
     binned_quality: bool = False,
     scrub_mode: str = "blocks",
+    fix_encoding: bool = False,
     paragraph_dedup: bool = False,
     paragraph_max_docs: int = 1,
+    sentence_dedup: bool = False,
+    sentence_max_docs: int = 1,
     media_path: str | None = None,
     media_hamming: int = 7,
     media_algo: str = "dhash",
@@ -473,7 +506,9 @@ def run_curation(
             if media_path
             else ""
         )
+        + ("|fixenc=1" if fix_encoding else "")
         + (f"|pd={paragraph_max_docs}" if paragraph_dedup else "")
+        + (f"|sd={sentence_max_docs}" if sentence_dedup else "")
         + (
             f"|dom={domain_min_pass}:{domain_min_chars}:{domain_min_docs}"
             if domain_min_pass is not None
@@ -538,6 +573,7 @@ def run_curation(
             if domain_min_pass is not None
             else []
         ),
+        *([("fix_encoding", _fix_encoding, None)] if fix_encoding else []),
         *([("c4", _c4, None)] if c4 else []),
         *([("justext", _justext, None)] if justext else []),
         *(
@@ -549,6 +585,17 @@ def run_curation(
                 )
             ]
             if paragraph_dedup
+            else []
+        ),
+        *(
+            [
+                (
+                    "sentence_dedup",
+                    lambda d: _sentence_dedup(d, sentence_max_docs, hash_fn),
+                    None,
+                )
+            ]
+            if sentence_dedup
             else []
         ),
         ("scrub", lambda d: _scrub(d, span_k, hash_fn, scrub_mode), None),
@@ -768,6 +815,18 @@ def main() -> None:
         help="CCNet cross-corpus paragraph dedup stage (runs before scrub)",
     )
     ap.add_argument("--paragraph-max-docs", type=int, default=1)
+    ap.add_argument(
+        "--sentence-dedup",
+        action="store_true",
+        help="cross-corpus sentence dedup stage (after paragraph dedup, "
+        "before scrub)",
+    )
+    ap.add_argument("--sentence-max-docs", type=int, default=1)
+    ap.add_argument(
+        "--fix-encoding",
+        action="store_true",
+        help="ftfy-style mojibake repair stage (before any hashing stage)",
+    )
     ap.add_argument("--domain-min-chars", type=int, default=200)
     ap.add_argument("--domain-min-docs", type=int, default=3)
     ap.add_argument(
@@ -844,8 +903,11 @@ def main() -> None:
         mixture_tokens=args.mixture_tokens,
         binned_quality=args.binned_quality,
         scrub_mode=args.scrub_mode,
+        fix_encoding=args.fix_encoding,
         paragraph_dedup=args.paragraph_dedup,
         paragraph_max_docs=args.paragraph_max_docs,
+        sentence_dedup=args.sentence_dedup,
+        sentence_max_docs=args.sentence_max_docs,
         media_path=args.media,
         media_hamming=args.media_hamming,
         media_algo=args.media_algo,

@@ -559,3 +559,77 @@ def test_attr_scrub_stage_and_jsonl_export(spark, tmpdir_path):
         export_jsonl=True,
     )
     assert "attr_scrub" in r3["stages_run"]
+
+
+def test_fix_encoding_stage_repairs_mojibake(spark, tmpdir_path):
+    """--fix-encoding: a REALLY latin1-mangled corpus (built with Spark's
+    own encode/decode, the same bytes a bad reader would produce) comes
+    out of the stage byte-identical to the clean corpus; clean docs pass
+    through unchanged; the flag rides the param fingerprint (off -> the
+    stage disappears and text stays mangled)."""
+    src = f"{tmpdir_path}/docs_fe"
+    docs = spark.read.parquet(SF_DOCS).limit(30)
+    # give every doc a non-ascii decoration, then mangle HALF of them
+    clean = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" café №"), F.col("doc_id"))
+    )
+    mangled = clean.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+            F.decode(F.encode(F.col("text"), "UTF-8"), "ISO-8859-1"),
+        ).otherwise(F.col("text")),
+    )
+    mangled.write.parquet(src)
+
+    out = f"{tmpdir_path}/cur_fe"
+    r = run_curation(spark, src, out, span_k=6, fix_encoding=True)
+    assert r["stages_run"][0] == "fix_encoding"
+    staged = spark.read.parquet(f"{out}/stage_fix_encoding")
+    want = {row["doc_id"]: row["text"] for row in clean.collect()}
+    got = {row["doc_id"]: row["text"] for row in staged.collect()}
+    assert got == want  # mangled recovered AND clean untouched
+
+    # without the flag the stage does not exist
+    out2 = f"{tmpdir_path}/cur_fe_off"
+    r2 = run_curation(spark, src, out2, span_k=6)
+    assert "fix_encoding" not in r2["stages_run"]
+
+
+def test_sentence_dedup_stage(spark, tmpdir_path):
+    """--sentence-dedup: a shared trailing sentence survives in exactly
+    one doc; a doc that is ONLY the shared sentence vanishes; max_docs
+    rides the fingerprint (loosening it re-runs and keeps every copy)."""
+    src = f"{tmpdir_path}/docs_sd"
+    docs = spark.read.parquet(SF_DOCS).limit(40)
+    doctored = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit(". Accept all cookies now."))
+    )
+    only_banner = doctored.limit(1).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        *[c for c in doctored.columns if c not in ("doc_id", "text")],
+        F.lit("Accept all cookies now.").alias("text"),
+    ).select(*doctored.columns)
+    doctored.unionByName(only_banner).write.parquet(src)
+
+    out = f"{tmpdir_path}/cur_sd"
+    r = run_curation(spark, src, out, span_k=6, sentence_dedup=True)
+    assert r["stages_run"][0] == "sentence_dedup"
+    sd = r["stages"]["sentence_dedup"]
+    assert sd["rows_in"] == 41 and sd["rows_out"] == 40
+    staged = spark.read.parquet(f"{out}/stage_sentence_dedup")
+    n_with_banner = staged.filter(
+        F.col("text").contains("Accept all cookies now.")
+    ).count()
+    assert n_with_banner == 1  # first occurrence only
+    assert staged.filter(F.col("doc_id") >= 1000000).count() == 0
+
+    r2 = run_curation(
+        spark, src, out, span_k=6, sentence_dedup=True, sentence_max_docs=50
+    )
+    assert "sentence_dedup" in r2["stages_run"]
+    staged2 = spark.read.parquet(f"{out}/stage_sentence_dedup")
+    assert (
+        staged2.filter(F.col("text").contains("Accept all cookies now.")).count()
+        == 41
+    )
