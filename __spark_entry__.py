@@ -1395,6 +1395,29 @@ def q_wat_outlinks(spark, sf_dir):
     )
 
 
+def q_crawl_budget(spark, sf_dir):
+    """Crawl-budget apportionment (operators/frontier.py crawl_budget):
+    Hamilton largest-remainder allocation of D=97 fetch slots across the
+    20 event hosts weighted by event count — floor((D*w) div W) plus one
+    extra slot for the R = D - sum(floors) largest (remainder, host)
+    pairs; ALL int64 arithmetic (no float proportion exists), so the
+    oracle replay is exact by construction and sum(budget) == 97 is an
+    invariant of the method. D=97 is prime so remainders actually tie-
+    break. The distributed rank runs the pack_offsets two-phase scan,
+    never a single-partition window."""
+    from log_analysis_spark.operators.frontier import crawl_budget
+
+    ev = _t(spark, sf_dir, "events")
+    hosts = ev.groupBy(
+        F.concat(
+            F.lit("h"),
+            F.pmod(F.col("user_id"), F.lit(20)).cast("string"),
+            F.lit(".example.net"),
+        ).alias("host")
+    ).agg(F.count(F.lit(1)).cast("long").alias("w"))
+    return crawl_budget(hosts, total_slots=97).orderBy("host")
+
+
 def q_crawl_frontier(spark, sf_dir):
     """Politeness-aware crawl-frontier scheduling
     (operators/frontier.py): host-affine worker assignment (a host is
@@ -5292,6 +5315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "host_profile": q_host_profile,
         "crawl_frontier": q_crawl_frontier,
+        "crawl_budget": q_crawl_budget,
         "data_mixture": q_data_mixture,
         "linear_classifier": q_linear_classifier,
         "containment_pairs": q_containment_pairs,
@@ -7636,6 +7660,23 @@ def oracle_sql() -> dict[str, str]:
         "wet_pages": _wet_pages_sql(),
         "wat_outlinks": _wat_outlinks_sql(),
         "crawl_frontier": _crawl_frontier_sql(),
+        "crawl_budget": (
+            # Hamilton largest-remainder replay, pure BIGINT: floor and
+            # remainder of (97 * w) over the weight total, one extra slot
+            # for the R largest (rem DESC, host ASC) rows. DuckDB's //
+            # floors positive BIGINTs exactly like Spark's div.
+            "WITH h AS (SELECT 'h' || (user_id % 20)::VARCHAR || "
+            "'.example.net' AS host, count(*)::BIGINT AS w "
+            "FROM events GROUP BY host), "
+            "t AS (SELECT sum(w)::BIGINT AS wsum FROM h), "
+            "f AS (SELECT host, w, (97 * w) // t.wsum AS fl, "
+            "(97 * w) % t.wsum AS rem FROM h CROSS JOIN t), "
+            "n AS (SELECT 97 - sum(fl)::BIGINT AS r FROM f), "
+            "rk AS (SELECT host, w, fl, "
+            "row_number() OVER (ORDER BY rem DESC, host) AS rnk FROM f) "
+            "SELECT host, w, (fl + CASE WHEN rnk <= n.r THEN 1 ELSE 0 END)"
+            "::BIGINT AS budget FROM rk CROSS JOIN n ORDER BY host"
+        ),
         "data_mixture": _data_mixture_sql(),
         "linear_classifier": _linear_classifier_sql(),
         "containment_pairs": (

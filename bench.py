@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "wet_pages",
     "wat_outlinks",
     "crawl_frontier",
+    "crawl_budget",
     "data_mixture",
     "linear_classifier",
     "containment_pairs",

@@ -207,3 +207,94 @@ def url_templates(
         .agg(F.countDistinct("_u").cast("long").alias("n_urls"))
         .filter(F.col("n_urls") >= min_count)
     )
+
+
+def crawl_budget(
+    hosts: DataFrame,
+    host_col: str = "host",
+    weight_col: str = "w",
+    total_slots: int = 0,
+    num_partitions: int | None = None,
+    unpersist_handles: list | None = None,
+) -> DataFrame:
+    """Apportion ``total_slots`` fetch slots across hosts proportionally
+    to integer weights, by Hamilton's largest-remainder method — the
+    standard way a crawler turns host priorities (page counts, inlink
+    mass, reputation) into an integer per-host budget that sums EXACTLY
+    to the fleet's slot count:
+
+        floor_h = (D * w_h) div W       (W = sum of weights)
+        rem_h   = (D * w_h) mod W
+        budget  = floor_h + 1 for the R = D - sum(floor_h) hosts with
+                  the largest (rem_h, then lowest host) — R < n_hosts
+                  always, by sum(rem_h) = R * W.
+
+    Everything is int64 arithmetic (caller contract: D * max(w) must fit
+    int64 — true for any real crawl, D <= 10^8 slots x w <= 10^10 pages
+    needs the documented D*w < 2^63 headroom check), so the plan replays
+    bit-exactly in any ANSI engine; there is no float proportion anywhere.
+
+    Returns (host_col, weight_col, budget) with sum(budget) == D (0 for
+    every host when the weight mass is 0). One row per host expected
+    (pre-aggregate upstream); duplicate hosts would apportion per-row.
+
+    Scale shape: the host relation is O(hosts), not O(pages) — one
+    bounded sum, then the remainder rank via the SAME two-phase
+    distributed scan as chunking.pack_offsets (range-partition on the
+    sort key, per-partition row_number, driver-side per-partition counts
+    broadcast back as base offsets) — never a global single-partition
+    window. Bounded actions: the weight sum and the tiny per-partition
+    count collect.
+    """
+    d = int(total_slots)
+    h = hosts.select(
+        F.col(host_col).alias("_host"), F.col(weight_col).cast("long").alias("_w")
+    )
+    wsum = h.agg(F.sum("_w").alias("_s")).collect()[0]["_s"]  # bounded: 1 value
+    if not wsum or wsum <= 0 or d <= 0:
+        return h.select(
+            F.col("_host").alias(host_col),
+            F.col("_w").alias(weight_col),
+            F.lit(0).cast("long").alias("budget"),
+        )
+    num = (F.lit(d).cast("long") * F.col("_w")).alias("_num")
+    fl = F.expr(f"_num div {wsum}L").alias("_fl")
+    rem = (F.col("_num") % F.lit(wsum)).alias("_rem")
+    scored = h.select("_host", "_w", num).select("_host", "_w", "_num", fl, rem)
+    # R = D - sum(floors): one more bounded 1-value action
+    fsum = scored.agg(F.sum("_fl").alias("_t")).collect()[0]["_t"]
+    r_extra = d - int(fsum)
+    # two-phase distributed rank by (rem DESC, host ASC)
+    parted = (
+        scored.repartitionByRange(num_partitions, F.desc("_rem"), F.asc("_host"))
+        if num_partitions
+        else scored.repartitionByRange(F.desc("_rem"), F.asc("_host"))
+    )
+    parted = parted.withColumn("_pid", F.spark_partition_id()).persist()
+    if unpersist_handles is not None:
+        unpersist_handles.append(parted)
+    counts = {
+        r["_pid"]: r["_n"]
+        for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    }
+    base, acc = {}, 0
+    for pid in sorted(counts):
+        base[pid] = acc
+        acc += counts[pid]
+    base_df = hosts.sparkSession.createDataFrame(
+        [(pid, b) for pid, b in sorted(base.items())], ["_pid", "_base"]
+    )
+    w_rank = Window.partitionBy("_pid").orderBy(F.desc("_rem"), F.asc("_host"))
+    ranked = parted.join(F.broadcast(base_df), "_pid").withColumn(
+        "_rk", F.col("_base") + F.row_number().over(w_rank)
+    )
+    return ranked.select(
+        F.col("_host").alias(host_col),
+        F.col("_w").alias(weight_col),
+        (
+            F.col("_fl")
+            + F.when(F.col("_rk") <= F.lit(r_extra), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("budget"),
+    )

@@ -168,3 +168,66 @@ def test_url_templates_hex_before_digits(spark):
             for r in url_templates(df, min_count=1).collect()}
     assert rows[("x.org", "/d/H/y")] == 2
     assert rows[("x.org", "/d/N/y")] == 2
+
+
+# --------------------------------------------------------------------------
+# crawl_budget: Hamilton largest-remainder apportionment
+# --------------------------------------------------------------------------
+
+
+def _budget(spark, rows, d, **kw):
+    from log_analysis_spark.operators.frontier import crawl_budget
+
+    df = spark.createDataFrame(rows, ["host", "w"])
+    return {
+        r["host"]: r["budget"]
+        for r in crawl_budget(df, total_slots=d, **kw).collect()
+    }
+
+
+def test_crawl_budget_hand_case_and_sum_invariant(spark):
+    """Classic apportionment: weights 5/3/2 over D=10 give exactly
+    5/3/2; weights 4/3/3 over D=7 give floors 2/2/2 and the extra slot
+    goes to the largest remainder (host a: rem 28%10=8 vs 21%10=1)."""
+    assert _budget(spark, [("a", 5), ("b", 3), ("c", 2)], 10) == {
+        "a": 5, "b": 3, "c": 2,
+    }
+    got = _budget(spark, [("a", 4), ("b", 3), ("c", 3)], 7)
+    assert got == {"a": 3, "b": 2, "c": 2}
+    assert sum(got.values()) == 7
+
+
+def test_crawl_budget_matches_serial_replay_and_tie_break(spark):
+    """200 hosts with adversarial weights: the distributed two-phase rank
+    equals a serial Hamilton walker; remainder ties break by host ASC;
+    sum(budget) == D always."""
+    rows = [(f"h{i:03d}", (i * 7919) % 97 + 1) for i in range(200)]
+    d = 331
+    got = _budget(spark, rows, d, num_partitions=7)
+    wsum = sum(w for _, w in rows)
+    fl = {h: (d * w) // wsum for h, w in rows}
+    rem = {h: (d * w) % wsum for h, w in rows}
+    extra = d - sum(fl.values())
+    order = sorted(rows, key=lambda t: (-rem[t[0]], t[0]))
+    want = dict(fl)
+    for h, _ in order[:extra]:
+        want[h] += 1
+    assert got == want
+    assert sum(got.values()) == d
+
+
+def test_crawl_budget_zero_mass_and_zero_slots(spark):
+    """W == 0 or D == 0 yields all-zero budgets, never a division."""
+    assert _budget(spark, [("a", 0), ("b", 0)], 10) == {"a": 0, "b": 0}
+    assert _budget(spark, [("a", 5), ("b", 3)], 0) == {"a": 0, "b": 0}
+
+
+def test_crawl_budget_unpersist_seam(spark):
+    """unpersist_handles hands back the one persisted ranked relation."""
+    from log_analysis_spark.operators.frontier import crawl_budget
+
+    df = spark.createDataFrame([("a", 4), ("b", 3), ("c", 3)], ["host", "w"])
+    handles: list = []
+    out = crawl_budget(df, total_slots=7, unpersist_handles=handles)
+    assert out.count() == 3 and len(handles) == 1
+    handles[0].unpersist()
