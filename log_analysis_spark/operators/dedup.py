@@ -1738,6 +1738,105 @@ def paragraph_dedup(
     )
 
 
+def paragraph_dedup_against(
+    df: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-ARRIVAL form of :func:`paragraph_dedup` (max_docs=1
+    semantics): a paragraph drops when its normalized hash is in the
+    ``seen`` index (one ``_h`` long column — any earlier arrival already
+    published it) OR when it is a non-first occurrence within this
+    batch. Returns ``(per_doc, new_hashes)``: ``per_doc`` has
+    :func:`paragraph_dedup`'s exact output shape, ``new_hashes`` is the
+    distinct hash relation of the paragraphs this batch KEPT — append it
+    to the index so the next arrival's gate sees them.
+
+    Equivalence contract (pinned by the streaming twin's pytest): when
+    arrivals carry ascending ids, gating batches against the growing
+    index composes to EXACTLY ``paragraph_dedup(union_of_all_batches,
+    max_docs=1)`` — the in-batch min-(id,pos) winner and the
+    index-priority rule together reproduce the global first-occurrence
+    election.
+
+    Scale shape: the batch explodes to O(batch lines); the index probe
+    is a hash equi-join (batch-side small, index-side a bare 8-byte
+    column relation); the index never self-joins and never re-reads the
+    corpus."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("_ptxt")), "[0-9]+", "0"),
+            "\\s+",
+            " ",
+        )
+    )
+    paras = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_ptxt"),
+        )
+        .filter(F.trim(F.col("_ptxt")) != "")
+        .withColumn("_h", _base_hash(norm, hash_fn))
+    )
+    seen_h = (
+        seen.select(F.col(seen.columns[0]).alias("_h"))
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    marked = paras.join(seen_h, "_h", "left")
+    winners = marked.groupBy("_h").agg(
+        F.min(F.struct("_id", "_pos")).alias("_w"),
+        F.count_distinct("_id").alias("_nd"),
+    )
+    flagged = marked.join(winners, "_h").withColumn(
+        "_dup",
+        (
+            F.col("_seen").isNotNull()
+            | (
+                (F.col("_nd") > 1)
+                & ~(
+                    (F.col("_w._id") == F.col("_id"))
+                    & (F.col("_w._pos") == F.col("_pos"))
+                )
+            )
+        ).cast("int"),
+    )
+    per_doc = flagged.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum("_dup").cast("long").alias("dup_paras"),
+        F.concat_ws(
+            "\n",
+            F.filter(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "_pos",
+                                F.when(F.col("_dup") == 0, F.col("_ptxt")).alias(
+                                    "_kt"
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["_kt"],
+                ),
+                lambda t: t.isNotNull(),
+            ),
+        ).alias("clean_text"),
+    )
+    base = df.select(F.col(id_col).alias("_id"))
+    out = base.join(per_doc, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce("n_paras", F.lit(0).cast("long")).alias("n_paras"),
+        F.coalesce("dup_paras", F.lit(0).cast("long")).alias("dup_paras"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+    new_hashes = flagged.filter(F.col("_dup") == 0).select("_h").distinct()
+    return out, new_hashes
+
+
 # Sentence segmentation marker: U+001F (unit separator) — inserted after
 # terminal punctuation, then split on. Never occurs in curated web text
 # (the C4 line filter and charset layer strip C0 controls upstream).

@@ -520,6 +520,76 @@ def start_text_gate_stream(
     )
 
 
+def start_paragraph_dedup_stream(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+    max_files_per_trigger: int = 100000,
+):
+    """CCNet paragraph dedup run CONTINUOUSLY — the streaming twin of
+    ``dedup.paragraph_dedup`` (max_docs=1) with a growing paragraph-hash
+    index: each micro-batch is gated by ``paragraph_dedup_against``
+    (in-batch first-occurrence election + anti-join against every
+    earlier arrival's published hashes), surviving docs append to
+    ``{out}/corpus`` with their scrubbed text, and the batch's kept
+    hashes append to ``{out}/para_index`` — so the cookie banner that
+    arrived last week suppresses this week's copies at O(batch) probe
+    cost, never a corpus recompute. Docs whose every paragraph was
+    already published drop entirely (the batch twin's empty-text rule).
+
+    When arrivals carry ascending ids the streamed corpus equals
+    ``paragraph_dedup(all_arrivals)`` exactly (pinned in pytest).
+    Unbounded state lives in the index DIRECTORY (8 bytes per distinct
+    paragraph); the streaming query itself keeps zero aggregation state.
+    Same at-least-once note as ``start_ingest_gate_stream``: corpus- and
+    index-append are not atomic, but every LATER batch is
+    content-exactly-once because its gate sees the index."""
+    import os
+
+    from ..operators.dedup import paragraph_dedup_against
+
+    schema = spark.read.parquet(input_path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    idx_path = os.path.join(out_dir, "para_index")
+    corpus_path = os.path.join(out_dir, "corpus")
+
+    def _sink(batch: DataFrame, _bid: int) -> None:
+        sp = batch.sparkSession
+        if os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+            seen = sp.read.parquet(idx_path)
+        else:
+            seen = sp.createDataFrame([], "_h long")
+        per_doc, new_h = paragraph_dedup_against(
+            batch, seen, id_col, text_col, hash_fn=hash_fn
+        )
+        keep = per_doc.filter(F.length("clean_text") > 0).select(
+            F.col(id_col), F.col("clean_text").alias(text_col)
+        )
+        out_rows = batch.drop(text_col).join(keep, id_col).select(*batch.columns)
+        # localCheckpoint BEFORE the appends — the gate plan reads the
+        # index path and writing to it would recache-by-path (same seam
+        # as start_text_gate_stream)
+        out_rows = out_rows.localCheckpoint(eager=True)
+        new_h = new_h.localCheckpoint(eager=True)
+        out_rows.write.mode("append").parquet(corpus_path)
+        new_h.write.mode("append").parquet(idx_path)
+
+    return (
+        src.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_zeek_typed_router_stream(
     spark: SparkSession,
     path_glob: str,

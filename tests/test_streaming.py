@@ -794,3 +794,51 @@ def test_drift_stream_matches_batch_drift(spark, tmpdir_path):
         for r in bins.collect()
     }
     assert got == want and len(got) > 0 and want_drift > 0.0
+
+
+def test_paragraph_dedup_stream_equals_batch(spark, tmpdir_path):
+    """Streaming CCNet paragraph dedup over two ascending-id arrivals
+    equals batch paragraph_dedup over the union: arrival 1 plants an
+    in-batch cross-doc banner (first doc keeps it), arrival 2 re-sends
+    the same banner (gated by the para_index) plus a boilerplate-only
+    doc (drops entirely) and novel text (kept and indexed)."""
+    from log_analysis_spark.operators.dedup import paragraph_dedup
+    from log_analysis_spark.streaming.stream_job import (
+        start_paragraph_dedup_stream,
+    )
+
+    a1 = [
+        (1, "alpha body one\nSubscribe to our newsletter"),
+        (2, "beta body two\nSubscribe to our newsletter"),
+    ]
+    a2 = [
+        (3, "gamma body three\nSubscribe to our newsletter"),
+        (4, "Subscribe to our newsletter"),
+        (5, "delta body five\nwholly novel line"),
+    ]
+    inp = f"{tmpdir_path}/pd_in"
+    out = f"{tmpdir_path}/pd_out"
+    spark.createDataFrame(a1, "doc_id long, text string").write.parquet(inp)
+    args = (spark, inp, out, f"{tmpdir_path}/pd_ckpt")
+    start_paragraph_dedup_stream(*args).awaitTermination(300)
+    spark.createDataFrame(a2, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(inp)
+    start_paragraph_dedup_stream(*args).awaitTermination(300)
+
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{out}/corpus").collect()
+    }
+    full = spark.createDataFrame(a1 + a2, "doc_id long, text string")
+    want = {
+        r["doc_id"]: r["clean_text"]
+        for r in paragraph_dedup(full).filter(F.length("clean_text") > 0).collect()
+    }
+    assert got == want
+    assert 4 not in got  # boilerplate-only doc vanished
+    assert got[1].endswith("Subscribe to our newsletter")  # first keeps it
+    # index holds one hash per distinct kept paragraph
+    n_idx = spark.read.parquet(f"{out}/para_index").distinct().count()
+    n_kept_paras = sum(t.count("\n") + 1 for t in got.values())
+    assert n_idx == n_kept_paras
