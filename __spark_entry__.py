@@ -2794,6 +2794,21 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_prefix_jaccard(spark, sf_dir):
+    """EXACT set-similarity self-join via PPJoin prefix filtering
+    (dedup.prefix_jaccard_pairs; Xiao et al. 2008): no block key, no
+    LSH probability — the global rarest-first canonical order plus
+    per-set prefix length n - ceil(t*n) + 1 guarantees every J>=0.8
+    pair shares an indexed prefix token, so the oracle is simply the
+    UNBLOCKED all-pairs exact Jaccard: any candidate the prefix path
+    missed would show up as an oracle-only row. Ordered output; same
+    (id_a, id_b, jaccard) contract as ngram_jaccard."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.prefix_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=JACCARD_T
+    ).orderBy("id_a", "id_b")
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric shingle containment (dedup.containment_pairs): the
     quote/subset detector — directed pairs where >=90% of id_a's
@@ -5273,6 +5288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dedup family ---
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
+        "prefix_jaccard": q_prefix_jaccard,
         "dup_clusters": q_dup_clusters,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -8095,6 +8111,24 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE len(list_distinct(a.s || b.s)) > 0 AND "
             "len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE "
             f">= {JACCARD_T}"
+        ),
+        "prefix_jaccard": (
+            # UNBLOCKED all-pairs ground truth: prefix filtering has full
+            # recall by the PPJoin prefix principle, so the exact-Jaccard
+            # cross-pair relation IS the expected output — an oracle-only
+            # row would be a recall bug in the prefix index.
+            "WITH tok AS (SELECT doc_id, "
+            f"{_TOKENS.format(t='text')} AS w FROM documents), "
+            f"sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN {_SQL_SHINGLES3} "
+            "ELSE [] END AS s FROM tok) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "len(list_intersect(a.s, b.s))::DOUBLE / "
+            "len(list_distinct(a.s || b.s))::DOUBLE AS jaccard "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE len(list_distinct(a.s || b.s)) > 0 AND "
+            "len(list_intersect(a.s, b.s))::DOUBLE / "
+            "len(list_distinct(a.s || b.s))::DOUBLE "
+            f">= {JACCARD_T} ORDER BY id_a, id_b"
         ),
         "dup_clusters": (
             "WITH RECURSIVE tok AS (SELECT doc_id, lang || '_' || (n_chars // 64) AS blk, "

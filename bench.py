@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "minhash_lsh",
     "simhash",
     "ngram_jaccard",
+    "prefix_jaccard",
     "dup_clusters",
     "cosine_topk",
     "lsh_topk",

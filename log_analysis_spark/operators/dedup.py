@@ -185,6 +185,81 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    hash_fn: str = "xxhash64",
+    unpersist_handles: list | None = None,
+) -> DataFrame:
+    """EXACT set-similarity self-join by prefix filtering (Xiao et al.
+    2008, PPJoin; Chaudhuri et al. 2006, SSJoin) — the exact-recall
+    counterpart to :func:`minhash_lsh_pairs`: every pair with word-
+    n-gram Jaccard >= ``threshold`` is returned, with NO probabilistic
+    misses and NO caller-supplied block key.
+
+    The prefix principle: order every document's shingle-hash set by a
+    single GLOBAL canonical order (document frequency ascending, hash
+    ascending — rarest first), and index only each set's first
+    ``n_i - ceil(t * n_i) + 1`` elements. Any pair with J >= t has
+    overlap >= ceil(t * max(|A|,|B|)), which forces at least one shared
+    element inside BOTH prefixes — so the equi-join on prefix tokens has
+    full recall, and exact Jaccard runs on candidates only.
+
+    Why this scales where a full posting join cannot: the prefix keeps
+    each document's RAREST tokens, so posting lists of hot boilerplate
+    shingles (the skew that kills naive token joins) are excluded from
+    the index by construction unless a document consists of nothing
+    else; residual skew falls to AQE. Cost: one df-count aggregate, one
+    per-document rank (window keyed by the document — parallel), an
+    equi-join on rare tokens, exact verify on candidates. The shingle-set
+    relation persists once (candidate gen + verify both read it; caller
+    releases via ``unpersist_handles`` — minhash precedent).
+
+    Output: (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold —
+    the same contract as :func:`ngram_jaccard_pairs`, which remains the
+    blocked variant for when a trusted block key exists.
+    """
+    from pyspark.sql.window import Window
+
+    sh = _hashed_shingle_sets(df, id_col, text_col, n, hash_fn=hash_fn).persist()
+    if unpersist_handles is not None:
+        unpersist_handles.append(sh)
+    rows = sh.select(
+        "_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_h")
+    )
+    dfreq = rows.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = rows.join(dfreq, "_h").withColumn(
+        "_r",
+        F.row_number().over(Window.partitionBy("_id").orderBy("_df", "_h")),
+    )
+    plen = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    prefix = ranked.filter(F.col("_r") <= plen).select("_id", "_h")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[F.col("a._h") == F.col("b._h"), F.col("a._id") < F.col("b._id")],
+        )
+        .select(F.col("a._id").alias("_ia"), F.col("b._id").alias("_ib"))
+        .distinct()
+    )
+    sa = sh.select(F.col("_id").alias("_ia"), F.col("_sh").alias("_sha"))
+    sb = sh.select(F.col("_id").alias("_ib"), F.col("_sh").alias("_shb"))
+    return (
+        cand.join(sa, "_ia")
+        .join(sb, "_ib")
+        .select(
+            F.col("_ia").alias("id_a"),
+            F.col("_ib").alias("id_b"),
+            _jaccard(F.col("_sha"), F.col("_shb")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def duplicated_window_scrub(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -511,3 +511,67 @@ def test_duplicate_span_attributes_no_dups_is_empty(spark):
         ["doc_id", "text"],
     )
     assert duplicate_span_attributes(df, k=3, hash_fn="md5").count() == 0
+
+
+def test_prefix_jaccard_exact_recall_vs_all_pairs(spark, docs):
+    """PPJoin prefix filtering equals the unblocked all-pairs ground
+    truth EXACTLY — same pairs AND same jaccard values (no LSH
+    probability, no block key to get wrong)."""
+    handles: list = []
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.prefix_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.8, unpersist_handles=handles
+        ).collect()
+    }
+    want = _exact_pairs_global(spark, docs, 0.8)
+    assert set(got) == want and len(want) > 0
+    for h in handles:
+        h.unpersist()
+
+
+def test_prefix_jaccard_hot_token_excluded_from_index(spark):
+    """The prefix index keeps each doc's RAREST shingles: a boilerplate
+    shingle present in every doc never enters any prefix (at t=0.8 and
+    these sizes), so the candidate join stays skew-free — yet the pair
+    that IS a near-dup is still found through its rare shared shingle."""
+    import pandas as pd
+
+    # every doc shares the 'accept all cookies' shingle; docs 1 and 2
+    # additionally share almost everything else (J >= 0.8)
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base + " accept all cookies"),
+        (2, base + " accept all cookies"),  # exact dup of 1
+        (3, "one two three four five six seven accept all cookies"),
+        (4, "red green blue cyan teal plum gray accept all cookies"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in DD.prefix_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_prefix_jaccard_threshold_one_and_short_docs(spark):
+    """t=1.0 (prefix length exactly 1) still finds exact-set dups;
+    docs shorter than n tokens never pair."""
+    import pandas as pd
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "tiny doc"),
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.prefix_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=1.0
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0}
