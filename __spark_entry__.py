@@ -5410,6 +5410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "text_gate_indexed": q_text_gate_indexed,
         "lsh_topk": q_lsh_topk,
+        "jl_project": q_jl_project,
         "quantized_topk": q_quantized_topk,
         "anomaly_hours": q_anomaly_hours,
         "cohort_retention": q_cohort_retention,
@@ -5564,6 +5565,38 @@ def _sql_plane_lit(p) -> str:
     # %.17e keeps every literal a DOUBLE (a bare decimal would parse as
     # DECIMAL and round differently) with full round-trip precision
     return "[" + ", ".join(f"{float(x):.17e}" for x in p) + "]"
+
+
+def q_jl_project(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection (similarity.random_project;
+    Achlioptas 2001 Rademacher rows): 64-dim embeddings -> 8 components,
+    each an ordered fold dot with a ±1/sqrt(8) literal row — the
+    dimensionality cut the ANN stack runs before clustering at 10^12
+    scale. Components surface as 8 named double columns; the oracle
+    replays the identical folds with the identical literal matrix
+    (seeded numpy, embedded by the SQL builder) — bit-for-bit."""
+    from log_analysis_spark.operators import similarity as SIM
+
+    e = _t(spark, sf_dir, "embeddings")
+    m = SIM.projection_matrix(64, out_dim=8, seed=101)
+    out = SIM.random_project(e, m, vec_col="embedding", out_col="rp")
+    return out.select(
+        "vec_id",
+        *[F.element_at("rp", j + 1).alias(f"rp{j}") for j in range(8)],
+    ).orderBy("vec_id")
+
+
+def _sql_jl_project() -> str:
+    """DuckDB replay of q_jl_project: same seeded matrix rendered as
+    DOUBLE literals, same left-fold dot per component."""
+    from log_analysis_spark.operators import similarity as SIM
+
+    m = SIM.projection_matrix(64, out_dim=8, seed=101)
+    comps = ", ".join(
+        f"{_sql_dot('embedding', _sql_plane_lit(row))} AS rp{j}"
+        for j, row in enumerate(m)
+    )
+    return f"SELECT vec_id, {comps} FROM embeddings ORDER BY vec_id"
 
 
 def _sql_lsh_topk(k: int = 10, n_planes: int = 8) -> str:
@@ -8217,6 +8250,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _sql_minhash_lsh(num_perm=64, bands=16, threshold=JACCARD_T),
         "simhash": _sql_simhash(max_hamming=6),
         "lsh_topk": _sql_lsh_topk(k=10, n_planes=8),
+        "jl_project": _sql_jl_project(),
         "ivf_topk": _sql_ivf_topk(k=10, n_centroids=8, n_probe=2),
         "pq_topk": _sql_pq_topk(k=10, m=4, n_codes=8, d_sub=16),
         "ivfpq_topk": _sql_ivfpq_topk(k=10, n_cells=8, n_probe=2, m=4, n_codes=8, d_sub=16),

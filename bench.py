@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "dup_clusters",
     "cosine_topk",
     "lsh_topk",
+    "jl_project",
     "knn_join",
     "embedding_neardup",
     "sessionize",

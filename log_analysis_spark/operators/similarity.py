@@ -1043,3 +1043,47 @@ def semdedup(
     return v.join(dominated, on="_id", how="left_anti").select(
         F.col("_id").alias(id_col), F.col("_c").alias("cell")
     )
+
+
+def projection_matrix(dim: int, out_dim: int = 16, seed: int = 101) -> np.ndarray:
+    """Deterministic Rademacher JL projection rows (Achlioptas 2001,
+    "Database-friendly random projections"): entries ±1/sqrt(out_dim).
+    The ±1 alphabet (not Gaussian) keeps every engine-side product a
+    sign flip + one correctly-rounded scale, and the Johnson-
+    Lindenstrauss distortion guarantee holds with the same constants."""
+    import math
+
+    rng = np.random.default_rng(seed)
+    signs = rng.integers(0, 2, size=(out_dim, dim)).astype(np.float64) * 2.0 - 1.0
+    return signs / math.sqrt(out_dim)
+
+
+def random_project(
+    df: DataFrame,
+    matrix: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: append ``out_col``
+    = matrix @ vec as ``out_dim`` ordered-fold dot products (the same
+    left-to-right IEEE fold as every other vector op here, so the result
+    replays bit-exactly engine-side and oracle-side). The standard step
+    BEFORE clustering/kNN/IVF when the source dimension is large:
+    pairwise distances are preserved within (1±eps) for out_dim =
+    O(log n / eps^2), so the downstream index works in out_dim at
+    out_dim/dim of the FLOP and shuffle-byte cost — at 10^12 x 768-dim
+    embeddings, projecting to 64 dims cuts vector bytes 12x before any
+    shuffle. The matrix ships as literals (out_dim x dim doubles in the
+    plan, same mechanism as the LSH hyperplanes); no Python, no shuffle,
+    zero extra passes."""
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col), _vec_lit(row), lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        for row in matrix
+    ]
+    return df.withColumn(out_col, F.array(*comps))

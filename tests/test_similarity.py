@@ -647,3 +647,72 @@ def test_ann_rerank_equals_brute_force_when_candidates_cover(planted, spark):
     got = [(r["vec_id"], r["cos_sim"]) for r in SIM.ann_rerank(corpus, all_ids, q, k=10).collect()]
     want = [(r["vec_id"], r["cos_sim"]) for r in SIM.brute_force_topk(corpus, q, k=10).collect()]
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection
+# --------------------------------------------------------------------------
+
+
+def test_random_project_matches_python_fold_bitwise(spark, emb):
+    """Each projected component equals the driver-side left-fold dot with
+    the same matrix row, bit for bit (same IEEE order — np.dot would
+    not be)."""
+    m = SIM.projection_matrix(64, out_dim=4, seed=101)
+    sample = emb.orderBy("vec_id").limit(5).collect()
+    got = {
+        r["vec_id"]: r["rp"]
+        for r in SIM.random_project(
+            emb.orderBy("vec_id").limit(5), m, vec_col="embedding"
+        ).collect()
+    }
+    for row in sample:
+        want = [SIM._fold_dot(row["embedding"], m[j]) for j in range(4)]
+        assert got[row["vec_id"]] == want  # exact equality, not approx
+
+
+def test_random_project_preserves_distances(spark, emb):
+    """JL property on the real corpus: squared-distance ratios after a
+    64 -> 32 projection stay within a loose (1 ± 0.5) band for every
+    sampled pair (fixed seed -> deterministic draw; the theoretical eps
+    at this out_dim is far tighter in expectation)."""
+    m = SIM.projection_matrix(64, out_dim=32, seed=101)
+    rows = (
+        SIM.random_project(emb, m, vec_col="embedding")
+        .orderBy("vec_id")
+        .limit(20)
+        .collect()
+    )
+    import numpy as np
+
+    for i in range(0, 18, 3):
+        a, b = rows[i], rows[i + 1]
+        d_orig = float(
+            np.sum((np.array(a["embedding"]) - np.array(b["embedding"])) ** 2)
+        )
+        d_proj = float(np.sum((np.array(a["rp"]) - np.array(b["rp"])) ** 2))
+        assert d_orig > 0
+        ratio = d_proj / d_orig
+        assert 0.5 < ratio < 1.5, (a["vec_id"], b["vec_id"], ratio)
+
+
+def test_random_project_topk_recall_on_planted(spark, planted):
+    """Ranking survives the projection where there is real locality to
+    preserve: on the planted-neighbor corpus (cos ~0.99 copies vs ~0.3
+    random bulk) the projected-space 32-dim exact top-10 recovers >= 9
+    of each base query's 10 planted neighbors. (On the UNPLANTED random
+    corpus this is meaningless — the raw top-10 gaps are smaller than
+    any projection's distortion, the same reason the LSH/IVF recall
+    tests use this fixture.)"""
+    corpus, vecs, truth = planted
+    m = SIM.projection_matrix(64, out_dim=32, seed=101)
+    proj = SIM.random_project(corpus, m, vec_col="embedding").select(
+        "vec_id", "rp"
+    )
+    for b, want_ids in truth.items():
+        q32 = [SIM._fold_dot(vecs[b], m[j]) for j in range(32)]
+        got = {
+            r["vec_id"]
+            for r in SIM.brute_force_topk(proj, q32, k=11, vec_col="rp").collect()
+        } - {b}
+        assert len(got & want_ids) >= 9, (b, sorted(got))
