@@ -2809,6 +2809,18 @@ def q_prefix_jaccard(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_search_snippets(spark, sf_dir):
+    """Keyword-in-context snippets (operators/inverted.py snippets): the
+    display layer of the search stack — ±5 tokens around the first
+    'table' hit per document, with the 1-based hit position. Pure
+    zero-shuffle array arithmetic (tokenize, array_position, slice,
+    join); the oracle replays the identical list ops, byte-for-byte."""
+    from log_analysis_spark.operators.inverted import snippets
+
+    d = _t(spark, sf_dir, "documents")
+    return snippets(d, "table", "doc_id", "text", window=5).orderBy("doc_id")
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric shingle containment (dedup.containment_pairs): the
     quote/subset detector — directed pairs where >=90% of id_a's
@@ -5289,6 +5301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "prefix_jaccard": q_prefix_jaccard,
+        "search_snippets": q_search_snippets,
         "dup_clusters": q_dup_clusters,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -8144,6 +8157,19 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE len(list_distinct(a.s || b.s)) > 0 AND "
             "len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE "
             f">= {JACCARD_T}"
+        ),
+        "search_snippets": (
+            # Identical list arithmetic: 1-based first-hit position,
+            # slice [max(pos-5,1) .. pos+5] (DuckDB list_slice clamps the
+            # inclusive end exactly where Spark's length-form runs off
+            # the array), space join.
+            "WITH tok AS (SELECT doc_id, "
+            f"{_TOKENS.format(t='text')} AS w FROM documents), "
+            "p AS (SELECT doc_id, coalesce(list_position(w, 'table'), 0) "
+            "AS pos, w FROM tok) "
+            "SELECT doc_id, pos::BIGINT AS hit_pos, "
+            "array_to_string(list_slice(w, greatest(pos - 5, 1), pos + 5), ' ') "
+            "AS snippet FROM p WHERE pos > 0 ORDER BY doc_id"
         ),
         "prefix_jaccard": (
             # UNBLOCKED all-pairs ground truth: prefix filtering has full

@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "binned_quantiles",
     "c4_line_filter",
     "term_lookup",
+    "search_snippets",
     "grok_parse",
     "normalize_text",
     "mojibake_repair",

@@ -320,3 +320,81 @@ def bm25_search(
         ).alias("score")
     )
     return per_doc.orderBy(F.col("score").desc(), F.col(id_col)).limit(topk)
+
+
+def compact_index_bucket(
+    spark: SparkSession, path: str, bucket: int, id_col: str = "doc_id"
+) -> int:
+    """Rewrite ONE posting bucket (``path/_b=<bucket>``) as a single
+    (term, id)-sorted run — the periodic maintenance step after streamed
+    appends (each ``start_inverted_index_stream`` batch lands as its own
+    run; queries stay correct but a term's postings scatter across
+    files and lose locality). Touches only the named bucket directory:
+    at web scale compaction is an embarrassingly parallel per-bucket job
+    scheduled by append volume (file count per bucket), never a global
+    index rewrite — the same contract as ``sources.cdx.
+    compact_cdx_bucket``, whose tmp-dir + rename discipline this reuses
+    (a reader listing mid-compaction sees all old runs or the one new
+    run, never a partial mix). ``_stats`` is untouched: it aggregates
+    documents, which compaction does not change. Returns the bucket's
+    posting-row count. Answers are proven identical pre/post in pytest
+    (postings are (term, id)-unique by the new-docs-only append
+    contract, so compaction is a pure re-layout, never a merge)."""
+    import os
+    import shutil
+
+    bucket_dir = f"{path}/_b={bucket}"
+    rows = spark.read.parquet(bucket_dir)
+    tmp = f"{path}/._b_tmp_{bucket}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        rows.repartition(1)
+        .sortWithinPartitions("term", id_col)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    n = spark.read.parquet(tmp).count()
+    back = f"{path}/._b_old_{bucket}"
+    shutil.rmtree(back, ignore_errors=True)
+    os.rename(bucket_dir, back)
+    try:
+        os.rename(tmp, bucket_dir)
+    except OSError:
+        os.rename(back, bucket_dir)
+        raise
+    shutil.rmtree(back, ignore_errors=True)
+    return int(n)
+
+
+def snippets(
+    df: DataFrame,
+    term: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 5,
+) -> DataFrame:
+    """Keyword-in-context result snippets: for every document whose
+    token stream contains ``term`` (exact token match — the index's own
+    tokenization), the ``window`` tokens either side of the FIRST
+    occurrence, space-joined, plus the 1-based hit position. The
+    display-layer companion to ``term_lookup``: run it on the bounded
+    id-joined result set, never the corpus.
+
+    Pure zero-shuffle projection (tokenize, array_position, slice,
+    join); both engines replay the identical array arithmetic, so the
+    oracle is exact. Documents without the term are absent (the
+    array_position-0 filter), matching term_lookup's row set when the
+    index was built un-pruned."""
+    tok = tokens(F.col(text_col))
+    pos = F.array_position(tok, term)
+    start = F.greatest(pos - window, F.lit(1))
+    # slice length: from start through pos + window, clamped by the array
+    length = pos + window - start + 1
+    return (
+        df.select(
+            F.col(id_col),
+            pos.cast("long").alias("hit_pos"),
+            F.array_join(F.slice(tok, start, length), " ").alias("snippet"),
+        )
+        .filter(F.col("hit_pos") > 0)
+    )

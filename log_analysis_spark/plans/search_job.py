@@ -41,6 +41,18 @@ def main() -> None:
         help="term: one term's postings; and: conjunctive; bm25: ranked "
         "(lucene idf); phrase: exact consecutive sequence",
     )
+    ap.add_argument(
+        "--compact-bucket",
+        type=int,
+        default=None,
+        help="rewrite ONE posting bucket as a single sorted run (the "
+        "post-append maintenance step) and exit",
+    )
+    ap.add_argument(
+        "--snippets-from",
+        help="documents parquet: with --mode term, also emit ±5-token "
+        "keyword-in-context snippets for the result docs",
+    )
     ap.add_argument("--query", help="whitespace-separated query terms")
     ap.add_argument("--topk", type=int, default=10)
     ap.add_argument("--n-buckets", type=int, default=64)
@@ -73,6 +85,25 @@ def main() -> None:
         spark.stop()
         return
 
+    if args.compact_bucket is not None:
+        from ..operators.inverted import compact_index_bucket
+
+        n = compact_index_bucket(
+            spark, args.index, args.compact_bucket, id_col=args.id_col
+        )
+        print(
+            json.dumps(
+                {
+                    "compacted_bucket": args.compact_bucket,
+                    "rows": n,
+                    "wall_sec": time.monotonic() - t0,
+                }
+            )
+        )
+        sys.stdout.flush()
+        spark.stop()
+        return
+
     if not args.query:
         ap.error("--query is required unless --build-from is given")
     terms = args.query.split()
@@ -82,12 +113,16 @@ def main() -> None:
     from ..operators import inverted as IX
 
     if args.mode == "term":
-        rows = (
-            IX.term_lookup(spark, args.index, terms[0], **common)
-            .orderBy(args.id_col)
-            .limit(args.topk)
-            .collect()
-        )
+        hits = IX.term_lookup(spark, args.index, terms[0], **common)
+        if args.snippets_from:
+            docs = spark.read.parquet(args.snippets_from)
+            hits = hits.join(
+                IX.snippets(
+                    docs, terms[0], args.id_col, args.text_col, window=5
+                ),
+                args.id_col,
+            )
+        rows = hits.orderBy(args.id_col).limit(args.topk).collect()
     elif args.mode == "and":
         rows = (
             IX.terms_lookup_all(spark, args.index, terms, **common)

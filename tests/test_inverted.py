@@ -220,3 +220,85 @@ def test_phrase_search_pruning_and_empty(spark, tmpdir_path):
     assert phrase_search(spark, p, ["a", "zzz"], n_buckets=8).count() == 0
     with _pt.raises(ValueError):
         phrase_search(spark, p, [])
+
+
+# --------------------------------------------------------------------------
+# snippets + per-bucket compaction
+# --------------------------------------------------------------------------
+
+
+def test_snippets_window_and_clamping(spark):
+    """±window tokens around the FIRST hit; clamped at both array ends;
+    docs without the term are absent; hit_pos is 1-based."""
+    from log_analysis_spark.operators.inverted import snippets
+
+    rows = [
+        (1, "alpha beta target gamma delta epsilon zeta"),
+        (2, "target at start of doc here"),
+        (3, "ends with the target"),
+        (4, "no hit in this document"),
+        (5, "target early then target again later"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["hit_pos"], r["snippet"])
+        for r in snippets(df, "target", window=2).collect()
+    }
+    assert got == {
+        1: (3, "alpha beta target gamma delta"),
+        2: (1, "target at start"),
+        3: (4, "with the target"),
+        5: (1, "target early then"),  # FIRST occurrence only
+    }
+
+
+def test_compact_index_bucket_single_run_same_answers(spark, tmpdir_path):
+    """After two append runs land in a bucket, compaction leaves ONE
+    parquet file, identical postings, and identical term_lookup
+    answers — a pure re-layout."""
+    import glob
+
+    from log_analysis_spark.operators.inverted import (
+        _bucket_of,
+        compact_index_bucket,
+        postings,
+        term_lookup,
+    )
+
+    p = f"{tmpdir_path}/idx_c"
+    a1 = spark.createDataFrame(
+        [(1, "spark loves parquet"), (2, "parquet tables")],
+        "doc_id long, text string",
+    )
+    a2 = spark.createDataFrame(
+        [(3, "more parquet rows"), (4, "spark again")],
+        "doc_id long, text string",
+    )
+    write_inverted_index(a1, p, n_buckets=4)
+    postings(a2, n_buckets=4).write.mode("append").partitionBy("_b").parquet(p)
+
+    b = _bucket_of(spark, "parquet", 4, "xxhash64")
+    before = sorted(
+        (r["term"], r["doc_id"], r["tf"])
+        for r in spark.read.parquet(f"{p}/_b={b}").collect()
+    )
+    want = {
+        r["doc_id"]: r["tf"]
+        for r in term_lookup(spark, p, "parquet", n_buckets=4).collect()
+    }
+    assert want == {1: 1, 2: 1, 3: 1}
+    assert len(glob.glob(f"{p}/_b={b}/*.parquet")) >= 2  # two runs
+
+    n = compact_index_bucket(spark, p, b)
+    assert n == len(before)
+    after = sorted(
+        (r["term"], r["doc_id"], r["tf"])
+        for r in spark.read.parquet(f"{p}/_b={b}").collect()
+    )
+    assert after == before
+    assert len(glob.glob(f"{p}/_b={b}/*.parquet")) == 1  # one sorted run
+    got = {
+        r["doc_id"]: r["tf"]
+        for r in term_lookup(spark, p, "parquet", n_buckets=4).collect()
+    }
+    assert got == want
