@@ -2809,6 +2809,97 @@ def q_prefix_jaccard(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_beacon_detect(spark, sf_dir):
+    """C2 beaconing detection (operators/detect.py beacon_candidates —
+    the RITA heuristic): per-channel inter-arrival jitter from pure
+    int64 gap sums, one final division. A planted implant channel
+    (user_id = -1, 500 events on a 60s timer with a ±1/−2s three-phase
+    wobble — jitter ~0.00056) must flag; the organic event channels are
+    bursty human/Poisson traffic (jitter ~1) and must not. Oracle
+    replays second truncation, (t, event_id)-ordered lag, and the
+    integer jitter arithmetic — bit-for-bit."""
+    from log_analysis_spark.operators.detect import beacon_candidates
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select("user_id", "event_id", "ts")
+    implant = ev.filter(F.col("event_id") < 500).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        "event_id",
+        F.timestamp_seconds(
+            F.lit(1704067200)
+            + F.col("event_id") * 60
+            + F.pmod(F.col("event_id"), F.lit(3))
+        ).alias("ts"),
+    )
+    ch = base.unionByName(implant)
+    return beacon_candidates(
+        ch, ["user_id"], min_events=20, max_jitter=0.2
+    ).orderBy("user_id")
+
+
+def q_port_scan(spark, sf_dir):
+    """Vertical port-scan detection (operators/detect.py
+    port_scan_candidates): distinct destination ports per (src, hour).
+    The planted scanner (src = -1, 150 sequential ports inside one
+    hour) flags at min_ports=100; organic sources touch <= 50 derived
+    ports and never do. Exact two-phase count-distinct."""
+    from log_analysis_spark.operators.detect import port_scan_candidates
+
+    ev = _t(spark, sf_dir, "events")
+    organic = ev.select(
+        F.col("user_id").alias("src"),
+        "ts",
+        F.pmod(F.col("event_id"), F.lit(50)).alias("port"),
+    )
+    scanner = ev.filter(F.col("event_id") < 150).select(
+        F.lit(-1).cast("long").alias("src"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("event_id")).alias("ts"),
+        F.col("event_id").alias("port"),
+    )
+    return (
+        port_scan_candidates(
+            organic.unionByName(scanner), "src", "port", min_ports=100
+        )
+        .select(
+            "src",
+            F.date_format("hour", "yyyy-MM-dd HH").alias("hour"),
+            "n_conns",
+            "n_ports",
+            "is_scan",
+        )
+        .orderBy("src", "hour")
+    )
+
+
+def q_dns_tunnel(spark, sf_dir):
+    """DNS-tunneling shape statistics (operators/detect.py
+    dns_tunnel_stats): per-source query-name length / label-count /
+    hex-run aggregates with integer cross-multiplied flags (no float
+    average in the decision). The planted exfil source (src = -1,
+    md5-chunk subdomains: 32-hex label + 3 more labels, length 46)
+    flags; organic sources query 'www.example.net' shapes and do not."""
+    from log_analysis_spark.operators.detect import dns_tunnel_stats
+
+    ev = _t(spark, sf_dir, "events")
+    organic = ev.select(
+        F.col("user_id").alias("src"),
+        F.concat(
+            F.lit("www.example"),
+            F.pmod(F.col("event_id"), F.lit(9)).cast("string"),
+            F.lit(".net"),
+        ).alias("qname"),
+    )
+    exfil = ev.filter(F.col("event_id") < 200).select(
+        F.lit(-1).cast("long").alias("src"),
+        F.concat(
+            F.md5(F.col("event_id").cast("string")), F.lit(".t.example.net")
+        ).alias("qname"),
+    )
+    return dns_tunnel_stats(
+        organic.unionByName(exfil), "src", "qname", min_queries=10
+    ).orderBy("src")
+
+
 def q_search_snippets(spark, sf_dir):
     """Keyword-in-context snippets (operators/inverted.py snippets): the
     display layer of the search stack — ±5 tokens around the first
@@ -5302,6 +5393,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "prefix_jaccard": q_prefix_jaccard,
         "search_snippets": q_search_snippets,
+        "beacon_detect": q_beacon_detect,
+        "port_scan": q_port_scan,
+        "dns_tunnel": q_dns_tunnel,
         "dup_clusters": q_dup_clusters,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -8157,6 +8251,62 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE len(list_distinct(a.s || b.s)) > 0 AND "
             "len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE "
             f">= {JACCARD_T}"
+        ),
+        "beacon_detect": (
+            # Integer jitter replay: second-truncated epochs, lag over
+            # (t, event_id), S/Q/n int64 sums, (n*q - s*s)/(s*s) as the
+            # single double division. The implant channel's timestamps
+            # are pure arithmetic oracle-side (never a timestamp type).
+            "WITH ch AS (SELECT user_id, event_id, "
+            "floor(epoch(ts))::BIGINT AS t FROM events "
+            "UNION ALL SELECT -1::BIGINT, event_id, "
+            "(1704067200 + event_id * 60 + event_id % 3)::BIGINT "
+            "FROM events WHERE event_id < 500), "
+            "g AS (SELECT user_id, t, t - lag(t) OVER "
+            "(PARTITION BY user_id ORDER BY t, event_id) AS gp FROM ch), "
+            "a AS (SELECT user_id, count(*)::BIGINT AS n_events, "
+            "(max(t) - min(t))::BIGINT AS span_s, sum(gp)::BIGINT AS s, "
+            "sum(gp * gp)::BIGINT AS q, count(gp)::BIGINT AS n "
+            "FROM g GROUP BY user_id) "
+            "SELECT user_id, n_events, span_s, "
+            "CASE WHEN n_events >= 20 AND s > 0 "
+            "THEN s::DOUBLE / n::DOUBLE END AS mean_gap_s, "
+            "CASE WHEN n_events >= 20 AND s > 0 "
+            "THEN (n * q - s * s)::DOUBLE / (s * s)::DOUBLE END AS jitter, "
+            "coalesce(CASE WHEN n_events >= 20 AND s > 0 "
+            "THEN (n * q - s * s)::DOUBLE / (s * s)::DOUBLE END <= 0.2, "
+            "false) AS is_beacon FROM a ORDER BY user_id"
+        ),
+        "port_scan": (
+            "WITH c AS (SELECT user_id AS src, ts, "
+            "event_id % 50 AS port FROM events "
+            "UNION ALL SELECT -1::BIGINT, "
+            "to_timestamp(1704067200 + event_id)::TIMESTAMP, event_id "
+            "FROM events WHERE event_id < 150) "
+            "SELECT src, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') "
+            "AS hour, count(*)::BIGINT AS n_conns, "
+            "count(DISTINCT port)::BIGINT AS n_ports, "
+            "count(DISTINCT port) >= 100 AS is_scan "
+            "FROM c GROUP BY src, date_trunc('hour', ts) "
+            "ORDER BY src, hour"
+        ),
+        "dns_tunnel": (
+            "WITH q AS (SELECT user_id AS src, "
+            "'www.example' || (event_id % 9)::VARCHAR || '.net' AS qname "
+            "FROM events UNION ALL SELECT -1::BIGINT, "
+            "md5(event_id::VARCHAR) || '.t.example.net' FROM events "
+            "WHERE event_id < 200), "
+            "p AS (SELECT src, strlen(qname)::BIGINT AS l, "
+            "len(string_split(qname, '.'))::BIGINT AS lb, "
+            "coalesce(list_max(list_transform("
+            "regexp_extract_all(qname, '[0-9a-f]+'), x -> strlen(x))), 0)"
+            "::BIGINT AS hx FROM q) "
+            "SELECT src, count(*)::BIGINT AS n_queries, "
+            "sum(l)::BIGINT AS sum_len, sum(lb)::BIGINT AS sum_labels, "
+            "max(hx)::BIGINT AS max_hex_run, "
+            "(count(*) >= 10 AND sum(l) >= 40 * count(*) "
+            "AND sum(lb) >= 4 * count(*)) AS is_tunnel "
+            "FROM p GROUP BY src ORDER BY src"
         ),
         "search_snippets": (
             # Identical list arithmetic: 1-based first-hit position,

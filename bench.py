@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "knn_join",
     "embedding_neardup",
     "sessionize",
+    "beacon_detect",
+    "port_scan",
+    "dns_tunnel",
     "percentiles",
     "semi_join",
     "asof_join",

@@ -1,0 +1,167 @@
+"""Network-security detections over event/connection streams.
+
+The reference (endepointe/log-analysis) is a Zeek security-log analysis
+tool; these are the standard detections an analyst layers on top of the
+same conn/dns relations it parses (the RITA / Active-Countermeasures
+heuristic family, re-expressed relationally):
+
+- **Beaconing** (`beacon_candidates`): C2 implants phone home on a
+  timer, so a (src, dst) channel's inter-arrival gaps are abnormally
+  REGULAR. The score is the gaps' normalized squared variation computed
+  from pure int64 sums — one subtraction and one division at the end,
+  so it replays bit-exactly in any ANSI engine. Human browsing is
+  bursty (score ~1+); a 60s-timer implant with small jitter scores
+  near 0.
+- **Port scanning** (`port_scan_candidates`): one source touching many
+  distinct destination ports inside a time bucket. Pure count-distinct
+  per (src, hour).
+- **DNS tunneling** (`dns_tunnel_stats`): data exfiltration over DNS
+  needs long, many-label, high-entropy query names. Integer proxies
+  only (name length, label count, longest hex run) — no float entropy,
+  so the flags replay exactly.
+
+Scale shape: every detection is one keyed aggregation over the event
+relation (beaconing adds one per-channel ordered lag window — the
+channel is the natural partition key, and no channel holds more rows
+than its own traffic). No all-pairs, no collect, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def beacon_candidates(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_events: int = 20,
+    max_jitter: float = 0.2,
+) -> DataFrame:
+    """Per-channel beacon score from inter-arrival regularity.
+
+    Events order by (second-truncated timestamp, ``id_col``) — the id
+    tie-break makes the gap sequence deterministic under same-second
+    bursts. Gaps are int64 SECONDS (microseconds would overflow the
+    n*sum(g^2) term at ~10^4 five-minute gaps; seconds keep every
+    intermediate inside int64 up to ~10^6 day-scale gaps per channel —
+    documented headroom). With S = sum(g), Q = sum(g^2) over n gaps:
+
+        jitter = (n*Q - S*S) / (S*S)
+
+    — the gaps' variance-to-mean-squared ratio scaled by n (>= 0; 0 iff
+    perfectly periodic). int64 multiply/subtract, ONE double division.
+
+    Returns (key..., n_events, span_s, mean_gap_s, jitter, is_beacon).
+    Channels with fewer than ``min_events`` events or zero span keep
+    NULL jitter and never flag (a same-second burst is not a timer).
+    """
+    evts = df.select(
+        *key_cols,
+        F.unix_timestamp(F.col(ts_col)).alias("_t"),
+        F.col(id_col).alias("_eid"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy("_t", "_eid")
+    gapped = evts.withColumn("_g", F.col("_t") - F.lag("_t").over(w))
+    agg = gapped.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("_t") - F.min("_t")).cast("long").alias("span_s"),
+        F.sum("_g").cast("long").alias("_s"),
+        F.sum(F.col("_g") * F.col("_g")).cast("long").alias("_q"),
+        F.count("_g").cast("long").alias("_n"),
+    )
+    ok = (F.col("n_events") >= min_events) & (F.col("_s") > 0)
+    jitter = F.when(
+        ok,
+        (
+            (F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s")).cast("double")
+            / (F.col("_s") * F.col("_s")).cast("double")
+        ),
+    )
+    return agg.select(
+        *key_cols,
+        "n_events",
+        "span_s",
+        F.when(ok, F.col("_s").cast("double") / F.col("_n").cast("double")).alias(
+            "mean_gap_s"
+        ),
+        jitter.alias("jitter"),
+        F.coalesce(jitter <= F.lit(max_jitter), F.lit(False)).alias("is_beacon"),
+    )
+
+
+def port_scan_candidates(
+    df: DataFrame,
+    src_col: str,
+    port_col: str,
+    ts_col: str = "ts",
+    min_ports: int = 100,
+) -> DataFrame:
+    """Distinct destination ports per (source, UTC hour); flag buckets
+    at or above ``min_ports`` — the vertical-scan shape (one host
+    sweeping a port range). Exact count-distinct: two-phase groupBy, the
+    expansion keyed by (src, hour, port) so a scanning source fans out
+    across reducers instead of concentrating. Returns
+    (src, hour, n_conns, n_ports, is_scan)."""
+    hour = F.date_trunc("hour", F.col(ts_col)).alias("hour")
+    return (
+        df.select(F.col(src_col).alias("src"), hour, F.col(port_col).alias("_p"))
+        .groupBy("src", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conns"),
+            F.count_distinct("_p").cast("long").alias("n_ports"),
+        )
+        .withColumn("is_scan", F.col("n_ports") >= min_ports)
+    )
+
+
+# longest run of [0-9a-f] characters — encoded payloads (hex/base16
+# exfil chunks) produce long runs where human-named hosts do not.
+_HEX_RUN_RX = "[0-9a-f]+"
+
+
+def dns_tunnel_stats(
+    df: DataFrame,
+    src_col: str,
+    qname_col: str,
+    min_queries: int = 10,
+    min_avg_len: int = 40,
+    min_avg_labels: int = 4,
+) -> DataFrame:
+    """Per-source DNS query-name shape statistics with integer-exact
+    tunneling flags: average name length, average label count, and the
+    maximum hex-run length seen (the payload-chunk signature). Flags
+    when a source's averages exceed both thresholds — compared as
+    integer sums cross-multiplied against thresholds (sum_len >= T * n),
+    so no float average enters the decision. Returns (src, n_queries,
+    sum_len, sum_labels, max_hex_run, is_tunnel)."""
+    per_q = df.select(
+        F.col(src_col).alias("src"),
+        F.length(qname_col).cast("long").alias("_len"),
+        (F.size(F.split(F.col(qname_col), "\\.", -1))).cast("long").alias("_labels"),
+        F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.regexp_extract_all(F.col(qname_col), F.lit(_HEX_RUN_RX), 0),
+                    F.length,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("_hex"),
+    )
+    agg = per_q.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("_len").cast("long").alias("sum_len"),
+        F.sum("_labels").cast("long").alias("sum_labels"),
+        F.max("_hex").cast("long").alias("max_hex_run"),
+    )
+    return agg.withColumn(
+        "is_tunnel",
+        (F.col("n_queries") >= min_queries)
+        & (F.col("sum_len") >= F.lit(min_avg_len) * F.col("n_queries"))
+        & (F.col("sum_labels") >= F.lit(min_avg_labels) * F.col("n_queries")),
+    )
