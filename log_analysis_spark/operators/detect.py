@@ -165,3 +165,111 @@ def dns_tunnel_stats(
         & (F.col("sum_len") >= F.lit(min_avg_len) * F.col("n_queries"))
         & (F.col("sum_labels") >= F.lit(min_avg_labels) * F.col("n_queries")),
     )
+
+
+def beacon_state(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-channel MERGEABLE beacon state for incremental/streaming
+    maintenance: (key..., n, first_t, last_t, s, q) — event count, the
+    channel's first/last second, and the int64 gap sums the jitter
+    score needs. A batch's state merges with the accumulated state in
+    O(channels) (``merge_beacon_states``) PROVIDED batches arrive in
+    time order per channel (the same ascending-arrival contract every
+    streaming twin documents): the bridge gap between the old state's
+    last event and the new batch's first is reconstructed at merge
+    time, so merge(state(b1), state(b2)) == state(b1 ∪ b2) EXACTLY
+    (pinned in pytest — the incremental_agg associativity-proof
+    pattern applied to a detection)."""
+    evts = df.select(
+        *key_cols,
+        F.unix_timestamp(F.col(ts_col)).alias("_t"),
+        F.col(id_col).alias("_eid"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy("_t", "_eid")
+    gapped = evts.withColumn("_g", F.col("_t") - F.lag("_t").over(w))
+    return gapped.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("_t").cast("long").alias("first_t"),
+        F.max("_t").cast("long").alias("last_t"),
+        F.coalesce(F.sum("_g"), F.lit(0)).cast("long").alias("s"),
+        F.coalesce(F.sum(F.col("_g") * F.col("_g")), F.lit(0))
+        .cast("long")
+        .alias("q"),
+    )
+
+
+def merge_beacon_states(
+    old: DataFrame, new: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Merge two beacon-state relations where every ``old`` event
+    precedes every ``new`` event per channel: the bridge gap
+    ``new.first_t - old.last_t`` joins the sums; channels present on
+    one side pass through. One keyed full-outer join, O(channels)."""
+    o = old.select(
+        *key_cols,
+        *[F.col(c).alias(f"_o_{c}") for c in ("n", "first_t", "last_t", "s", "q")],
+    )
+    nw = new.select(
+        *key_cols,
+        *[F.col(c).alias(f"_n_{c}") for c in ("n", "first_t", "last_t", "s", "q")],
+    )
+    j = o.join(nw, on=list(key_cols), how="full_outer")
+    both = F.col("_o_n").isNotNull() & F.col("_n_n").isNotNull()
+    bridge = F.col("_n_first_t") - F.col("_o_last_t")
+    return j.select(
+        *key_cols,
+        (F.coalesce("_o_n", F.lit(0)) + F.coalesce("_n_n", F.lit(0)))
+        .cast("long")
+        .alias("n"),
+        F.coalesce("_o_first_t", "_n_first_t").cast("long").alias("first_t"),
+        F.coalesce("_n_last_t", "_o_last_t").cast("long").alias("last_t"),
+        (
+            F.coalesce("_o_s", F.lit(0))
+            + F.coalesce("_n_s", F.lit(0))
+            + F.when(both, bridge).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("s"),
+        (
+            F.coalesce("_o_q", F.lit(0))
+            + F.coalesce("_n_q", F.lit(0))
+            + F.when(both, bridge * bridge).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("q"),
+    )
+
+
+def beacon_scores_from_state(
+    state: DataFrame,
+    key_cols: list[str],
+    min_events: int = 20,
+    max_jitter: float = 0.2,
+) -> DataFrame:
+    """Finalize a beacon-state relation into exactly
+    :func:`beacon_candidates`' output — same guards, same integer
+    arithmetic, same single division, so incremental maintenance and
+    the full recompute agree bit-for-bit."""
+    ok = (F.col("n") >= min_events) & (F.col("s") > 0)
+    n_gaps = F.col("n") - F.lit(1)
+    jitter = F.when(
+        ok,
+        (
+            (n_gaps * F.col("q") - F.col("s") * F.col("s")).cast("double")
+            / (F.col("s") * F.col("s")).cast("double")
+        ),
+    )
+    return state.select(
+        *key_cols,
+        F.col("n").alias("n_events"),
+        (F.col("last_t") - F.col("first_t")).cast("long").alias("span_s"),
+        F.when(ok, F.col("s").cast("double") / n_gaps.cast("double")).alias(
+            "mean_gap_s"
+        ),
+        jitter.alias("jitter"),
+        F.coalesce(jitter <= F.lit(max_jitter), F.lit(False)).alias("is_beacon"),
+    )

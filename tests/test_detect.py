@@ -105,3 +105,48 @@ def test_dns_tunnel_flags_and_hex_run(spark):
     assert not out[2]["is_tunnel"]
     assert out[2]["max_hex_run"] == 1  # 'e'/'a' singles in www.example.net
     assert not out[3]["is_tunnel"]  # n_queries guard
+
+
+def test_beacon_state_merge_equals_full_recompute(spark):
+    """merge(state(early), state(late)) == state(all) exactly, and the
+    finalized scores equal beacon_candidates bit-for-bit — including a
+    channel present in only one batch."""
+    from log_analysis_spark.operators.detect import (
+        beacon_state,
+        beacon_scores_from_state,
+        merge_beacon_states,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(1, i, t0 + timedelta(seconds=60 * i + (i % 3))) for i in range(40)]
+    rows += [(2, 100 + i, t0 + timedelta(seconds=i * i * 7)) for i in range(25)]
+    rows += [(3, 200 + i, t0 + timedelta(seconds=30 * i)) for i in range(10, 22)]
+    full = _chan(spark, rows)
+    early = full.filter(F.col("ts") < t0 + timedelta(seconds=700))
+    late = full.filter(F.col("ts") >= t0 + timedelta(seconds=700))
+    # channel 3 lands entirely in 'early'? make sure both shapes exist
+    merged = merge_beacon_states(
+        beacon_state(early, ["user_id"]),
+        beacon_state(late, ["user_id"]),
+        ["user_id"],
+    )
+    want_state = {
+        r["user_id"]: (r["n"], r["first_t"], r["last_t"], r["s"], r["q"])
+        for r in beacon_state(full, ["user_id"]).collect()
+    }
+    got_state = {
+        r["user_id"]: (r["n"], r["first_t"], r["last_t"], r["s"], r["q"])
+        for r in merged.collect()
+    }
+    assert got_state == want_state
+
+    want = {
+        r["user_id"]: (r["n_events"], r["span_s"], r["mean_gap_s"], r["jitter"], r["is_beacon"])
+        for r in beacon_candidates(full, ["user_id"], min_events=20).collect()
+    }
+    got = {
+        r["user_id"]: (r["n_events"], r["span_s"], r["mean_gap_s"], r["jitter"], r["is_beacon"])
+        for r in beacon_scores_from_state(merged, ["user_id"], min_events=20).collect()
+    }
+    assert got == want  # bitwise: same ints, same single division
+    assert want[1][4] is True  # the timer channel flags
