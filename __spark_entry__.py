@@ -1509,6 +1509,32 @@ def q_linear_classifier(spark, sf_dir):
     )
 
 
+def q_calibration_bins(spark, sf_dir):
+    """Classifier reliability diagram (operators/classify.py
+    calibration_bins): the bit-exact linear-classifier scores clamp-
+    floored into 10 bins over [-1, 1], per bin (n, n_pos, min_score,
+    max_score) — deliberately no float sum (partition-order rounding),
+    so the diagnostic replays exactly on top of the unrolled-training
+    oracle."""
+    from log_analysis_spark.operators.classify import (
+        calibration_bins,
+        linear_scores,
+        train_linear_classifier,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(-1.0)).alias("y"),
+    )
+    w = train_linear_classifier(
+        d, "y", n_buckets=64, iters=2, lr=0.02, hash_fn="md5",
+        deterministic=True, unpersist_handles=[],
+    )
+    scored = linear_scores(d, w, hash_fn="md5", keep_cols=("y",))
+    return calibration_bins(scored, "score", "y", n_bins=10, lo=-1.0, hi=1.0)
+
+
 def q_script_profile(spark, sf_dir):
     """Unicode script profiling (textstats.script_counts /
     dominant_script): per-class char counts + priority-ordered dominant
@@ -5441,6 +5467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": q_crawl_budget,
         "data_mixture": q_data_mixture,
         "linear_classifier": q_linear_classifier,
+        "calibration_bins": q_calibration_bins,
         "containment_pairs": q_containment_pairs,
         "containment_banded": q_containment_banded,
         "bpe_encode": q_bpe_encode,
@@ -7835,6 +7862,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "data_mixture": _data_mixture_sql(),
         "linear_classifier": _linear_classifier_sql(),
+        "calibration_bins": (
+            # Wraps the unrolled-training replay: identical bin-edge
+            # literal arithmetic ((s - lo)/(hi-lo)*n), clamp, and only
+            # order-independent aggregates (no float sum).
+            "SELECT greatest(least(floor((score - -1.0::DOUBLE) / "
+            "2.0::DOUBLE * 10.0::DOUBLE), 9), 0)::BIGINT AS bin, "
+            "count(*)::BIGINT AS n, "
+            "sum((y = 1.0::DOUBLE)::INT)::BIGINT AS n_pos, "
+            "min(score) AS min_score, max(score) AS max_score "
+            f"FROM ({_linear_classifier_sql()}) "
+            "GROUP BY bin ORDER BY bin"
+        ),
         "containment_pairs": (
             "WITH tok AS (SELECT doc_id, lang AS blk, "
             f"{_TOKENS.format(t='text')} AS w FROM documents), "

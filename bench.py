@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "crawl_budget",
     "data_mixture",
     "linear_classifier",
+    "calibration_bins",
     "containment_pairs",
     "containment_banded",
     "image_phash",

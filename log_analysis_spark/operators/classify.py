@@ -165,3 +165,44 @@ def linear_scores(
         *keep_cols,
         score_expr(F.col("f"), weights).alias("score"),
     ).withColumn("predicted", F.col("score") >= 0.0)
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "y",
+    n_bins: int = 10,
+    lo: float = -1.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Reliability-diagram bins for a scored relation: clamp-floor the
+    score into ``n_bins`` equal bins over [lo, hi] and report per bin
+    (n, n_pos, min_score, max_score) — the classifier-ops diagnostic
+    that says whether score 0.9 actually means 90% positive before a
+    threshold is chosen. Every aggregate is order-independent (counts,
+    min, max — deliberately NO float sum, whose partition-order rounding
+    would break exact replay); the bin edge arithmetic is the identical
+    literal expression in any ANSI engine, so the whole relation is
+    oracle-exact. One map-side-combinable aggregation, <= n_bins rows
+    out."""
+    rel = (
+        (F.col(score_col) - F.lit(lo))
+        / F.lit(hi - lo)
+        * F.lit(float(n_bins))
+    )
+    bin_ = F.greatest(
+        F.least(F.floor(rel), F.lit(n_bins - 1).cast("long")),
+        F.lit(0).cast("long"),
+    )
+    return (
+        scored.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col(label_col) == F.lit(1.0)).cast("long"))
+            .cast("long")
+            .alias("n_pos"),
+            F.min(score_col).alias("min_score"),
+            F.max(score_col).alias("max_score"),
+        )
+        .orderBy("bin")
+    )

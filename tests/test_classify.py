@@ -98,3 +98,34 @@ def test_bias_only_empty_doc(spark):
     w = [0.5] * 17
     s = d.sparkSession.createDataFrame([(1, [16])], "doc_id long, f array<long>")
     assert s.select(score_expr(F.col("f"), w).alias("s")).first()["s"] == 0.5
+
+
+def test_calibration_bins_counts_and_clamping(spark):
+    """Bin arithmetic by hand: scores at bin edges, below lo, above hi;
+    n_pos counts only y == 1.0; min/max are exact per bin."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from log_analysis_spark.operators.classify import calibration_bins
+
+    rows = [
+        (-1.5, 1.0),   # below lo -> clamps to bin 0
+        (-1.0, -1.0),  # exactly lo -> bin 0
+        (-0.01, 1.0),  # bin 4
+        (0.0, 1.0),    # bin 5 (edge belongs to the upper bin)
+        (0.39, -1.0),  # bin 6
+        (1.0, 1.0),    # exactly hi -> clamps to bin 9
+        (2.0, -1.0),   # above hi -> clamps to bin 9
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["score", "y"]))
+    got = {
+        r["bin"]: (r["n"], r["n_pos"], r["min_score"], r["max_score"])
+        for r in calibration_bins(df, "score", "y").collect()
+    }
+    assert got == {
+        0: (2, 1, -1.5, -1.0),
+        4: (1, 1, -0.01, -0.01),
+        5: (1, 1, 0.0, 0.0),
+        6: (1, 0, 0.39, 0.39),
+        9: (2, 1, 1.0, 2.0),
+    }
