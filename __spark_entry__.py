@@ -95,6 +95,29 @@ def q_route_counts(spark, sf_dir):
     )
 
 
+RV_SHARDS = ["shard-a", "shard-b", "shard-c", "shard-d", "shard-e"]
+
+
+def q_rendezvous_shards(spark, sf_dir):
+    """Rendezvous (HRW) shard routing (operators/route.py
+    ``rendezvous_route``): each user routes to the shard whose
+    md5_hash60(shard || '|' || key) weight is highest — the consistent
+    fan-out rule whose reshard moves only the new shard's winners, never a
+    key between existing shards (pinned in pytest). Pure projection + one
+    bounded per-shard aggregate; assignment replayed exactly by the oracle."""
+    from log_analysis_spark.operators.route import rendezvous_route
+
+    return (
+        rendezvous_route(_t(spark, sf_dir, "events"), "user_id", RV_SHARDS)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("shard")
+    )
+
+
 def q_events_per_user_hour(spark, sf_dir):
     """R2 + north-rule agg: events per entity per hour."""
     return (
@@ -2786,6 +2809,21 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_priority_sample(spark, sf_dir):
+    """Weighted priority sampling (Duffield-Lund-Thorup 2007,
+    operators/sampling.py): k=100 documents with inclusion probability
+    ~proportional to n_chars, plus the unbiased est_weight estimator
+    (max(w, tau) with tau the (k+1)-th priority). Deterministic uniforms
+    from md5_hash60(doc_id), priorities one exact power-of-two multiply +
+    one IEEE division — the oracle replays every winner and estimate
+    bit-for-bit. Map-side top-(k+1), no corpus shuffle."""
+    from log_analysis_spark.operators.sampling import priority_sample
+
+    return priority_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "n_chars", k=100
+    )
+
+
 def q_split_counts(spark, sf_dir):
     """Deterministic train/valid/test split sizes (hash-keyed: a document
     never changes split on re-runs or cluster-size changes)."""
@@ -5366,6 +5404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_eq": q_filter_eq,
         "filter_combo": q_filter_combo,
         "route_counts": q_route_counts,
+        "rendezvous_shards": q_rendezvous_shards,
         "events_per_user_hour": q_events_per_user_hour,
         "distinct_users": q_distinct_users,
         "union_dedup_first_seen": q_union_dedup_first_seen,
@@ -5409,6 +5448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         # --- sampling / training-data prep ---
         "stratified_sample": q_stratified_sample,
+        "priority_sample": q_priority_sample,
         "doc_chunks": q_doc_chunks,
         "decontaminate": q_decontaminate,
         "span_scrub": q_span_scrub,
@@ -5637,6 +5677,21 @@ def _sql_h60(x: str) -> str:
         f"c -> CASE WHEN c >= '0' AND c <= '9' THEN ord(c)-48 ELSE ord(c)-87 END)), "
         f"(acc, d) -> acc*16 + d)"
     )
+
+
+def _sql_rendezvous(key_sql: str, shards: list[str]) -> tuple[str, str]:
+    """DuckDB replay of route.rendezvous_shard: per-shard md5_hash60
+    weights, winner by greatest() with the same ordered CASE tie-break."""
+    hs = [_sql_h60(f"'{s}|' || {key_sql}") for s in shards]
+    cols = ", ".join(f"{h} AS h{i}" for i, h in enumerate(hs))
+    great = "greatest(" + ", ".join(f"h{i}" for i in range(len(hs))) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN h{i} = {great} THEN '{s}'" for i, s in enumerate(shards)
+    ) + " END"
+    return cols, case
+
+
+_RV_COLS, _RV_CASE = _sql_rendezvous("user_id::VARCHAR", RV_SHARDS)
 
 
 def _sql_minhash_lsh(num_perm: int = 64, bands: int = 16, threshold: float = 0.8) -> str:
@@ -7162,6 +7217,13 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT event_type, count(*) AS n_rows FROM events "
             f"WHERE event_type IN ({wl}) GROUP BY event_type ORDER BY event_type"
         ),
+        "rendezvous_shards": (
+            f"WITH a AS (SELECT user_id, {_RV_COLS} FROM events), "
+            f"s AS (SELECT user_id, {_RV_CASE} AS shard FROM a) "
+            "SELECT shard, count(*) AS n_events, "
+            "count(DISTINCT user_id) AS n_users "
+            "FROM s GROUP BY shard ORDER BY shard"
+        ),
         "events_per_user_hour": (
             "SELECT user_id, strftime(ts, '%Y-%m-%d %H') AS hour, "
             "count(*) AS n_events FROM events GROUP BY user_id, hour"
@@ -8267,6 +8329,19 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, lang FROM documents "
             f"WHERE {_sql_h60('doc_id::VARCHAR')} % 10000 < "
             "(CASE lang WHEN 'de' THEN 3000 WHEN 'en' THEN 5000 ELSE 1000 END)"
+        ),
+        "priority_sample": (
+            "WITH pr AS (SELECT doc_id, n_chars::DOUBLE AS weight, "
+            "(n_chars::DOUBLE * 1152921504606846976.0) / "
+            f"({_sql_h60('doc_id::VARCHAR')} + 1)::DOUBLE AS priority "
+            "FROM documents WHERE n_chars > 0), "
+            "top AS (SELECT * FROM pr ORDER BY priority DESC, doc_id ASC LIMIT 101), "
+            "r AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id ASC) "
+            "AS _r FROM top), "
+            "tau AS (SELECT min(CASE WHEN _r = 101 THEN priority END) AS _tau FROM r) "
+            "SELECT doc_id, weight, priority, "
+            "greatest(weight, coalesce(_tau, weight)) AS est_weight "
+            "FROM r, tau WHERE _r <= 100"
         ),
         "split_counts": (
             f"WITH b AS (SELECT {_sql_h60('doc_id::VARCHAR')} % 10000 AS bk FROM documents) "

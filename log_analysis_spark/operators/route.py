@@ -136,3 +136,44 @@ def routed_counts(df: DataFrame, types: list[str] | None = None) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("record_type")
     )
+
+
+def rendezvous_shard(key, shards: list[str], out_col: str = "shard"):
+    """Rendezvous (highest-random-weight) shard assignment for a key column.
+
+    Thaler & Ravishankar 1998: each (key, shard) pair gets an independent
+    hash weight; the key routes to the shard with the highest weight. Unlike
+    ``pmod(hash, n)`` routing, growing the fleet from n to n+1 shards moves
+    ONLY the keys the new shard wins (~1/(n+1) of them) and NEVER moves a
+    key between two existing shards — the property that makes stateful sink
+    resharding (per-shard indexes, caches, writers) cheap at 10^12 keys.
+
+    Pure projection (one md5 per shard per row, zero shuffle); the weight is
+    ``md5_hash60(shard || '|' || key)`` so the DuckDB oracle replays the
+    assignment exactly. Ties are broken by shard list order via the ordered
+    CASE chain — deterministic, though 60-bit ties never occur in practice.
+
+    Returns a Column producing the winning shard name.
+    """
+    from .dedup import md5_hash60
+
+    if not shards:
+        raise ValueError("rendezvous_shard needs at least one shard")
+    key_s = key.cast("string")
+    weights = [
+        md5_hash60(F.concat(F.lit(s + "|"), key_s)) for s in shards
+    ]
+    mx = F.greatest(*weights) if len(weights) > 1 else weights[0]
+    expr = F.when(weights[0] == mx, F.lit(shards[0]))
+    for w, s in zip(weights[1:], shards[1:]):
+        expr = expr.when(w == mx, F.lit(s))
+    return expr.alias(out_col)
+
+
+def rendezvous_route(
+    df: DataFrame, key_col: str, shards: list[str], out_col: str = "shard"
+) -> DataFrame:
+    """Attach the rendezvous shard assignment as a column. Routing stays a
+    map-side projection; a downstream ``repartition(out_col)`` or
+    ``partitionBy(out_col)`` write turns it into the physical fan-out."""
+    return df.withColumn(out_col, rendezvous_shard(F.col(key_col), shards))

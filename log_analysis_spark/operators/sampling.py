@@ -97,3 +97,67 @@ def keyed_quota_sample(
         df.withColumn("_rank", F.row_number().over(w))
         .filter(F.col("_rank") <= cap)
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Weighted sample of k rows by priority sampling (Duffield, Lund &
+    Thorup 2007): each row draws a deterministic uniform u in (0,1] from an
+    md5 hash of its id and gets priority q = w / u; the k highest-priority
+    rows are the sample. Inclusion probability is ~proportional to weight
+    (exactly min(1, w/tau)), so token-weighted corpus subsetting keeps the
+    long documents a uniform row sample would under-represent.
+
+    Output: (id, weight, priority, est_weight) for the k winners, where
+    ``est_weight = max(w, tau)`` with tau the (k+1)-th priority — the DLT
+    unbiased per-row weight estimator (sum(est_weight) over the sample
+    estimates total corpus weight; pinned in pytest).
+
+    Determinism/replayability: u = (h+1)/2^60 with h = md5_hash60(id), so
+    q = w * 2^60 / (h+1). The stored priority is exactly that: the 2^60
+    multiply is a power-of-two exponent shift (no rounding) and the single
+    division is one IEEE op — DuckDB replays both bit-exactly. The scale
+    must stay: it cancels in the RANKING but not in the tau used by the
+    estimator (est_weight compares tau against raw weights).
+
+    Scale: map-side priority projection + global top-(k+1) — Spark's
+    TakeOrdered keeps a per-partition heap and merges k+1 rows per
+    partition on the driver; no full sort, no shuffle of the corpus. tau
+    rides back via one 1-row broadcast join.
+    """
+    pr = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("double").alias("weight"),
+        (
+            (F.col(weight_col).cast("double") * F.lit(float(1 << 60)))
+            / (md5_hash60(F.col(id_col).cast("string")) + F.lit(1)).cast("double")
+        ).alias("priority"),
+    ).filter(F.col("weight") > 0)
+    top = pr.orderBy(F.desc("priority"), F.asc(id_col)).limit(k + 1)
+    # tau = lowest of the k+1 priorities = the threshold; the k winners are
+    # the rest. Both come from the SAME bounded (k+1)-row relation. When the
+    # corpus has <= k weighted rows there is no threshold — every row is
+    # sampled and its estimate is its exact weight (tau NULL -> coalesce).
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("priority"), F.asc(id_col))
+    ranked = top.withColumn("_r", F.row_number().over(w))
+    tau = ranked.agg(
+        F.min(F.when(F.col("_r") == k + 1, F.col("priority"))).alias("_tau")
+    )
+    return (
+        ranked.filter(F.col("_r") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            id_col,
+            "weight",
+            "priority",
+            F.greatest(
+                F.col("weight"), F.coalesce(F.col("_tau"), F.col("weight"))
+            ).alias("est_weight"),
+        )
+    )

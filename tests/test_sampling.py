@@ -83,3 +83,68 @@ def test_keyed_quota_sample_cap_and_stability(spark):
     for doc_id, rank in kept_full_ranks.items():
         if doc_id < 100:
             assert doc_id in kept_small
+
+
+# ---------------------------------------------------------------------------
+# priority sampling (Duffield-Lund-Thorup)
+# ---------------------------------------------------------------------------
+def _py_priority(doc_id: int, w: float) -> float:
+    """Bitwise Python replay of the engine-side priority."""
+    import hashlib
+
+    h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+    return (w * float(1 << 60)) / float(h + 1)
+
+
+def test_priority_sample_matches_python_replay(docs):
+    got = SP.priority_sample(docs, "doc_id", "n_chars", k=50).collect()
+    assert len(got) == 50
+    base = {r["doc_id"]: (r["n_chars"]) for r in docs.select("doc_id", "n_chars").collect()}
+    pri = {d: _py_priority(d, float(w)) for d, w in base.items() if w > 0}
+    expect = sorted(pri, key=lambda d: (-pri[d], d))[:51]
+    tau = pri[expect[50]]
+    assert [r["doc_id"] for r in sorted(got, key=lambda r: (-r["priority"], r["doc_id"]))] == expect[:50]
+    for r in got:
+        assert r["priority"] == pri[r["doc_id"]]  # bit-exact
+        assert r["est_weight"] == max(r["weight"], tau)
+
+
+def test_priority_sample_weight_bias(spark):
+    """Heavy rows are sampled (far) more often than light ones: with 100
+    heavy (w=1000) and 900 light (w=1) rows, a k=80 sample is dominated by
+    heavy rows."""
+    rows = [(i, 1000 if i < 100 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = SP.priority_sample(df, "doc_id", "w", k=80).collect()
+    heavy = sum(1 for r in got if r["weight"] == 1000.0)
+    assert heavy >= 70
+
+
+def test_priority_sample_estimator_unbiased_shape(spark):
+    """sum(est_weight) over the sample approximates total corpus weight
+    (the DLT estimator's whole point). Deterministic fixture, so the check
+    is a fixed tolerance, not a stochastic one."""
+    rows = [(i, (i % 7) + 1) for i in range(5000)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    total = sum(w for _, w in rows)
+    got = SP.priority_sample(df, "doc_id", "w", k=500).collect()
+    est = sum(r["est_weight"] for r in got)
+    assert abs(est - total) / total < 0.15
+
+
+def test_priority_sample_small_corpus_no_tau(spark):
+    """<= k weighted rows: everything is sampled, est_weight == weight."""
+    df = spark.createDataFrame([(1, 5), (2, 3), (3, 0)], ["doc_id", "w"])
+    got = SP.priority_sample(df, "doc_id", "w", k=10).collect()
+    assert {r["doc_id"] for r in got} == {1, 2}  # w=0 rows excluded
+    for r in got:
+        assert r["est_weight"] == r["weight"]
+
+
+def test_priority_sample_partitioning_invariant(docs):
+    a = {r["doc_id"] for r in SP.priority_sample(docs, "doc_id", "n_chars", k=64).collect()}
+    b = {
+        r["doc_id"]
+        for r in SP.priority_sample(docs.repartition(13), "doc_id", "n_chars", k=64).collect()
+    }
+    assert a == b

@@ -44,6 +44,7 @@ NLJ_WHITELIST = {
     "perplexity_buckets",  # same 1-row N broadcast via stupid_backoff_scores
     "vocab_growth",  # 8-row checkpoint dim range-joins two bounded aggs
     "snapshot_drift",  # 1-row totals + 1-row folded drift broadcasts
+    "priority_sample",  # 1-row tau (the (k+1)-th priority) broadcast
 }  # 1-row bounded broadcasts
 # queries that should show a pushed filter on their scan
 PUSHDOWN_EXPECTED = {"filter_eq", "filter_combo", "sample_mod"}
