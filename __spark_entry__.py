@@ -118,6 +118,34 @@ def q_rendezvous_shards(spark, sf_dir):
     )
 
 
+def q_lookalike_domains(spark, sf_dir):
+    """Exact edit-distance self-join by q-gram prefix filtering (Ed-Join,
+    operators/dedup.py ``edit_distance_pairs``): every distinct host pair
+    within levenshtein 1 — the lookalike/typosquat detection a security
+    pipeline runs over observed domains. Candidates come ONLY from rare
+    boundary q-grams shared inside both d*q+1 prefixes (full recall by
+    pigeonhole; hot '.example.net' grams never enter the index), verified
+    by exact levenshtein. The oracle is CROSS-ALGORITHM: unblocked
+    all-pairs levenshtein over the same host set — equality proves the
+    prefix filter loses nothing."""
+    from log_analysis_spark.operators.dedup import edit_distance_pairs
+
+    hosts = _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("h"),
+            (F.col("user_id") % 50).cast("string"),
+            F.lit("-"),
+            F.col("event_type"),
+            F.lit(".example.net"),
+        ).alias("host")
+    )
+    return (
+        edit_distance_pairs(hosts, "host", max_dist=1, q=2)
+        .withColumn("dist", F.col("dist").cast("long"))
+        .orderBy("str_a", "str_b")
+    )
+
+
 def q_events_per_user_hour(spark, sf_dir):
     """R2 + north-rule agg: events per entity per hour."""
     return (
@@ -5405,6 +5433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_combo": q_filter_combo,
         "route_counts": q_route_counts,
         "rendezvous_shards": q_rendezvous_shards,
+        "lookalike_domains": q_lookalike_domains,
         "events_per_user_hour": q_events_per_user_hour,
         "distinct_users": q_distinct_users,
         "union_dedup_first_seen": q_union_dedup_first_seen,
@@ -7216,6 +7245,16 @@ def oracle_sql() -> dict[str, str]:
         "route_counts": (
             f"SELECT event_type, count(*) AS n_rows FROM events "
             f"WHERE event_type IN ({wl}) GROUP BY event_type ORDER BY event_type"
+        ),
+        "lookalike_domains": (
+            "WITH h AS (SELECT DISTINCT 'h' || (user_id % 50)::VARCHAR || '-' || "
+            "event_type || '.example.net' AS host FROM events) "
+            "SELECT a.host AS str_a, b.host AS str_b, "
+            "levenshtein(a.host, b.host)::BIGINT AS dist "
+            "FROM h a JOIN h b ON a.host < b.host "
+            "AND abs(length(a.host) - length(b.host)) <= 1 "
+            "WHERE levenshtein(a.host, b.host) <= 1 "
+            "ORDER BY str_a, str_b"
         ),
         "rendezvous_shards": (
             f"WITH a AS (SELECT user_id, {_RV_COLS} FROM events), "

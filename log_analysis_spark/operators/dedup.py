@@ -260,6 +260,111 @@ def prefix_jaccard_pairs(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    str_col: str,
+    max_dist: int = 1,
+    q: int = 2,
+) -> DataFrame:
+    """EXACT edit-distance self-join by q-gram prefix filtering (Ed-Join,
+    Xiao, Wang & Lin 2008; count filter from Gravano et al. 2001): every
+    DISTINCT string pair with levenshtein <= ``max_dist`` is returned —
+    full recall, no block key. The fuzzy-matching workhorse: lookalike /
+    typosquatting domain detection, entity resolution on names and titles.
+
+    Pigeonhole: one edit destroys at most ``q`` of a string's padded
+    q-grams, so ed <= d leaves at most d*q of A's distinct grams missing
+    from B. Order every string's gram set by ONE global canonical order
+    (document frequency ascending, gram ascending — rarest first) and index
+    only the first d*q + 1 grams: any qualifying pair must share a gram
+    inside BOTH prefixes, so the equi-join on prefix grams has full recall
+    (pinned in pytest against unblocked all-pairs, and by the gate's
+    cross-algorithm oracle). Exact ``levenshtein`` runs on candidates only,
+    after the |len(a)-len(b)| <= d length filter.
+
+    Scale: the prefix keeps each string's RAREST grams, so hot-gram posting
+    lists (every '.com' suffix gram) never enter the candidate index unless
+    a string consists of nothing else — the same skew-safety argument as
+    :func:`prefix_jaccard_pairs`. One gram-frequency aggregate, one
+    per-string rank window, a rare-gram equi-join, O(candidates) verify.
+
+    Strings are padded with q-1 '#' on each side (standard boundary
+    q-grams) so end-of-string edits are counted and len >= 1 strings always
+    have grams; '#' must not occur in the data (true for hostnames/URLs).
+
+    Short-string completeness: the shared-prefix guarantee needs
+    max(|grams(a)|, |grams(b)|) > d*q (overlap >= max - d*q must be >= 1).
+    Pairs where BOTH sides have <= d*q distinct grams (strings of a few
+    characters, or degenerate single-char repeats) get a second candidate
+    channel: an equi-join of the short strings on a length band (each short
+    row fans to its 2d+1 admissible peer lengths — still no cross join, and
+    the short set is tiny by construction: |grams| <= d*q bounds length
+    except for degenerate repeats).
+
+    Output: (str_a, str_b, dist), str_a < str_b, dist <= max_dist.
+    """
+    from pyspark.sql.window import Window
+
+    pad = "#" * (q - 1)
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, char_length(_p) - {q} + 1), "
+        f"i -> substring(_p, i, {q})))"
+    )
+    s = (
+        df.select(F.col(str_col).alias("_s"))
+        .filter(F.length("_s") > 0)
+        .distinct()
+        .withColumn("_p", F.concat(F.lit(pad), F.col("_s"), F.lit(pad)))
+        .select(
+            "_s",
+            F.length("_s").alias("_n"),
+            grams.alias("_g"),
+        )
+        .withColumn("_gn", F.size("_g"))
+    )
+    rows = s.select("_s", "_n", "_gn", F.explode("_g").alias("_h"))
+    dfreq = rows.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    pref_len = q * max_dist + 1
+    prefix = (
+        rows.join(dfreq, "_h")
+        .withColumn(
+            "_r",
+            F.row_number().over(Window.partitionBy("_s").orderBy("_df", "_h")),
+        )
+        .filter(F.col("_r") <= pref_len)
+        .select("_s", "_n", "_h")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = a.join(
+        b,
+        on=[
+            F.col("a._h") == F.col("b._h"),
+            F.col("a._s") < F.col("b._s"),
+            F.abs(F.col("a._n") - F.col("b._n")) <= max_dist,
+        ],
+    ).select(F.col("a._s").alias("str_a"), F.col("b._s").alias("str_b"))
+
+    short = s.filter(F.col("_gn") <= q * max_dist).select("_s", "_n")
+    sa = short.select(
+        "_s",
+        F.explode(
+            F.sequence(F.col("_n") - max_dist, F.col("_n") + max_dist)
+        ).alias("_k"),
+    ).alias("sa")
+    sb = short.select("_s", F.col("_n").alias("_k")).alias("sb")
+    short_cand = sa.join(
+        sb,
+        on=[F.col("sa._k") == F.col("sb._k"), F.col("sa._s") < F.col("sb._s")],
+    ).select(F.col("sa._s").alias("str_a"), F.col("sb._s").alias("str_b"))
+
+    return (
+        cand.unionByName(short_cand)
+        .distinct()
+        .withColumn("dist", F.levenshtein(F.col("str_a"), F.col("str_b")))
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
 def duplicated_window_scrub(
     df: DataFrame,
     id_col: str = "doc_id",

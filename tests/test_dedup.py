@@ -575,3 +575,102 @@ def test_prefix_jaccard_threshold_one_and_short_docs(spark):
         ).collect()
     }
     assert got == {(1, 2): 1.0}
+
+
+# ---------------------------------------------------------------------------
+# edit-distance pairs (Ed-Join prefix filtering)
+# ---------------------------------------------------------------------------
+def _ed_all_pairs(strings, d):
+    """Unblocked ground truth via Python DP levenshtein."""
+    def lev(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    ss = sorted(set(s for s in strings if s))
+    out = set()
+    for i, a in enumerate(ss):
+        for b in ss[i + 1:]:
+            dd = lev(a, b)
+            if dd <= d:
+                out.add((a, b, dd))
+    return out
+
+
+def test_edit_distance_pairs_full_recall_vs_all_pairs(spark):
+    strings = [
+        "paypal.com", "paypa1.com", "paypall.com", "google.com",
+        "goggle.com", "g00gle.com", "example.net", "examp1e.net",
+        "totally-unrelated.org", "a.io", "b.io", "",
+    ]
+    df = spark.createDataFrame([(s,) for s in strings], ["host"])
+    got = {
+        (r["str_a"], r["str_b"], r["dist"])
+        for r in DD.edit_distance_pairs(df, "host", max_dist=1).collect()
+    }
+    assert got == _ed_all_pairs(strings, 1)
+    assert ("paypa1.com", "paypal.com", 1) in got
+    assert not any("totally-unrelated.org" in p[:2] for p in got)
+
+
+def test_edit_distance_pairs_d2_and_short_strings(spark):
+    strings = ["ab", "a", "b", "abcd", "abce", "abde", "x"]
+    df = spark.createDataFrame([(s,) for s in strings], ["host"])
+    got = {
+        (r["str_a"], r["str_b"], r["dist"])
+        for r in DD.edit_distance_pairs(df, "host", max_dist=2).collect()
+    }
+    assert got == _ed_all_pairs(strings, 2)
+    assert ("a", "ab", 1) in got and ("a", "b", 1) in got
+
+
+def test_edit_distance_pairs_dedups_input(spark):
+    df = spark.createDataFrame([("x.com",)] * 5 + [("y.com",)] * 3, ["host"])
+    got = DD.edit_distance_pairs(df, "host", max_dist=1).collect()
+    assert len(got) == 1  # one DISTINCT pair, duplicates collapse first
+    assert (got[0]["str_a"], got[0]["str_b"]) == ("x.com", "y.com")
+
+
+def test_edit_distance_prefix_excludes_hot_grams(spark):
+    """Every string shares the '.com' suffix grams; the rarest-first prefix
+    must still find the one real pair without putting the hot suffix grams
+    of DISSIMILAR strings into the same candidate bucket unnecessarily —
+    recall stays exact regardless."""
+    strings = [f"site{i:04d}.com" for i in range(200)] + ["site0000x.com"]
+    df = spark.createDataFrame([(s,) for s in strings], ["host"])
+    got = {
+        (r["str_a"], r["str_b"])
+        for r in DD.edit_distance_pairs(df, "host", max_dist=1).collect()
+    }
+    expect = {(a, b) for a, b, _ in _ed_all_pairs(strings, 1)}
+    assert got == expect
+    assert ("site0000.com", "site0000x.com") in got
+
+
+def test_edit_distance_pairs_randomized_vs_ground_truth(spark):
+    """Deterministic pseudo-random corpus over a tiny alphabet (maximizes
+    collisions and short/degenerate shapes) vs the unblocked DP ground
+    truth, at d=1 and d=2."""
+    import random
+
+    rng = random.Random(20260821)
+    strings = list({
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 8)))
+        for _ in range(120)
+    })
+    df = spark.createDataFrame([(s,) for s in strings], ["host"])
+    for d in (1, 2):
+        got = {
+            (r["str_a"], r["str_b"], r["dist"])
+            for r in DD.edit_distance_pairs(df, "host", max_dist=d).collect()
+        }
+        assert got == _ed_all_pairs(strings, d), f"mismatch at d={d}"
