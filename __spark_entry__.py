@@ -3788,6 +3788,23 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_mmr_topk(spark, sf_dir):
+    """Maximal-Marginal-Relevance diversified top-k (similarity.mmr_rerank,
+    Carbonell & Goldstein 1998): exact-cosine retrieve (distributed
+    TakeOrdered) into a BOUNDED 40-candidate set, then the greedy
+    relevance-vs-redundancy selection — every cosine a left-to-right IEEE
+    fold, so the oracle unrolls all 8 selection rounds in SQL (correlated
+    max over the growing selected set) and replays each rank, rel, and
+    mmr_score bit-for-bit."""
+    return SIM.mmr_rerank(
+        _t(spark, sf_dir, "embeddings"),
+        _query_vec(spark, sf_dir),
+        k=8,
+        n_candidates=40,
+        lam=0.5,
+    )
+
+
 def q_tfidf_cosine_topk(spark, sf_dir):
     """Model-free text-to-vector bridge (operators/vectorize.py): hashed
     TF-IDF unit vectors (dim 32, md5 buckets, RATIONAL rarity N/df — no
@@ -5497,6 +5514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         # --- similarity / ANN / multimodal ---
         "cosine_topk": q_cosine_topk,
+        "mmr_topk": q_mmr_topk,
         "knn_join": q_knn_join,
         "ivf_topk": q_ivf_topk,
         "binary_meta": q_binary_meta,
@@ -5666,6 +5684,39 @@ def _sql_normvec(v: str) -> str:
         f"list_transform({v}, x -> x::DOUBLE * x::DOUBLE)), (acc, w) -> acc + w)"
     )
     return f"list_transform({v}, x -> x::DOUBLE / sqrt({sumsq}))"
+
+
+def _sql_mmr(k: int = 8, n_candidates: int = 40, lam: float = 0.5) -> str:
+    """DuckDB replay of similarity.mmr_rerank: unrolls the k greedy rounds
+    as chained CTEs — round i picks argmax(lam*rel - (1-lam)*max-sim-to-
+    selected) over the not-yet-selected candidates (coalesce 0.0 when the
+    selected set is empty), ORDER BY score DESC, vec_id ASC LIMIT 1, the
+    same tie rule as the operator. lam and (1-lam) are inlined via repr()
+    so the doubles match the driver arithmetic bit-for-bit."""
+    l_, o_ = repr(float(lam)), repr(1.0 - float(lam))
+    parts = [
+        "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+        "c AS MATERIALIZED (SELECT e.vec_id, "
+        f"{_sql_cos('e.embedding', 'q.qv')} AS rel, e.embedding "
+        f"FROM embeddings e, q ORDER BY rel DESC, e.vec_id ASC LIMIT {n_candidates}), "
+        "sel0 AS (SELECT vec_id, embedding FROM c WHERE false)"
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f", w{i} AS (SELECT c.vec_id, c.rel, c.embedding, "
+            f"{l_} * c.rel - {o_} * coalesce((SELECT max("
+            f"{_sql_cos('c.embedding', 's.embedding')}) FROM sel{i-1} s), 0.0) AS mmr "
+            f"FROM c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i-1}) "
+            f"ORDER BY mmr DESC, c.vec_id ASC LIMIT 1)"
+            f", sel{i} AS (SELECT vec_id, embedding FROM sel{i-1} "
+            f"UNION ALL SELECT vec_id, embedding FROM w{i})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT vec_id, rel, mmr AS mmr_score, {i}::INTEGER AS rank FROM w{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(f" {union}")
+    return "".join(parts)
 
 
 def _sql_dot_plain(a: str, b: str) -> str:
@@ -8611,6 +8662,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings e, q "
             "ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10"
         ),
+        "mmr_topk": _sql_mmr(k=8, n_candidates=40, lam=0.5),
         "quantized_topk": (
             "WITH sc AS (SELECT vec_id, embedding, "
             "list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS s FROM embeddings), "

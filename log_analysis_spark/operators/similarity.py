@@ -1087,3 +1087,91 @@ def random_project(
         for row in matrix
     ]
     return df.withColumn(out_col, F.array(*comps))
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_candidates: int = 50,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein
+    1998): greedily pick the candidate maximizing
+    ``lam * rel(d) - (1-lam) * max_{s in S} sim(d, s)`` — relevance traded
+    against redundancy with what is already selected, the standard
+    diversification pass behind search results and RAG context assembly
+    (near-duplicate hits stop crowding out distinct ones).
+
+    Two stages, split exactly like :func:`ann_rerank`:
+
+    - RETRIEVE (distributed): exact-cosine top-``n_candidates`` over the
+      corpus via the ``brute_force_topk`` TakeOrdered path (or swap in any
+      ANN stage upstream) — per-partition k-heaps, no shuffle, linear scan.
+    - GREEDY (bounded): the candidate set is ``n_candidates`` rows BY
+      CONSTRUCTION, independent of corpus size, so the O(k*N) greedy runs
+      on the driver over one bounded collect — the same "exactness lives in
+      the bounded stage" contract as the IVF-PQ rerank. All similarities
+      are left-to-right IEEE folds (``_fold_dot``), bit-identical to the
+      engine folds, so the DuckDB oracle unrolls the k selection rounds in
+      SQL and reproduces every score and rank exactly.
+
+    Ties break on lowest id (both in retrieval and per greedy round).
+    Returns (id, rel, mmr_score, rank), rank 1..k in selection order;
+    round 1 has no selected set, so its diversity term is 0.0.
+    """
+    qn = [float(x) for x in query_vec]
+    cand_rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(brute_force_topk(df, query_vec, k=n_candidates,
+                                           id_col=id_col, vec_col=vec_col)
+                          .select(id_col)), id_col)
+        .collect()
+    )
+
+    def _cos(a, b) -> float:
+        num = _fold_dot(a, b)
+        return num / ((_fold_dot(a, a) ** 0.5) * (_fold_dot(b, b) ** 0.5))
+
+    cands = sorted(
+        (
+            (r[id_col], _cos(r[vec_col], qn), [float(x) for x in r[vec_col]])
+            for r in cand_rows
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:n_candidates]
+    one_minus = 1.0 - lam
+    selected: list = []
+    out = []
+    remaining = list(cands)
+    for rank in range(1, min(k, len(cands)) + 1):
+        best = None
+        for cid, rel, vec in remaining:
+            # true max over the selected set; 0.0 ONLY when it is empty —
+            # mirrors the oracle's coalesce(max(...), 0.0) exactly (a
+            # clamped max would diverge when every similarity is negative)
+            ms = max((_cos(vec, svec) for _, _, svec in selected), default=0.0)
+            score = lam * rel - one_minus * ms
+            if best is None or score > best[0] or (score == best[0] and cid < best[1]):
+                best = (score, cid, rel, vec)
+        score, cid, rel, vec = best
+        selected.append((cid, rel, vec))
+        out.append((cid, rel, score, rank))
+        remaining = [t for t in remaining if t[0] != cid]
+
+    spark = df.sparkSession
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    id_type = dict(df.dtypes)[id_col]
+    id_spark_type = LongType() if id_type in ("bigint", "long") else IntegerType()
+    schema = StructType([
+        StructField(id_col, id_spark_type),
+        StructField("rel", DoubleType()),
+        StructField("mmr_score", DoubleType()),
+        StructField("rank", IntegerType()),
+    ])
+    return spark.createDataFrame(out, schema)

@@ -716,3 +716,72 @@ def test_random_project_topk_recall_on_planted(spark, planted):
             for r in SIM.brute_force_topk(proj, q32, k=11, vec_col="rp").collect()
         } - {b}
         assert len(got & want_ids) >= 9, (b, sorted(got))
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified rerank
+# ---------------------------------------------------------------------------
+def _mmr_fixture(spark):
+    """3 tight near-duplicate clusters near the query + singletons. Pure
+    relevance ranking would fill top slots with clones of cluster A; MMR
+    must interleave clusters."""
+    import math
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    rows = []
+    # cluster A: 4 clones, relevant, +y tilt (NOT at q: if clones sat on q,
+    # sim(d, selected) ~ rel(d) for every candidate and MMR degenerates)
+    for i in range(4):
+        rows.append((10 + i, unit([0.90, 0.44, 0.001 * i, 0.0])))
+    # cluster B: 3 clones, equally relevant, -y tilt (far from A)
+    for i in range(3):
+        rows.append((20 + i, unit([0.90, -0.44, 0.0, 0.001 * i])))
+    # cluster C: 2 clones, z direction
+    for i in range(2):
+        rows.append((30 + i, unit([0.85, 0.0, 0.53, 0.001 * i])))
+    # far-away noise
+    rows.append((40, unit([0.0, 0.0, 0.0, 1.0])))
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], ["vec_id", "embedding"]
+    ), q
+
+
+def test_mmr_diversifies_across_clusters(spark):
+    df, q = _mmr_fixture(spark)
+    got = SIM.mmr_rerank(df, q, k=3, n_candidates=10, lam=0.5).collect()
+    picked = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    # rank 1 = most relevant (an A clone); ranks 2-3 must leave cluster A
+    assert picked[0] == 10
+    clusters = [p // 10 for p in picked]
+    assert len(set(clusters)) == 3, f"expected 3 distinct clusters, got {picked}"
+
+
+def test_mmr_lam1_is_pure_relevance(spark, emb):
+    import math
+
+    q = [r for r in emb.filter(F.col("vec_id") == 0).collect()][0]["embedding"]
+    got = SIM.mmr_rerank(emb, q, k=5, n_candidates=20, lam=1.0).collect()
+    rel = SIM.brute_force_topk(emb, q, k=5).collect()
+    assert [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])] == [
+        r["vec_id"] for r in rel
+    ]
+    for r in got:
+        assert math.isclose(r["mmr_score"], r["rel"], rel_tol=0, abs_tol=0)
+
+
+def test_mmr_k_exceeds_candidates(spark):
+    df, q = _mmr_fixture(spark)
+    got = SIM.mmr_rerank(df, q, k=50, n_candidates=4, lam=0.5).collect()
+    assert len(got) == 4  # bounded by the candidate set
+    assert sorted(r["rank"] for r in got) == [1, 2, 3, 4]
+
+
+def test_mmr_deterministic(spark, emb):
+    q = [r for r in emb.filter(F.col("vec_id") == 0).collect()][0]["embedding"]
+    a = [(r["vec_id"], r["mmr_score"]) for r in SIM.mmr_rerank(emb, q, k=6).collect()]
+    b = [(r["vec_id"], r["mmr_score"]) for r in SIM.mmr_rerank(emb.repartition(7), q, k=6).collect()]
+    assert a == b
