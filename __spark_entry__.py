@@ -118,6 +118,26 @@ def q_rendezvous_shards(spark, sf_dir):
     )
 
 
+def q_zorder_keys(spark, sf_dir):
+    """Morton/Z-order interleaved sort key (plans/bucketing.py
+    ``zorder_key``) over two bucketed dimensions — the multi-dimensional
+    file-layout rule (Delta/Iceberg OPTIMIZE ZORDER) that makes parquet
+    min/max stats prune a 2-D box predicate on BOTH columns; the measured
+    file-skipping win vs a lexicographic sort is pinned in
+    tests/test_bucketing.py. Pure shift/mask int64 arithmetic, zero
+    shuffle; the oracle replays every bit position."""
+    from log_analysis_spark.plans.bucketing import zorder_key
+
+    x = (F.col("user_id") % 256).cast("long")
+    y = (F.col("event_id") % 256).cast("long")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        x.alias("x"),
+        y.alias("y"),
+        zorder_key([x, y], bits=8).alias("zkey"),
+    )
+
+
 def q_lookalike_domains(spark, sf_dir):
     """Exact edit-distance self-join by q-gram prefix filtering (Ed-Join,
     operators/dedup.py ``edit_distance_pairs``): every distinct host pair
@@ -5451,6 +5471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_counts": q_route_counts,
         "rendezvous_shards": q_rendezvous_shards,
         "lookalike_domains": q_lookalike_domains,
+        "zorder_keys": q_zorder_keys,
         "events_per_user_hour": q_events_per_user_hour,
         "distinct_users": q_distinct_users,
         "union_dedup_first_seen": q_union_dedup_first_seen,
@@ -7296,6 +7317,15 @@ def oracle_sql() -> dict[str, str]:
         "route_counts": (
             f"SELECT event_type, count(*) AS n_rows FROM events "
             f"WHERE event_type IN ({wl}) GROUP BY event_type ORDER BY event_type"
+        ),
+        "zorder_keys": (
+            "SELECT event_id, user_id % 256 AS x, event_id % 256 AS y, "
+            + " + ".join(
+                f"((((user_id % 256) >> {b}) & 1) << {2 * b}) + "
+                f"((((event_id % 256) >> {b}) & 1) << {2 * b + 1})"
+                for b in range(8)
+            )
+            + " AS zkey FROM events"
         ),
         "lookalike_domains": (
             "WITH h AS (SELECT DISTINCT 'h' || (user_id % 50)::VARCHAR || '-' || "

@@ -54,3 +54,91 @@ def test_unbucketed_join_does_shuffle(spark, bucketed_tables):
         assert plan_has_exchange(joined)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+# ---------------------------------------------------------------------------
+def _py_z(x, y, bits=8):
+    z = 0
+    for b in range(bits):
+        z |= ((x >> b) & 1) << (2 * b)
+        z |= ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def test_zorder_key_matches_python_replay(spark):
+    from pyspark.sql import functions as F
+
+    from log_analysis_spark.plans.bucketing import zorder_key
+
+    df = spark.range(1000).select(
+        (F.col("id") % 256).alias("x"), ((F.col("id") * 37 + 5) % 256).alias("y")
+    )
+    rows = df.withColumn(
+        "z", zorder_key([F.col("x"), F.col("y")], bits=8)
+    ).collect()
+    for r in rows:
+        assert r["z"] == _py_z(r["x"], r["y"])
+    # hand cases: interleave puts x at even bit positions, y at odd
+    assert _py_z(1, 0) == 1 and _py_z(0, 1) == 2 and _py_z(3, 3) == 15
+
+
+def test_zorder_key_width_guard(spark):
+    from pyspark.sql import functions as F
+
+    from log_analysis_spark.plans.bucketing import zorder_key
+
+    with pytest.raises(ValueError):
+        zorder_key([F.col("a"), F.col("b")], bits=32)  # 64 > 63
+
+
+def _file_ranges(path, cols):
+    """Per-parquet-file min/max of cols — what row-group pruning sees."""
+    import glob
+
+    import pandas as pd
+
+    out = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        d = pd.read_parquet(f, columns=cols)
+        if len(d):
+            out.append({c: (int(d[c].min()), int(d[c].max())) for c in cols})
+    return out
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmpdir_path):
+    """The point of the layout: a y-selective box prunes MOST files under
+    Z-order and NO files under the lexicographic (x, y) sort."""
+    from pyspark.sql import functions as F
+
+    from log_analysis_spark.plans.bucketing import write_zordered
+
+    n = 1 << 16
+    df = spark.range(n).select(
+        (F.col("id") % 256).alias("x"), ((F.col("id") / 256).cast("long") % 256).alias("y")
+    )
+    zpath = f"{tmpdir_path}/zorder"
+    lpath = f"{tmpdir_path}/lex"
+    write_zordered(df, zpath, ["x", "y"], bits=8, n_files=16)
+    (
+        df.repartitionByRange(16, "x", "y")
+        .sortWithinPartitions("x", "y")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def files_hit(path, y_lo, y_hi):
+        return sum(
+            1
+            for r in _file_ranges(path, ["x", "y"])
+            if not (r["y"][1] < y_lo or r["y"][0] > y_hi)
+        )
+
+    z_hit, l_hit = files_hit(zpath, 0, 63), files_hit(lpath, 0, 63)
+    assert l_hit >= 14, f"lex layout should read ~all files, hit {l_hit}"
+    assert z_hit <= 8, f"zorder should prune most files, hit {z_hit}"
+
+    # layout rewrite preserves content exactly
+    got = spark.read.parquet(zpath).groupBy("x", "y").count().collect()
+    assert len(got) == 256 * 256 and all(r["count"] == 1 for r in got)
