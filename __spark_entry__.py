@@ -166,6 +166,17 @@ def q_lookalike_domains(spark, sf_dir):
     )
 
 
+def q_rolling_wau(spark, sf_dir):
+    """Rolling 7-day distinct actives per day (operators/aggregate.py
+    ``rolling_distinct_users``) — the WAU metric. Each event fans out to
+    the 7 window-end days it serves (map-side explode, linear), turning
+    the per-day range join into one hash aggregate with map-side
+    (day, user) collapse; no nested-loop join anywhere."""
+    from log_analysis_spark.operators.aggregate import rolling_distinct_users
+
+    return rolling_distinct_users(_t(spark, sf_dir, "events"), window_days=7)
+
+
 def q_events_per_user_hour(spark, sf_dir):
     """R2 + north-rule agg: events per entity per hour."""
     return (
@@ -5472,6 +5483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous_shards": q_rendezvous_shards,
         "lookalike_domains": q_lookalike_domains,
         "zorder_keys": q_zorder_keys,
+        "rolling_wau": q_rolling_wau,
         "events_per_user_hour": q_events_per_user_hour,
         "distinct_users": q_distinct_users,
         "union_dedup_first_seen": q_union_dedup_first_seen,
@@ -7317,6 +7329,14 @@ def oracle_sql() -> dict[str, str]:
         "route_counts": (
             f"SELECT event_type, count(*) AS n_rows FROM events "
             f"WHERE event_type IN ({wl}) GROUP BY event_type ORDER BY event_type"
+        ),
+        "rolling_wau": (
+            "WITH ev AS (SELECT user_id, ts::DATE AS d FROM events), "
+            "f AS (SELECT user_id, unnest(generate_series(d, d + INTERVAL 6 DAY, "
+            "INTERVAL 1 DAY))::DATE AS wd FROM ev) "
+            "SELECT strftime(wd, '%Y-%m-%d') AS day, "
+            "count(DISTINCT user_id) AS active_users "
+            "FROM f GROUP BY wd ORDER BY day"
         ),
         "zorder_keys": (
             "SELECT event_id, user_id % 256 AS x, event_id % 256 AS y, "

@@ -177,6 +177,12 @@ BENCH_QUERIES = [
     "dup_span_attrs",
     "user_type_pivot",
     "funnel_counts",
+    "rendezvous_shards",
+    "priority_sample",
+    "lookalike_domains",
+    "mmr_topk",
+    "zorder_keys",
+    "rolling_wau",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at

@@ -197,3 +197,41 @@ def funnel_counts(
     from functools import reduce
 
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def rolling_distinct_users(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling N-day distinct actives per day (the WAU/MAU family): for
+    every day d, the count of distinct users seen in [d-(N-1), d].
+
+    Shape matters at 10^12 events: a per-day range join (ev.day BETWEEN
+    d-6 AND d) would plan as a broadcast-nested-loop; instead every event
+    FANS OUT to the N window-end days it contributes to (explode of a
+    6-element date sequence — a map-side x N row multiply, still linear),
+    which turns the whole thing into one hash aggregate keyed by
+    (day, user) then (day). Distinct-(day,user) pairs collapse map-side,
+    so a user's 10^6 events in one week cost one row per covered day, not
+    10^6. Days trailing the last event (windows ending there) are
+    included — the window definition, identical in the oracle.
+    """
+    ev = df.select(
+        F.col(user_col).alias("_u"), F.to_date(F.col(ts_col)).alias("_d")
+    )
+    fan = ev.select(
+        "_u",
+        F.explode(
+            F.sequence(F.col("_d"), F.date_add(F.col("_d"), window_days - 1))
+        ).alias("_day"),
+    )
+    return (
+        fan.groupBy("_day")
+        .agg(F.countDistinct("_u").alias("active_users"))
+        .select(
+            F.date_format("_day", "yyyy-MM-dd").alias("day"), "active_users"
+        )
+        .orderBy("day")
+    )

@@ -437,3 +437,50 @@ def test_funnel_counts_empty_first_step(spark):
     assert [(r["step_idx"], r["n_users"]) for r in out.orderBy("step_idx").collect()] == [
         (1, 0), (2, 0),
     ]
+
+
+# ---------------------------------------------------------------------------
+# rolling distinct actives (WAU)
+# ---------------------------------------------------------------------------
+def test_rolling_distinct_users_hand_case(spark):
+    from log_analysis_spark.operators.aggregate import rolling_distinct_users
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 12:00:00"),  # same user+day: counts once
+        (2, "2024-01-03 09:00:00"),
+        (1, "2024-01-09 09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"]).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {
+        r["day"]: r["active_users"]
+        for r in rolling_distinct_users(df, window_days=7).collect()
+    }
+    # window [d-6, d]: day 03..07 sees users {1,2}; 08 sees {2};
+    # 09 sees {2 (03 <= 09-6? no: 03 < 03)}: 09-6=03 -> {2, 1}
+    assert got["2024-01-01"] == 1
+    assert got["2024-01-03"] == 2
+    assert got["2024-01-07"] == 2
+    assert got["2024-01-08"] == 1  # user 1's Jan-1 events aged out
+    assert got["2024-01-09"] == 2  # Jan-3 user2 + Jan-9 user1
+    assert got["2024-01-15"] == 1  # trailing window of the Jan-9 event
+    assert "2024-01-16" not in got
+
+
+def test_rolling_distinct_users_window1_is_dau(spark):
+    from log_analysis_spark.operators.aggregate import rolling_distinct_users
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    dau = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    got = {
+        r["day"]: r["active_users"]
+        for r in rolling_distinct_users(ev, window_days=1).collect()
+    }
+    assert got == dau
