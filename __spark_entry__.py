@@ -2883,6 +2883,19 @@ def q_priority_sample(spark, sf_dir):
     )
 
 
+def q_priority_sample_lang(spark, sf_dir):
+    """Per-group (per-language) weighted priority sampling
+    (sampling.priority_sample_per_group): k docs per lang with inclusion
+    ~proportional to n_chars and the group-wise DLT est_weight estimator.
+    One keyed shuffle (the lang window); winners, taus, and estimates
+    replay bit-for-bit."""
+    from log_analysis_spark.operators.sampling import priority_sample_per_group
+
+    return priority_sample_per_group(
+        _t(spark, sf_dir, "documents"), "doc_id", "n_chars", "lang", k=20
+    )
+
+
 def q_split_counts(spark, sf_dir):
     """Deterministic train/valid/test split sizes (hash-keyed: a document
     never changes split on re-runs or cluster-size changes)."""
@@ -5528,6 +5541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- sampling / training-data prep ---
         "stratified_sample": q_stratified_sample,
         "priority_sample": q_priority_sample,
+        "priority_sample_lang": q_priority_sample_lang,
         "doc_chunks": q_doc_chunks,
         "decontaminate": q_decontaminate,
         "span_scrub": q_span_scrub,
@@ -8482,6 +8496,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, weight, priority, "
             "greatest(weight, coalesce(_tau, weight)) AS est_weight "
             "FROM r, tau WHERE _r <= 100"
+        ),
+        "priority_sample_lang": (
+            "WITH pr AS (SELECT lang, doc_id, n_chars::DOUBLE AS weight, "
+            "(n_chars::DOUBLE * 1152921504606846976.0) / "
+            f"({_sql_h60('doc_id::VARCHAR')} + 1)::DOUBLE AS priority "
+            "FROM documents WHERE n_chars > 0), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY lang "
+            "ORDER BY priority DESC, doc_id ASC) AS _r FROM pr), "
+            "t AS (SELECT *, max(CASE WHEN _r = 21 THEN priority END) "
+            "OVER (PARTITION BY lang) AS _tau FROM r WHERE _r <= 21) "
+            "SELECT lang, doc_id, weight, priority, "
+            "greatest(weight, coalesce(_tau, weight)) AS est_weight "
+            "FROM t WHERE _r <= 20"
         ),
         "split_counts": (
             f"WITH b AS (SELECT {_sql_h60('doc_id::VARCHAR')} % 10000 AS bk FROM documents) "

@@ -161,3 +161,54 @@ def priority_sample(
             ).alias("est_weight"),
         )
     )
+
+
+def priority_sample_per_group(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    group_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-group weighted priority sample: k rows PER GROUP with inclusion
+    ~proportional to weight inside each group — per-language corpus quotas
+    where long documents should win, with the same DLT estimator contract
+    as :func:`priority_sample` applied group-wise (per-group tau from the
+    (k+1)-th priority; groups with <= k rows keep everything, estimates
+    exact).
+
+    One keyed shuffle (the group window); priorities are the identical
+    md5-uniform arithmetic, so the per-group winner sets, taus, and
+    estimates replay bit-for-bit in the oracle. Group cardinality bounds
+    nothing here — a group's rank window is a linear within-partition
+    scan, and AQE splits a skewed group's sort spill.
+    """
+    from pyspark.sql.window import Window
+
+    pr = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col(weight_col).cast("double").alias("weight"),
+        (
+            (F.col(weight_col).cast("double") * F.lit(float(1 << 60)))
+            / (md5_hash60(F.col(id_col).cast("string")) + F.lit(1)).cast("double")
+        ).alias("priority"),
+    ).filter(F.col("weight") > 0)
+    w = Window.partitionBy(group_col).orderBy(F.desc("priority"), F.asc(id_col))
+    wg = Window.partitionBy(group_col)
+    ranked = pr.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= k + 1
+    )
+    tagged = ranked.withColumn(
+        "_tau",
+        F.max(F.when(F.col("_r") == k + 1, F.col("priority"))).over(wg),
+    )
+    return tagged.filter(F.col("_r") <= k).select(
+        group_col,
+        id_col,
+        "weight",
+        "priority",
+        F.greatest(
+            F.col("weight"), F.coalesce(F.col("_tau"), F.col("weight"))
+        ).alias("est_weight"),
+    )

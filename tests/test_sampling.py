@@ -148,3 +148,40 @@ def test_priority_sample_partitioning_invariant(docs):
         for r in SP.priority_sample(docs.repartition(13), "doc_id", "n_chars", k=64).collect()
     }
     assert a == b
+
+
+def test_priority_sample_per_group_quota_and_consistency(docs):
+    got = SP.priority_sample_per_group(docs, "doc_id", "n_chars", "lang", k=10).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r)
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert set(by_lang) == langs
+    base = {
+        (r["lang"], r["doc_id"]): r["n_chars"]
+        for r in docs.select("lang", "doc_id", "n_chars").collect()
+    }
+    for lang, rows in by_lang.items():
+        n_lang = sum(1 for (lg, _), w in base.items() if lg == lang and w > 0)
+        assert len(rows) == min(10, n_lang)
+        # group-wise winners == global priority order restricted to the group
+        pri = {
+            d: _py_priority(d, float(w))
+            for (lg, d), w in base.items()
+            if lg == lang and w > 0
+        }
+        expect = sorted(pri, key=lambda d: (-pri[d], d))[:10]
+        assert sorted(r["doc_id"] for r in rows) == sorted(expect)
+        for r in rows:
+            assert r["priority"] == pri[r["doc_id"]]
+
+
+def test_priority_sample_per_group_small_group_estimates_exact(spark):
+    rows = [("en", i, 10) for i in range(50)] + [("xx", 1000, 7), ("xx", 1001, 3)]
+    df = spark.createDataFrame(rows, ["lang", "doc_id", "w"])
+    got = SP.priority_sample_per_group(df, "doc_id", "w", "lang", k=5).collect()
+    xx = [r for r in got if r["lang"] == "xx"]
+    assert len(xx) == 2
+    for r in xx:
+        assert r["est_weight"] == r["weight"]  # no tau in a <=k group
+    assert len([r for r in got if r["lang"] == "en"]) == 5
