@@ -401,6 +401,22 @@ def _mixture(df: DataFrame, weights: dict[str, float], total_tokens: int, hash_f
     return df.join(keep, "doc_id").select(*df.columns)
 
 
+def _priority_select(df: DataFrame, k: int) -> DataFrame:
+    """Optional pre-split stage (``--priority-k``): weighted corpus
+    subsetting — keep the k-document priority sample with inclusion
+    ~proportional to CURRENT document length (sampling.priority_sample;
+    length measured after every upstream scrub so a heavily-scrubbed doc
+    competes at its surviving mass). The probabilistic counterpart to
+    ``--mixture``'s greedy per-lang token budgets: every document has a
+    length-proportional chance, long-tail languages are not zeroed out."""
+    from ..operators.sampling import priority_sample
+
+    keep = priority_sample(
+        df.withColumn("_w", F.length("text")), "doc_id", "_w", k
+    ).select("doc_id")
+    return df.join(keep, "doc_id").select(*df.columns)
+
+
 def _split(df: DataFrame, test_frac: float, valid_frac: float) -> DataFrame:
     from ..operators.sampling import split_by_hash
 
@@ -485,6 +501,7 @@ def run_curation(
     attr_spans_path: str | None = None,
     attr_field: str = "pii_spans",
     export_jsonl: bool = False,
+    priority_k: int = 0,
 ) -> dict:
     """Run (or resume) the curation stage graph. Returns run metrics."""
     manifest = Manifest(os.path.join(out_dir, "_manifest"))
@@ -528,6 +545,7 @@ def run_curation(
             if attr_spans_path is not None
             else ""
         )
+        + (f"|pk={priority_k}" if priority_k else "")
     )
     bench = (
         spark.read.parquet(benchmark_path) if benchmark_path is not None else None
@@ -627,6 +645,11 @@ def run_curation(
         *(
             [("mixture", lambda d: _mixture(d, mixture, mixture_tokens, hash_fn), None)]
             if mixture
+            else []
+        ),
+        *(
+            [("priority_select", lambda d: _priority_select(d, priority_k), None)]
+            if priority_k
             else []
         ),
         ("split", lambda d: _split(d, test_frac, valid_frac), "_split"),
@@ -762,6 +785,15 @@ def main() -> None:
         type=int,
         default=0,
         help="total token budget the mixture weights divide",
+    )
+    ap.add_argument(
+        "--priority-k",
+        type=int,
+        default=0,
+        help="adds a pre-split priority_select stage: keep a k-document "
+        "weighted priority sample (inclusion ~proportional to current "
+        "text length; deterministic md5 uniforms) — the probabilistic "
+        "counterpart to --mixture's greedy per-lang budgets",
     )
     ap.add_argument(
         "--scrub-mode",
@@ -901,6 +933,7 @@ def main() -> None:
         html=args.html,
         mixture=mixture,
         mixture_tokens=args.mixture_tokens,
+        priority_k=args.priority_k,
         binned_quality=args.binned_quality,
         scrub_mode=args.scrub_mode,
         fix_encoding=args.fix_encoding,

@@ -633,3 +633,29 @@ def test_sentence_dedup_stage(spark, tmpdir_path):
         staged2.filter(F.col("text").contains("Accept all cookies now.")).count()
         == 41
     )
+
+
+def test_priority_select_stage(spark, tmpdir_path):
+    """--priority-k: the pre-split stage keeps exactly the k-document
+    length-weighted priority sample of its input; changed k invalidates
+    the stage; unchanged rerun skips everything."""
+    from log_analysis_spark.operators.sampling import priority_sample
+
+    out = f"{tmpdir_path}/cur_pk"
+    r1 = run_curation(spark, SF_DOCS, out, span_k=6, priority_k=40)
+    assert "priority_select" in r1["stages_run"]
+    got = spark.read.parquet(f"{out}/stage_priority_select")
+    assert got.count() == 40
+    upstream = spark.read.parquet(f"{out}/stage_decontam")
+    expected = priority_sample(
+        upstream.withColumn("_w", F.length("text")), "doc_id", "_w", 40
+    )
+    assert {r["doc_id"] for r in got.select("doc_id").collect()} == {
+        r["doc_id"] for r in expected.select("doc_id").collect()
+    }
+
+    r2 = run_curation(spark, SF_DOCS, out, span_k=6, priority_k=40)
+    assert r2["stages_run"] == []
+    r3 = run_curation(spark, SF_DOCS, out, span_k=6, priority_k=25)
+    assert "priority_select" in r3["stages_run"]
+    assert spark.read.parquet(f"{out}/stage_priority_select").count() == 25
