@@ -177,6 +177,30 @@ def q_rolling_wau(spark, sf_dir):
     return rolling_distinct_users(_t(spark, sf_dir, "events"), window_days=7)
 
 
+def q_confusable_hosts(spark, sf_dir):
+    """Homoglyph/confusable lookalike clusters (detect.confusable_groups):
+    distinct hosts collapse to a UTS#39-style visual skeleton (ordered
+    translate + replace chain — the application order IS the contract),
+    one groupBy on the skeleton block key, members as a sorted list; no
+    pairwise comparison anywhere. Complements edit-distance matching:
+    'rn'→'m' homoglyphs are 2 edits but 0 visual distance. Half the
+    synthesized population spells digits as letters, planting real
+    collision groups."""
+    from log_analysis_spark.operators.detect import confusable_groups
+
+    base = (F.col("user_id") % 20).cast("string")
+    spelled = F.when(F.col("event_id") % 2 == 0, base).otherwise(
+        F.translate(base, "01", "oi")
+    )
+    hosts = _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("srv"), spelled, F.lit("-"), F.col("event_type"),
+            F.lit(".example.net"),
+        ).alias("host")
+    )
+    return confusable_groups(hosts)
+
+
 def q_events_per_user_hour(spark, sf_dir):
     """R2 + north-rule agg: events per entity per hour."""
     return (
@@ -5495,6 +5519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_counts": q_route_counts,
         "rendezvous_shards": q_rendezvous_shards,
         "lookalike_domains": q_lookalike_domains,
+        "confusable_hosts": q_confusable_hosts,
         "zorder_keys": q_zorder_keys,
         "rolling_wau": q_rolling_wau,
         "events_per_user_hour": q_events_per_user_hour,
@@ -7370,6 +7395,19 @@ def oracle_sql() -> dict[str, str]:
             "AND abs(length(a.host) - length(b.host)) <= 1 "
             "WHERE levenshtein(a.host, b.host) <= 1 "
             "ORDER BY str_a, str_b"
+        ),
+        "confusable_hosts": (
+            "WITH h AS (SELECT DISTINCT CASE WHEN event_id % 2 = 0 "
+            "THEN 'srv' || (user_id % 20)::VARCHAR || '-' || event_type || '.example.net' "
+            "ELSE 'srv' || translate((user_id % 20)::VARCHAR, '01', 'oi') || '-' || "
+            "event_type || '.example.net' END AS host FROM events), "
+            "sk AS (SELECT host, replace(replace(replace("
+            "translate(host, '01l5', 'oiis'), 'rn', 'm'), 'vv', 'w'), 'cl', 'd') "
+            "AS skeleton FROM h) "
+            "SELECT skeleton, count(DISTINCT host) AS n_hosts, "
+            "array_to_string(list_sort(list(DISTINCT host)), '|') AS hosts "
+            "FROM sk GROUP BY skeleton HAVING count(DISTINCT host) >= 2 "
+            "ORDER BY skeleton"
         ),
         "rendezvous_shards": (
             f"WITH a AS (SELECT user_id, {_RV_COLS} FROM events), "

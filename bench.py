@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "mmr_topk",
     "zorder_keys",
     "rolling_wau",
+    "priority_sample_lang",
+    "confusable_hosts",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at

@@ -273,3 +273,53 @@ def beacon_scores_from_state(
         jitter.alias("jitter"),
         F.coalesce(jitter <= F.lit(max_jitter), F.lit(False)).alias("is_beacon"),
     )
+
+
+# ---------------------------------------------------------------------------
+# homoglyph / confusable-domain detection
+# ---------------------------------------------------------------------------
+# ASCII confusable map (UTS #39 skeleton idea restricted to the pairs that
+# survive IDN/ASCII hostnames): single chars via one translate, multi-char
+# sequences via ordered replace — ORDER IS THE CONTRACT ('rn'->'m' before
+# 'vv'->'w' etc.; both engines scan left-to-right non-overlapping, so a
+# fixed application order makes the skeleton deterministic and replayable).
+CONFUSABLE_TRANSLATE = ("01l5", "oiis")  # 0->o; 1,l->i (the 1/l/i class); 5->s
+CONFUSABLE_SEQS = (("rn", "m"), ("vv", "w"), ("cl", "d"))
+
+
+def confusable_skeleton(col):
+    """Collapse a hostname to its visual skeleton: confusable characters
+    and sequences map to one canonical form, so 'paypa1.com', 'paypal.com'
+    and 'paypai.com'-style lookalikes collide. Zero shuffle, pure codegen;
+    the complement to edit-distance matching (dedup.edit_distance_pairs):
+    homoglyphs are visually identical but can be many EDITS apart
+    ('rn' vs 'm'), while typos are visually distinct but few edits apart.
+    """
+    out = F.translate(col, CONFUSABLE_TRANSLATE[0], CONFUSABLE_TRANSLATE[1])
+    for a, b in CONFUSABLE_SEQS:
+        out = F.replace(out, F.lit(a), F.lit(b))
+    return out
+
+
+def confusable_groups(df: DataFrame, host_col: str = "host") -> DataFrame:
+    """Groups of DISTINCT observed hostnames that collapse to one skeleton
+    — each group is a lookalike cluster to review (the legitimate domain
+    plus its homoglyph squats). The skeleton IS the block key: one
+    groupBy, members as a sorted '|'-joined roster (bounded by cluster size),
+    never any pairwise comparison. Output: (skeleton, n_hosts, hosts),
+    only skeletons with >= 2 distinct raw spellings."""
+    sk = (
+        df.select(F.col(host_col).alias("_h"))
+        .filter(F.length("_h") > 0)
+        .distinct()
+        .withColumn("_sk", confusable_skeleton(F.col("_h")))
+    )
+    return (
+        sk.groupBy(F.col("_sk").alias("skeleton"))
+        .agg(
+            F.countDistinct("_h").alias("n_hosts"),
+            F.array_join(F.sort_array(F.collect_set("_h")), "|").alias("hosts"),
+        )
+        .filter(F.col("n_hosts") >= 2)
+        .orderBy("skeleton")
+    )

@@ -150,3 +150,52 @@ def test_beacon_state_merge_equals_full_recompute(spark):
     }
     assert got == want  # bitwise: same ints, same single division
     assert want[1][4] is True  # the timer channel flags
+
+
+# ---------------------------------------------------------------------------
+# homoglyph / confusable hosts
+# ---------------------------------------------------------------------------
+def test_confusable_skeleton_rules(spark):
+    from log_analysis_spark.operators.detect import confusable_skeleton
+
+    cases = {
+        "paypa1.com": "paypai.com",
+        "paypal.com": "paypai.com",  # 1 and l collapse to the same class
+        "g00gle.com": "googie.com",
+        "rnicrosoft.com": "microsoft.com",
+        "vvindows.net": "windows.net",
+        "c1oudfront.net": "cioudfront.net",
+        "5tripe.io": "stripe.io",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], ["h"])
+    got = {
+        r["h"]: r["sk"]
+        for r in df.select("h", confusable_skeleton(F.col("h")).alias("sk")).collect()
+    }
+    assert got == cases
+
+
+def test_confusable_groups_clusters_and_filters(spark):
+    from log_analysis_spark.operators.detect import confusable_groups
+
+    hosts = [
+        "paypal.com", "paypa1.com", "paypai.com",   # one cluster of 3
+        "rnail.example", "mail.example",            # rn->m cluster of 2
+        "unique-host.org",                          # alone: filtered out
+        "mail.example",                             # duplicate row: 1 spelling
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], ["host"])
+    got = {r["skeleton"]: (r["n_hosts"], r["hosts"]) for r in confusable_groups(df).collect()}
+    assert got == {
+        "paypai.com": (3, "paypa1.com|paypai.com|paypal.com"),
+        "maii.exampie": (2, "mail.example|rnail.example"),
+    }
+
+
+def test_confusable_groups_no_false_merge(spark):
+    from log_analysis_spark.operators.detect import confusable_groups
+
+    df = spark.createDataFrame(
+        [("alpha.com",), ("beta.com",), ("gamma.net",)], ["host"]
+    )
+    assert confusable_groups(df).count() == 0
