@@ -63,6 +63,8 @@ def compact_sink(
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
     partition_cols: tuple[str, ...] = ("record_type", "day"),
+    zorder_cols: tuple[str, ...] = (),
+    zorder_bits: int = 8,
 ) -> dict:
     """Small-file compaction for a parquet sink: rewrite to ~target-size
     files, preserving the partition layout.
@@ -83,6 +85,17 @@ def compact_sink(
     function rolls it back on failure (on a real deployment the same swap
     is an Iceberg snapshot commit, which IS atomic — see
     plans/bucketing.py).
+
+    ``zorder_cols`` (optional) turns the rewrite into OPTIMIZE-with-
+    ZORDER: the named columns — which must already be small non-negative
+    ints in [0, 2^zorder_bits), e.g. an hour bucket and a host hash
+    bucket written at sink time — are Morton-interleaved
+    (plans/bucketing.zorder_key) and the rewrite range-partitions on
+    (partition_cols..., z) then sorts within partitions, so every output
+    file covers a narrow range of EVERY clustered dimension inside its
+    partition directory (multi-dim min/max skipping; measured in
+    tests/test_bucketing.py). Composite range keys keep each task inside
+    1-2 partition directories, so file counts stay ~bytes/target.
     """
     import shutil
 
@@ -107,7 +120,21 @@ def compact_sink(
     tmp = path.rstrip("/") + "._compact_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     part_cols = [c for c in partition_cols if c in df.columns]
-    writer = df.repartition(n_out, *part_cols) if part_cols else df.repartition(n_out)
+    if zorder_cols:
+        from ..plans.bucketing import zorder_key
+
+        zed = df.withColumn(
+            "_z", zorder_key([F.col(c) for c in zorder_cols], bits=zorder_bits)
+        )
+        writer = (
+            zed.repartitionByRange(n_out, *part_cols, "_z")
+            .sortWithinPartitions(*part_cols, "_z")
+            .drop("_z")
+        )
+    elif part_cols:
+        writer = df.repartition(n_out, *part_cols)
+    else:
+        writer = df.repartition(n_out)
     w = writer.write.mode("overwrite")
     if part_cols:
         w = w.partitionBy(*part_cols)

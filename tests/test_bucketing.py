@@ -142,3 +142,83 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmpdir_path):
     # layout rewrite preserves content exactly
     got = spark.read.parquet(zpath).groupBy("x", "y").count().collect()
     assert len(got) == 256 * 256 and all(r["count"] == 1 for r in got)
+
+
+def test_parquet_file_stats_footers_match_data(spark, tmpdir_path):
+    """Footer min/max == actual data min/max per file, with no data read
+    (the collector only touches metadata)."""
+    from pyspark.sql import functions as F
+
+    from log_analysis_spark.operators.profile import parquet_file_stats
+
+    path = f"{tmpdir_path}/stats_src"
+    spark.range(10000).select(
+        (F.col("id") % 97).alias("x"), F.col("id").alias("y")
+    ).repartitionByRange(4, "x").write.parquet(path)
+    got = parquet_file_stats(spark, path, ["x", "y"]).collect()
+    assert {r["col"] for r in got} == {"x", "y"}
+    import glob
+
+    import pandas as pd
+
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        d = pd.read_parquet(f)
+        for r in got:
+            if r["file"] == f and r["col"] == "x":
+                assert int(r["min_val"]) == int(d["x"].min())
+                assert int(r["max_val"]) == int(d["x"].max())
+                assert r["n_rows"] == len(d)
+
+
+def test_compact_sink_zorder_clusters_within_partitions(spark, tmpdir_path):
+    """OPTIMIZE-with-ZORDER: after compaction with zorder_cols, per-file
+    ranges of BOTH bucket columns are narrow inside each partition dir;
+    plain compaction leaves at least one dimension full-domain."""
+    from pyspark.sql import functions as F
+
+    from log_analysis_spark.operators.profile import parquet_file_stats
+    from log_analysis_spark.operators.route import compact_sink
+
+    def build(path):
+        n = 1 << 14
+        (
+            spark.range(n)
+            .select(
+                (F.col("id") % 2).cast("string").alias("day"),
+                ((F.col("id") / 2).cast("long") % 64).alias("xb"),
+                ((F.col("id") / 128).cast("long") % 64).alias("yb"),
+                F.col("id").alias("payload"),
+            )
+            .repartition(120)  # many small files
+            .write.partitionBy("day")
+            .mode("overwrite")
+            .parquet(path)
+        )
+
+    def spread(path):
+        """mean per-file (max-min) range of xb and yb."""
+        rows = parquet_file_stats(spark, path, ["xb", "yb"]).collect()
+        byc = {"xb": [], "yb": []}
+        for r in rows:
+            byc[r["col"]].append(int(r["max_val"]) - int(r["min_val"]))
+        return {c: sum(v) / len(v) for c, v in byc.items()}
+
+    plain = f"{tmpdir_path}/sink_plain"
+    zord = f"{tmpdir_path}/sink_zorder"
+    build(plain)
+    build(zord)
+    r1 = compact_sink(spark, plain, target_bytes=2 * 1024, partition_cols=("day",))
+    r2 = compact_sink(
+        spark, zord, target_bytes=2 * 1024, partition_cols=("day",),
+        zorder_cols=("xb", "yb"), zorder_bits=6,
+    )
+    assert r1["files_after"] < r1["files_before"]
+    assert r2["files_after"] < r2["files_before"]
+    sp_plain, sp_z = spread(plain), spread(zord)
+    # zorder: both dims narrow; plain hash-repartition: both ~full domain
+    assert sp_z["xb"] < sp_plain["xb"] / 2
+    assert sp_z["yb"] < sp_plain["yb"] / 2
+    # content identical after either rewrite
+    a = spark.read.parquet(plain).select("payload").orderBy("payload").collect()
+    b = spark.read.parquet(zord).select("payload").orderBy("payload").collect()
+    assert a == b
