@@ -177,6 +177,77 @@ def q_rolling_wau(spark, sf_dir):
     return rolling_distinct_users(_t(spark, sf_dir, "events"), window_days=7)
 
 
+UA_POOL = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:120.0) Gecko/20100101 Firefox/120.0",
+    "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html) Chrome/119.0.0.0 Safari/537.36",
+    "curl/8.4.0",
+    "python-requests/2.31.0",
+    "SomeUnknownAgent/1.0",
+]
+
+
+def q_ua_families(spark, sf_dir):
+    """User-agent family classification (functions/parse.py ua_family /
+    ua_is_bot): one ordered contains-chain — bots/tools before browsers
+    (Googlebot's UA embeds 'Safari/'), Edg before Chrome before Safari —
+    pure codegen, zero shuffle. The pool plants every precedence trap;
+    the oracle replays the identical ordered CASE of LIKE tests."""
+    from log_analysis_spark.functions.parse import ua_family, ua_is_bot
+
+    ua = F.when(F.col("user_id") % 11 == 0, F.lit("")).otherwise(
+        F.element_at(
+            F.array(*[F.lit(u) for u in UA_POOL]),
+            (F.col("event_id") % 8).cast("int") + 1,
+        )
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .select(ua.alias("ua"))
+        .withColumn("family", ua_family(F.col("ua")))
+        .withColumn("is_bot", ua_is_bot(F.col("ua")))
+        .groupBy("family", "is_bot")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("family")
+    )
+
+
+def q_cidr_enrich(spark, sf_dir):
+    """CIDR-range enrichment (enrich.cidr_enrich): the offline ip.db/geo
+    lookup as a broadcast EQUI-join — dotted-quad -> int64 (pure split
+    arithmetic), dim CIDRs mask-aligned and exploded to /16 buckets, fact
+    joins on its bucket + a BETWEEN filter; zero fact-side shuffle, no
+    nested-loop join. Disjoint /9 + /10 blocks cover part of the
+    synthesized 10.x space, so matched AND unmatched (NULL label) rows
+    both appear. Oracle replays the int arithmetic + range predicate."""
+    from log_analysis_spark.operators.enrich import cidr_enrich
+
+    ips = _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("10."),
+            ((F.col("user_id") * 7 + F.col("event_id")) % 256).cast("string"),
+            F.lit("."),
+            (F.col("event_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("ip")
+    )
+    dim = spark.createDataFrame(
+        [("10.0.0.0/9", "net-low"), ("10.128.0.0/10", "net-mid")],
+        ["cidr", "net_label"],
+    )
+    return (
+        cidr_enrich(ips, dim, "ip")
+        .groupBy("net_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("ip").alias("n_ips"),
+        )
+        .orderBy("net_label")
+    )
+
+
 def q_confusable_hosts(spark, sf_dir):
     """Homoglyph/confusable lookalike clusters (detect.confusable_groups):
     distinct hosts collapse to a UTS#39-style visual skeleton (ordered
@@ -5520,6 +5591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous_shards": q_rendezvous_shards,
         "lookalike_domains": q_lookalike_domains,
         "confusable_hosts": q_confusable_hosts,
+        "cidr_enrich": q_cidr_enrich,
+        "ua_families": q_ua_families,
         "zorder_keys": q_zorder_keys,
         "rolling_wau": q_rolling_wau,
         "events_per_user_hour": q_events_per_user_hour,
@@ -5789,6 +5862,30 @@ def _sql_mmr(k: int = 8, n_candidates: int = 40, lam: float = 0.5) -> str:
     )
     parts.append(f" {union}")
     return "".join(parts)
+
+
+def _sql_ua() -> str:
+    """DuckDB replay of ua_family/ua_is_bot: the SAME ordered rule list
+    (imported — one source of truth) as a CASE chain of LIKE tests over
+    the same literal UA pool."""
+    from log_analysis_spark.functions.parse import UA_RULES
+
+    pool = ", ".join("'" + u.replace("'", "''") + "'" for u in UA_POOL)
+    fam = "CASE " + " ".join(
+        f"WHEN ua LIKE '%{n}%' THEN '{f}'" for n, f, _b in UA_RULES
+    ) + " ELSE 'other' END"
+    bot = "CASE " + " ".join(
+        f"WHEN ua LIKE '%{n}%' THEN {'TRUE' if b else 'FALSE'}"
+        for n, _f, b in UA_RULES
+    ) + " ELSE FALSE END"
+    return (
+        f"WITH u AS (SELECT CASE WHEN user_id % 11 = 0 THEN '' "
+        f"ELSE ([{pool}])[(event_id % 8) + 1] END AS ua FROM events), "
+        f"c AS (SELECT CASE WHEN ua = '' THEN 'unknown' ELSE {fam} END AS family, "
+        f"CASE WHEN ua = '' THEN FALSE ELSE {bot} END AS is_bot FROM u) "
+        "SELECT family, is_bot, count(*) AS n FROM c "
+        "GROUP BY family, is_bot ORDER BY family"
+    )
 
 
 def _sql_dot_plain(a: str, b: str) -> str:
@@ -7395,6 +7492,27 @@ def oracle_sql() -> dict[str, str]:
             "AND abs(length(a.host) - length(b.host)) <= 1 "
             "WHERE levenshtein(a.host, b.host) <= 1 "
             "ORDER BY str_a, str_b"
+        ),
+        "ua_families": _sql_ua(),
+        "cidr_enrich": (
+            # 10.0.0.0/9 -> [167772160, 176160767]; 10.128.0.0/10 ->
+            # [176160768, 180355071] (mask-aligned, same arithmetic as
+            # cidr_dim — pinned independently in pytest)
+            "WITH ips AS (SELECT '10.' || ((user_id * 7 + event_id) % 256)::VARCHAR || '.' || "
+            "(event_id % 256)::VARCHAR || '.7' AS ip FROM events), "
+            "k AS (SELECT ip, ((string_split(ip, '.')[1]::BIGINT * 256 + "
+            "string_split(ip, '.')[2]::BIGINT) * 256 + "
+            "string_split(ip, '.')[3]::BIGINT) * 256 + "
+            "string_split(ip, '.')[4]::BIGINT AS ipl FROM ips), "
+            "dim AS (SELECT * FROM (VALUES "
+            "(167772160::BIGINT, 176160767::BIGINT, 'net-low'), "
+            "(176160768::BIGINT, 180355071::BIGINT, 'net-mid')) "
+            "d(_start, _end, net_label)), "
+            "j AS (SELECT k.ip, dim.net_label FROM k LEFT JOIN dim "
+            "ON k.ipl BETWEEN dim._start AND dim._end) "
+            "SELECT net_label, count(*) AS n_events, "
+            "count(DISTINCT ip) AS n_ips FROM j GROUP BY net_label "
+            "ORDER BY net_label"
         ),
         "confusable_hosts": (
             "WITH h AS (SELECT DISTINCT CASE WHEN event_id % 2 = 0 "

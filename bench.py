@@ -185,6 +185,8 @@ BENCH_QUERIES = [
     "rolling_wau",
     "priority_sample_lang",
     "confusable_hosts",
+    "cidr_enrich",
+    "ua_families",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at

@@ -510,3 +510,47 @@ def surt_key(url: Column) -> Column:
         F.when(q_sorted != "", F.concat(F.lit("?"), q_sorted)).otherwise(F.lit("")),
     )
     return F.when(scheme == "", F.lower(u)).otherwise(key)
+
+
+# ---------------------------------------------------------------------------
+# user-agent classification (http_like enrichment)
+# ---------------------------------------------------------------------------
+# (needle, family, is_bot) in PRIORITY ORDER — the order IS the contract:
+# bots/tools before browsers (Googlebot's UA contains 'Safari'), Edg/OPR
+# before Chrome (Chromium derivatives embed 'Chrome/'), Chrome before
+# Safari (Chrome embeds 'Safari/'). A DuckDB CASE chain over the same
+# ordered LIKE tests replays classification exactly.
+UA_RULES: list[tuple[str, str, bool]] = [
+    ("Googlebot", "googlebot", True),
+    ("bingbot", "bingbot", True),
+    ("curl/", "curl", True),
+    ("Wget", "wget", True),
+    ("python-requests", "python-requests", True),
+    ("Edg/", "edge", False),
+    ("OPR/", "opera", False),
+    ("Chrome/", "chrome", False),
+    ("Safari/", "safari", False),
+    ("Firefox/", "firefox", False),
+    ("Trident/", "ie", False),
+    ("MSIE ", "ie", False),
+]
+
+
+def ua_family(ua: Column) -> Column:
+    """Browser/tool family from a User-Agent string: first matching
+    needle in ``UA_RULES`` order wins; no match -> 'other', NULL/empty ->
+    'unknown'. Pure codegen contains-chain, zero shuffle — the standard
+    http-log enrichment next to the TLD/lang dims."""
+    expr = F.lit("other")
+    for needle, fam, _bot in reversed(UA_RULES):
+        expr = F.when(ua.contains(needle), F.lit(fam)).otherwise(expr)
+    return F.when(ua.isNull() | (ua == ""), F.lit("unknown")).otherwise(expr)
+
+
+def ua_is_bot(ua: Column) -> Column:
+    """True iff the FIRST matching rule is a bot/tool rule — consistent
+    with ``ua_family`` by construction (same ordered chain)."""
+    expr = F.lit(False)
+    for needle, _fam, bot in reversed(UA_RULES):
+        expr = F.when(ua.contains(needle), F.lit(bot)).otherwise(expr)
+    return F.when(ua.isNull() | (ua == ""), F.lit(False)).otherwise(expr)

@@ -80,3 +80,107 @@ def null_coalesced_view(df: DataFrame) -> DataFrame:
             for c, t in df.dtypes
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# CIDR lookup (offline ip.db / geo / ASN enrichment)
+# ---------------------------------------------------------------------------
+def ip_to_long(ip):
+    """Dotted-quad IPv4 -> int64 via pure split/cast arithmetic
+    (((a*256+b)*256+c)*256+d) — replayable in any engine; malformed
+    addresses yield NULL (cast failure propagates)."""
+    p = F.split(ip, "\\.")
+    return (
+        (
+            (
+                F.element_at(p, 1).cast("long") * 256
+                + F.element_at(p, 2).cast("long")
+            )
+            * 256
+            + F.element_at(p, 3).cast("long")
+        )
+        * 256
+        + F.element_at(p, 4).cast("long")
+    )
+
+
+def cidr_dim(df: DataFrame, cidr_col: str = "cidr", bucket_bits: int = 16) -> DataFrame:
+    """Expand a CIDR dimension table into bucketed int ranges: each
+    'a.b.c.d/n' row becomes (start, end) int64 bounds plus ONE ROW PER
+    COVERED /16 BUCKET (a /8 block fans to 256 rows, a /24 to one) —
+    the standard prep that turns IP-in-range matching into an EQUI-join.
+    The dim stays dim-sized: a full GeoIP/ASN table (~10^6 ranges, mostly
+    /16-and-narrower) expands by a small constant."""
+    parts = F.split(F.col(cidr_col), "/")
+    base = ip_to_long(F.element_at(parts, 1))
+    bits = F.element_at(parts, 2).cast("int")
+    # the block size shift width is data-dependent (the /n suffix), so it
+    # must be a SQL expression — the Python shiftleft binding only takes a
+    # literal width
+    tmp = df.withColumn("_cbase", base).withColumn("_cbits", bits).withColumn(
+        "_csz", F.expr("shiftleft(1L, 32 - _cbits)")
+    )
+    start = F.col("_cbase") - F.pmod(F.col("_cbase"), F.col("_csz"))
+    return (
+        tmp.withColumn("_start", start)
+        .withColumn("_end", F.col("_start") + F.col("_csz") - F.lit(1))
+        .withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    F.shiftright(F.col("_start"), 32 - bucket_bits),
+                    F.shiftright(F.col("_end"), 32 - bucket_bits),
+                )
+            ),
+        )
+        .drop("_cbase", "_cbits", "_csz")
+    )
+
+
+def cidr_enrich(
+    facts: DataFrame,
+    cidrs: DataFrame,
+    ip_col: str,
+    cidr_col: str = "cidr",
+    bucket_bits: int = 16,
+) -> DataFrame:
+    """Left-enrich facts with their matching CIDR row (geo/ASN lookup,
+    allow/deny audit) — the offline form of the reference's per-IP
+    ip2location fan-out, at join scale.
+
+    Shape: the fact side computes (ip_long, /16 bucket) map-side; the
+    expanded dim (``cidr_dim``) broadcasts; the equi-join on the bucket
+    plus a BETWEEN filter does the range match with NO nested-loop join
+    and NO shuffle of the fact side.
+
+    CONTRACT: the CIDR ranges must be DISJOINT (true of published
+    GeoIP/ASN block tables), so each fact row matches at most one dim
+    row and the left join is row-preserving with no dedup aggregate.
+    Nested/overlapping CIDR sets must be flattened most-specific-wins on
+    the DIM side first (dim-sized work) -- resolving overlap per fact
+    row would force a fact-side shuffle, the thing this operator exists
+    to avoid. Facts keep every original column plus ``ip_long``;
+    unmatched IPs keep NULL dim fields (left join, the E1 contract).
+    """
+    dim_cols = [c for c in cidrs.columns if c != cidr_col]
+    dim = F.broadcast(
+        cidr_dim(cidrs, cidr_col, bucket_bits).select(
+            "_bkt", "_start", "_end", *dim_cols
+        )
+    )
+    keyed = facts.withColumn("_ipl", ip_to_long(F.col(ip_col))).withColumn(
+        "_fbkt", F.shiftright(F.col("_ipl"), 32 - bucket_bits)
+    )
+    joined = keyed.join(
+        dim,
+        on=[
+            keyed["_fbkt"] == dim["_bkt"],
+            keyed["_ipl"].between(dim["_start"], dim["_end"]),
+        ],
+        how="left",
+    )
+    return joined.select(
+        *[keyed[c] for c in facts.columns],
+        F.col("_ipl").alias("ip_long"),
+        *[F.col(c) for c in dim_cols],
+    )

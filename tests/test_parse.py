@@ -86,3 +86,48 @@ class TestCanonicalUrl:
         once = df.select(canonical_url(F.col("url")).alias("c"))
         twice = once.select(canonical_url(F.col("c")).alias("c"))
         assert [r.c for r in once.collect()] == [r.c for r in twice.collect()]
+
+
+# ---------------------------------------------------------------------------
+# user-agent classification
+# ---------------------------------------------------------------------------
+def test_ua_family_precedence_matrix(spark):
+    from log_analysis_spark.functions.parse import ua_family, ua_is_bot
+
+    cases = {
+        # chromium family embeds Chrome/ AND Safari/ — order decides
+        "Mozilla/5.0 Chrome/120.0 Safari/537.36": ("chrome", False),
+        "Mozilla/5.0 Chrome/120.0 Safari/537.36 Edg/120.0": ("edge", False),
+        "Mozilla/5.0 Chrome/120.0 Safari/537.36 OPR/105.0": ("opera", False),
+        "Mozilla/5.0 Version/17.1 Safari/605.1.15": ("safari", False),
+        "Mozilla/5.0 rv:120.0 Gecko/20100101 Firefox/120.0": ("firefox", False),
+        # Googlebot spoofs a Chrome/Safari suffix — bot rule must win
+        "Mozilla/5.0 (compatible; Googlebot/2.1) Chrome/119 Safari/537.36": ("googlebot", True),
+        "Mozilla/5.0 (compatible; bingbot/2.0)": ("bingbot", True),
+        "curl/8.4.0": ("curl", True),
+        "Wget/1.21": ("wget", True),
+        "python-requests/2.31.0": ("python-requests", True),
+        "Mozilla/5.0 (Windows NT 6.1; Trident/7.0)": ("ie", False),
+        "Mozilla/4.0 (compatible; MSIE 8.0)": ("ie", False),
+        "WeirdAgent/0.1": ("other", False),
+        "": ("unknown", False),
+        None: ("unknown", False),
+    }
+    df = spark.createDataFrame(
+        [(ua,) for ua in cases], schema="ua string"
+    ).select(
+        "ua",
+        ua_family(F.col("ua")).alias("fam"),
+        ua_is_bot(F.col("ua")).alias("bot"),
+    )
+    got = {r["ua"]: (r["fam"], r["bot"]) for r in df.collect()}
+    assert got == cases
+
+
+def test_ua_family_no_shuffle(spark):
+    from log_analysis_spark.functions.parse import ua_family
+
+    df = spark.range(100).select(
+        ua_family(F.concat(F.lit("Chrome/"), F.col("id").cast("string"))).alias("f")
+    )
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
