@@ -214,6 +214,50 @@ def q_ua_families(spark, sf_dir):
     )
 
 
+def q_ip_classes(spark, sf_dir):
+    """Special-use IPv4 classification (enrich.ip_class): RFC 1918/1122/
+    3927/5771/6598 ranges as an ordered int-range CASE over the
+    try-parsed address — the Zeek local_orig analog that splits internal
+    from external traffic before detections. The synth pool covers every
+    class plus a malformed 3-octet shape, which must classify NULL (not
+    kill a task — try_element_at/try_cast under ANSI, pinned in pytest)."""
+    from log_analysis_spark.operators.enrich import ip_class
+
+    u = (F.col("user_id") % 256).cast("string")
+    m = F.col("event_id") % 8
+    ip = (
+        F.when(m == 0, F.concat(F.lit("10."), u, F.lit(".1.2")))
+        .when(m == 1, F.concat(F.lit("8."), u, F.lit(".1.2")))
+        .when(m == 2, F.concat(F.lit("127.0."), u, F.lit(".1")))
+        .when(m == 3, F.concat(F.lit("169.254."), u, F.lit(".9")))
+        .when(m == 4, F.concat(F.lit("224.0."), u, F.lit(".1")))
+        .when(
+            m == 5,
+            F.concat(
+                F.lit("100."),
+                (F.lit(64) + F.col("user_id") % 64).cast("string"),
+                F.lit(".0.1"),
+            ),
+        )
+        .when(
+            m == 6,
+            F.concat(
+                F.lit("172."),
+                (F.lit(16) + F.col("user_id") % 16).cast("string"),
+                F.lit(".0.1"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("1.2."), u))
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .select(ip.alias("ip"))
+        .groupBy(ip_class(F.col("ip")).alias("net_class"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("net_class")
+    )
+
+
 def q_cidr_enrich(spark, sf_dir):
     """CIDR-range enrichment (enrich.cidr_enrich): the offline ip.db/geo
     lookup as a broadcast EQUI-join — dotted-quad -> int64 (pure split
@@ -5593,6 +5637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusable_hosts": q_confusable_hosts,
         "cidr_enrich": q_cidr_enrich,
         "ua_families": q_ua_families,
+        "ip_classes": q_ip_classes,
         "zorder_keys": q_zorder_keys,
         "rolling_wau": q_rolling_wau,
         "events_per_user_hour": q_events_per_user_hour,
@@ -5862,6 +5907,43 @@ def _sql_mmr(k: int = 8, n_candidates: int = 40, lam: float = 0.5) -> str:
     )
     parts.append(f" {union}")
     return "".join(parts)
+
+
+def _sql_ipl(ip: str) -> str:
+    """DuckDB replay of enrich.ip_to_long: TRY_CAST octets (NULL on
+    malformed, like try_element_at/try_cast), 0-255 range guards, 4-part
+    size guard."""
+
+    def o(i: int) -> str:
+        c = f"TRY_CAST(string_split({ip}, '.')[{i}] AS BIGINT)"
+        return f"(CASE WHEN {c} BETWEEN 0 AND 255 THEN {c} END)"
+
+    return (
+        f"(CASE WHEN len(string_split({ip}, '.')) = 4 THEN "
+        f"((({o(1)} * 256 + {o(2)}) * 256 + {o(3)}) * 256 + {o(4)}) END)"
+    )
+
+
+def _sql_ip_class() -> str:
+    from log_analysis_spark.operators.enrich import _IP_CLASSES
+
+    case = "CASE WHEN ipl IS NULL THEN NULL " + "".join(
+        f"WHEN ipl BETWEEN {s} AND {e} THEN '{c}' " for s, e, c in _IP_CLASSES
+    ) + "ELSE 'public' END"
+    return (
+        "WITH ips AS (SELECT CASE event_id % 8 "
+        "WHEN 0 THEN '10.' || (user_id % 256)::VARCHAR || '.1.2' "
+        "WHEN 1 THEN '8.' || (user_id % 256)::VARCHAR || '.1.2' "
+        "WHEN 2 THEN '127.0.' || (user_id % 256)::VARCHAR || '.1' "
+        "WHEN 3 THEN '169.254.' || (user_id % 256)::VARCHAR || '.9' "
+        "WHEN 4 THEN '224.0.' || (user_id % 256)::VARCHAR || '.1' "
+        "WHEN 5 THEN '100.' || (64 + user_id % 64)::VARCHAR || '.0.1' "
+        "WHEN 6 THEN '172.' || (16 + user_id % 16)::VARCHAR || '.0.1' "
+        "ELSE '1.2.' || (user_id % 256)::VARCHAR END AS ip FROM events), "
+        f"k AS (SELECT {_sql_ipl('ip')} AS ipl FROM ips) "
+        f"SELECT {case} AS net_class, count(*) AS n FROM k "
+        "GROUP BY net_class ORDER BY net_class"
+    )
 
 
 def _sql_ua() -> str:
@@ -7494,6 +7576,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY str_a, str_b"
         ),
         "ua_families": _sql_ua(),
+        "ip_classes": _sql_ip_class(),
         "cidr_enrich": (
             # 10.0.0.0/9 -> [167772160, 176160767]; 10.128.0.0/10 ->
             # [176160768, 180355071] (mask-aligned, same arithmetic as

@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "confusable_hosts",
     "cidr_enrich",
     "ua_families",
+    "ip_classes",
 ]
 
 # fine splits so task count is core-count-independent and load-balanced at

@@ -87,20 +87,22 @@ def null_coalesced_view(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 def ip_to_long(ip):
     """Dotted-quad IPv4 -> int64 via pure split/cast arithmetic
-    (((a*256+b)*256+c)*256+d) — replayable in any engine; malformed
-    addresses yield NULL (cast failure propagates)."""
+    (((a*256+b)*256+c)*256+d) — replayable in any engine. Malformed
+    addresses ('1.2.3', 'x.y.z.w') yield NULL, NEVER a task death:
+    under ANSI mode (Spark 4's default) plain element_at/cast THROW on a
+    short array or non-numeric part — one bad log line would kill a
+    10^12-row stage — so this uses try_element_at + try_cast, whose NULL
+    propagates through the arithmetic. Octets are range-guarded (0-255):
+    '999.1.2.3' is malformed, not a wrapped number."""
     p = F.split(ip, "\\.")
-    return (
-        (
-            (
-                F.element_at(p, 1).cast("long") * 256
-                + F.element_at(p, 2).cast("long")
-            )
-            * 256
-            + F.element_at(p, 3).cast("long")
-        )
-        * 256
-        + F.element_at(p, 4).cast("long")
+
+    def oct_(i):
+        o = F.try_element_at(p, F.lit(i)).try_cast("long")
+        return F.when(o.between(0, 255), o)
+
+    return F.when(
+        F.size(p) == 4,
+        ((oct_(1) * 256 + oct_(2)) * 256 + oct_(3)) * 256 + oct_(4),
     )
 
 
@@ -184,3 +186,32 @@ def cidr_enrich(
         F.col("_ipl").alias("ip_long"),
         *[F.col(c) for c in dim_cols],
     )
+
+
+# special-use IPv4 ranges (RFC 1918, 1122, 3927, 5771, 6598) as
+# (start, end, class) int64 literals, most-specific listed first; the
+# ordered CASE is the contract, identical in the oracle's replay.
+_IP_CLASSES: list[tuple[int, int, str]] = [
+    (127 << 24, (127 << 24) + (1 << 24) - 1, "loopback"),       # 127/8
+    ((169 << 24) + (254 << 16), (169 << 24) + (254 << 16) + (1 << 16) - 1,
+     "link-local"),                                              # 169.254/16
+    (10 << 24, (10 << 24) + (1 << 24) - 1, "private"),           # 10/8
+    ((172 << 24) + (16 << 16), (172 << 24) + (32 << 16) - 1, "private"),
+    ((192 << 24) + (168 << 16), (192 << 24) + (168 << 16) + (1 << 16) - 1,
+     "private"),                                                 # 192.168/16
+    ((100 << 24) + (64 << 16), (100 << 24) + (128 << 16) - 1, "cgnat"),
+    (224 << 24, (240 << 24) - 1, "multicast"),                   # 224/4
+]
+
+
+def ip_class(ip) -> "F.Column":
+    """Special-use classification of a dotted-quad IPv4 ('private',
+    'loopback', 'link-local', 'cgnat', 'multicast', else 'public';
+    malformed -> NULL) — the Zeek local_orig/local_resp analog, used to
+    split internal from external traffic before any detection keyed on
+    'external source'. Pure int-range CASE chain, zero shuffle."""
+    n = ip_to_long(ip)
+    expr = F.lit("public")
+    for start, end, cls in reversed(_IP_CLASSES):
+        expr = F.when(n.between(F.lit(start), F.lit(end)), F.lit(cls)).otherwise(expr)
+    return F.when(n.isNull(), F.lit(None).cast("string")).otherwise(expr)

@@ -76,3 +76,38 @@ def test_cidr_enrich_broadcast_no_fact_shuffle(spark):
     plan = cidr_enrich(facts, dim, "ip")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_ip_class_ranges_and_malformed(spark):
+    from pyspark.sql import functions as F
+
+    from log_analysis_spark.operators.enrich import ip_class
+
+    cases = {
+        "10.1.2.3": "private",
+        "172.15.0.1": "public",   # just below 172.16/12
+        "172.16.0.0": "private",
+        "172.31.255.255": "private",
+        "172.32.0.0": "public",   # just above
+        "192.168.0.1": "private",
+        "192.169.0.1": "public",
+        "127.0.0.1": "loopback",
+        "169.254.9.9": "link-local",
+        "100.63.255.255": "public",  # below CGNAT
+        "100.64.0.0": "cgnat",
+        "100.127.255.255": "cgnat",
+        "100.128.0.0": "public",
+        "223.255.255.255": "public",
+        "224.0.0.1": "multicast",
+        "239.255.255.255": "multicast",
+        "8.8.8.8": "public",
+        "1.2.3": None,        # short
+        "x.y.z.w": None,      # non-numeric
+        "999.1.2.3": None,    # octet out of range
+        "": None,
+    }
+    df = spark.createDataFrame([(ip,) for ip in cases], ["ip"]).select(
+        "ip", ip_class(F.col("ip")).alias("c")
+    )
+    got = {r["ip"]: r["c"] for r in df.collect()}
+    assert got == cases
