@@ -411,3 +411,144 @@ def test_robots_match_fuzz_vs_python_reference(spark, paths, rules):
                 if l > best[0] or (l == best[0] and allow):
                     best = (l, allow)
         assert got[f"https://f.net{p}"] == (not best[1]), (p, rules)
+
+
+# ---------------------------------------------------------------------------
+# session-4 primitives: IP parse, UA classification, confusable skeleton,
+# zorder keys — fuzzed over adversarial ASCII, both engines must agree
+# ---------------------------------------------------------------------------
+_IPISH = st.one_of(
+    # well-formed and boundary-breaking dotted quads
+    st.tuples(
+        st.integers(-5, 300), st.integers(-5, 300),
+        st.integers(-5, 300), st.integers(-5, 300),
+    ).map(lambda t: ".".join(str(x) for x in t)),
+    # arbitrary junk: wrong part counts, empties, words
+    st.text(alphabet="0123456789.xab ", max_size=20),
+)
+
+
+def _sql_ipl_frag() -> str:
+    def o(i: int) -> str:
+        c = f"TRY_CAST(string_split(t, '.')[{i}] AS BIGINT)"
+        return f"(CASE WHEN {c} BETWEEN 0 AND 255 THEN {c} END)"
+
+    return (
+        f"(CASE WHEN len(string_split(t, '.')) = 4 THEN "
+        f"((({o(1)} * 256 + {o(2)}) * 256 + {o(3)}) * 256 + {o(4)}) END)"
+    )
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(ips=st.lists(_IPISH, min_size=1, max_size=8))
+def test_ip_to_long_parity_on_adversarial_input(spark, duck, ips):
+    from log_analysis_spark.operators.enrich import ip_to_long
+
+    pdf = pd.DataFrame({"i": range(len(ips)), "t": ips})
+    got = {
+        r["i"]: r["n"]
+        for r in spark.createDataFrame(pdf)
+        .select("i", ip_to_long(F.col("t")).alias("n"))
+        .collect()
+    }
+    duck.register("ip_tbl", pdf)
+    want = {
+        r[0]: r[1]
+        for r in duck.sql(
+            f"SELECT i, {_sql_ipl_frag()} AS n FROM ip_tbl"
+        ).fetchall()
+    }
+    duck.unregister("ip_tbl")
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(uas=st.lists(st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60
+), min_size=1, max_size=8))
+def test_ua_family_parity_on_random_ascii(spark, duck, uas):
+    from log_analysis_spark.functions.parse import UA_RULES, ua_family
+
+    pdf = pd.DataFrame({"i": range(len(uas)), "t": uas})
+    got = {
+        r["i"]: r["f"]
+        for r in spark.createDataFrame(pdf)
+        .select("i", ua_family(F.col("t")).alias("f"))
+        .collect()
+    }
+    fam = "CASE " + " ".join(
+        f"WHEN contains(t, '{n.replace(chr(39), chr(39)*2)}') THEN '{f}'"
+        for n, f, _b in UA_RULES
+    ) + " ELSE 'other' END"
+    duck.register("ua_tbl", pdf)
+    want = {
+        r[0]: r[1]
+        for r in duck.sql(
+            f"SELECT i, CASE WHEN t = '' THEN 'unknown' ELSE {fam} END "
+            "FROM ua_tbl"
+        ).fetchall()
+    }
+    duck.unregister("ua_tbl")
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(hosts=st.lists(st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789.-", max_size=30
+), min_size=1, max_size=8))
+def test_confusable_skeleton_parity(spark, duck, hosts):
+    from log_analysis_spark.operators.detect import (
+        CONFUSABLE_SEQS, CONFUSABLE_TRANSLATE, confusable_skeleton,
+    )
+
+    pdf = pd.DataFrame({"i": range(len(hosts)), "t": hosts})
+    got = {
+        r["i"]: r["s"]
+        for r in spark.createDataFrame(pdf)
+        .select("i", confusable_skeleton(F.col("t")).alias("s"))
+        .collect()
+    }
+    sql = f"translate(t, '{CONFUSABLE_TRANSLATE[0]}', '{CONFUSABLE_TRANSLATE[1]}')"
+    for a, b in CONFUSABLE_SEQS:
+        sql = f"replace({sql}, '{a}', '{b}')"
+    duck.register("h_tbl", pdf)
+    want = {r[0]: r[1] for r in duck.sql(f"SELECT i, {sql} FROM h_tbl").fetchall()}
+    duck.unregister("h_tbl")
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(pairs=st.lists(st.tuples(
+    st.integers(0, 255), st.integers(0, 255)
+), min_size=1, max_size=16))
+def test_zorder_key_parity_and_order_preservation(spark, duck, pairs):
+    from log_analysis_spark.plans.bucketing import zorder_key
+
+    pdf = pd.DataFrame(
+        {"i": range(len(pairs)),
+         "x": [a for a, _ in pairs], "y": [b for _, b in pairs]}
+    )
+    got = {
+        r["i"]: r["z"]
+        for r in spark.createDataFrame(pdf)
+        .select("i", zorder_key([F.col("x"), F.col("y")], bits=8).alias("z"))
+        .collect()
+    }
+    terms = " + ".join(
+        f"(((x >> {b}) & 1) << {2 * b}) + (((y >> {b}) & 1) << {2 * b + 1})"
+        for b in range(8)
+    )
+    duck.register("z_tbl", pdf)
+    want = {r[0]: r[1] for r in duck.sql(f"SELECT i, {terms} FROM z_tbl").fetchall()}
+    duck.unregister("z_tbl")
+    assert got == want
+    # injectivity on the byte grid: same pair -> same z, distinct -> distinct
+    by_pair = {}
+    for idx, pair in enumerate(pairs):
+        by_pair.setdefault(pair, set()).add(got[idx])
+    assert all(len(zs) == 1 for zs in by_pair.values())
+    assert len({next(iter(zs)) for zs in by_pair.values()}) == len(by_pair)
